@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same settings are applied whether we build the session ourselves
+(tests, bench) or receive one from a host harness (``configure`` is
+runtime-safe: it only touches SQL confs that can be set on a live
+session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs. Rationale:
+# - adaptive.*: AQE re-plans at runtime (skew joins, coalesced shuffle
+#   partitions) — essential at 100 TB where static planning misestimates.
+# - shuffle.partitions: a *default*; AQE coalesces down, large jobs scale up.
+# - session.timeZone UTC: CDC event time is UTC; keeps parquet ms/ns
+#   timestamps byte-comparable with the DuckDB oracle.
+# - arrow enabled: vectorized pandas interchange for the pandas-UDF operators.
+# - nanosAsLong: the driver-generated events table stores TIMESTAMP(NANOS)
+#   which the vectorized reader otherwise rejects; sources.loader converts
+#   the long back to a proper microsecond timestamp.
+_RUNTIME_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable on this build — leave the session as-is.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "demo_cdc_users_airline_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for local[N] testing.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    only the SQL confs matter there and they are applied either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

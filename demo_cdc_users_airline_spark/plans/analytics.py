@@ -1,0 +1,475 @@
+"""Operator-coverage analytics queries over the driver testdata.
+
+Each entry demonstrates one-or-more operators from SURVEY.md §2 on the
+TPC-H-ish tables, in the exact shape the reference uses them (reference
+file:line cited per query). Every query is paired with an ANSI-SQL
+DuckDB oracle (same column aliases) for the driver's correctness gate.
+
+Determinism rules used throughout (see functions.chcompat.dec_sum):
+- double sums go through DECIMAL so they are exact and order-independent
+  (bit-identical under any partitioning and vs DuckDB);
+- time-relative filters ("last hour") anchor on max(ts) in the data, the
+  frozen-clock pattern (SURVEY §2 P10/F1) — deterministic, no wall clock;
+- every top-k / latest-per-key has a total order (explicit tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec_sum, to_start_of_minute
+from ..sources.loader import load_table
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# CDC-shape queries over `events` (key=user_id, version=ts, unique event_id)
+# ---------------------------------------------------------------------------
+
+@q("cdc_latest_row_per_key", """
+SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""")
+def cdc_latest_row_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: `ORDER BY key, ver DESC LIMIT 1 BY key` / `FINAL` dedup —
+    latest_flight_info.pipe:6-9, users_api_rmt.pipe:6. One shuffle on the
+    key; at scale this reads the compacted VersionedTable instead."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select("user_id", "event_id", "event_type", "value", "ts"))
+
+
+@q("cdc_latest_state_argmax", """
+SELECT user_id,
+       arg_max(event_type, ts ORDER BY ts, event_id) AS last_type,
+       arg_max(value, ts ORDER BY ts, event_id) AS last_value,
+       max(CAST(ts AS TIMESTAMP)) AS last_ts,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+""")
+def cdc_latest_state_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: argMax-reconstruct latest row per key — users_api_batch.pipe:9-18.
+    groupBy + max_by(struct) = partial-aggregatable, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# DuckDB arg_max has no ORDER BY tiebreak arg — emulate with a window in
+# the oracle instead (same total order as the Spark struct key).
+ORACLE["cdc_latest_state_argmax"] = """
+WITH latest AS (
+  SELECT user_id, event_type AS last_type, value AS last_value
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+stats AS (
+  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT l.user_id, l.last_type, l.last_value, s.last_ts, s.n_events
+FROM latest l JOIN stats s USING (user_id)
+"""
+
+
+@q("cdc_soft_delete_filtered_state", """
+WITH latest AS (
+  SELECT user_id, event_type AS last_type, value AS last_value,
+         CAST(ts AS TIMESTAMP) AS last_ts
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT user_id, last_type, last_value, last_ts FROM latest
+WHERE last_type <> 'error'
+""")
+def cdc_soft_delete_filtered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + D2: the endpoint pattern `WHERE deleted = false` over the
+    deduped latest state — users_api_batch.pipe:48-53 (soft-delete filter
+    at read time; 'error' plays the deleted flag on this dataset)."""
+    latest = cdc_latest_row_per_key(spark, sf_dir)
+    return (latest.filter(F.col("event_type") != "error")
+            .select("user_id",
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value"),
+                    F.col("ts").alias("last_ts")))
+
+
+@q("cdc_incremental_snapshot", """
+WITH wm AS (SELECT max(ts) - INTERVAL 7 DAY AS last_batch_ts FROM events),
+new_events AS (
+  SELECT user_id, event_type AS last_type, value AS last_value,
+         CAST(ts AS TIMESTAMP) AS last_ts
+  FROM events, wm WHERE ts > wm.last_batch_ts
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+backfill AS (
+  SELECT user_id, event_type AS last_type, value AS last_value,
+         CAST(ts AS TIMESTAMP) AS last_ts
+  FROM events, wm WHERE ts <= wm.last_batch_ts
+    AND user_id NOT IN (SELECT user_id FROM new_events)
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT *, 1 AS is_new FROM new_events
+UNION ALL
+SELECT *, 0 AS is_new FROM backfill
+""")
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 self-watermarking snapshot: scalar watermark (J5) + changed-keys
+    argMax reconstruct (A6) + NOT-IN backfill (P8 → left_anti) + UNION ALL
+    (U1) — users_batch_copy.pipe:8-54 re-shaped onto the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    # scalar subquery as collected literal (users_batch_copy.pipe:10)
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("wm")).first()[0]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("user_id",
+                          F.col("event_type").alias("last_type"),
+                          F.col("value").alias("last_value"),
+                          F.col("ts").alias("last_ts")))
+
+    new_events = latest(ev.filter(F.col("ts") > F.lit(wm)))
+    backfill = (latest(ev.filter(F.col("ts") <= F.lit(wm)))
+                .join(new_events.select("user_id"), "user_id", "left_anti"))
+    return (new_events.withColumn("is_new", F.lit(1))
+            .unionByName(backfill.withColumn("is_new", F.lit(0))))
+
+
+@q("events_per_minute_gapfill", """
+WITH bounds AS (
+  SELECT date_trunc('minute', min(CAST(ts AS TIMESTAMP))) AS t0,
+         date_trunc('minute', max(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events WHERE ts > (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+),
+series AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute FROM bounds
+),
+agg AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute, count(*) AS n_events
+  FROM events WHERE ts > (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+  GROUP BY 1
+)
+SELECT s.minute, coalesce(a.n_events, 0) AS n_events
+FROM series s LEFT JOIN agg a ON s.minute = a.minute
+""")
+def events_per_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4/F22 + A9/F6: generated minute series LEFT JOIN per-minute agg,
+    zero-filled — flights_missed_pct_minute.pipe:50-59 (`numbers(61)` gap
+    fill). Series via sequence+explode (Spark's numbers()); anchor on
+    max(ts) for determinism (frozen-now pattern, SURVEY P10)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).first()[0]
+    win = ev.filter(F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 6 HOUR"))
+    bounds = win.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"))
+    series = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 MINUTE"))).alias("minute"))
+    agg = (win.groupBy(to_start_of_minute("ts").alias("minute"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    return (series.join(agg, "minute", "left")
+            .select("minute", F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+@q("events_last_hour_stats", """
+WITH anchor AS (SELECT max(ts) AS now_ts FROM events)
+SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS time_interval,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events, anchor
+WHERE ts > now_ts - INTERVAL 1 HOUR AND event_type IN ('click','view','purchase')
+GROUP BY 1
+""")
+def events_last_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A9/P7/P10: per-minute distinct actors over the trailing hour with
+    an IN-list filter — active_flights_past_hour.pipe:4-13 +
+    passengers_by_flight_status.pipe:8-11, anchored clock."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).first()[0]
+    return (ev.filter((F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 1 HOUR"))
+                      & F.col("event_type").isin("click", "view", "purchase"))
+            .groupBy(to_start_of_minute("ts").alias("time_interval"))
+            .agg(F.countDistinct("user_id").alias("active_users"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 dec_sum("value").alias("total_value")))
+
+
+@q("events_json_extract", """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: JSONPath column extraction with declared target type — the
+    Kafka-datasource ingest projection (users_raw.datasource:3-14), done
+    with get_json_object (JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.withColumn("k_mod", (F.get_json_object("props", "$.k").cast("int") % 10))
+            .groupBy("k_mod")
+            .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator suite over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A8 + P5: the classic scan→filter→agg shape (pipe aggregates
+    à la flights_missed_pct_minute.pipe:24-29). Filter pushes to parquet;
+    decimal sums are shuffle-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dec_sum("l_quantity").alias("sum_qty"),
+                 dec_sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+                 (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("regional_customer_value", """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def regional_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A10: chained inner equi-joins on small dims → broadcast hash
+    joins, no shuffle of the big side (flights_missed_pct_minute.pipe:10-12
+    join shape; SURVEY §4 join strategy)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (c.join(n, c["c_nationkey"] == n["n_nationkey"])
+             .join(r, n["n_regionkey"] == r["r_regionkey"])
+             .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  dec_sum("c_acctbal").alias("total_acctbal")))
+
+
+@q("customer_order_summary_left", """
+SELECT c.c_custkey, c.c_name,
+       count(o.o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""")
+def customer_order_summary_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A11: left outer join keeping order-less customers, coalesce over
+    aggregates — baggage_by_flight_status.pipe:12-14 +
+    users_batch_copy.pipe:13-23."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+             .groupBy("c_custkey", "c_name")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spend")))
+
+
+@q("customers_without_urgent_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""")
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/J6: NOT IN (filtered subquery) → left_anti join —
+    users_api_batch.pipe:33 (`id NOT IN (select id from get_new_events)`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@q("orders_above_global_avg", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                           / count(*) FROM orders)
+""")
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: scalar subquery as broadcast constant — the reference's
+    `WITH (SELECT max(...)) AS last_batch_ts` pattern
+    (users_batch_copy.pipe:10): collect the scalar, use as a literal."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg((dec_sum("o_totalprice") / F.count(F.lit(1)))).first()[0]
+    return (o.filter(F.col("o_totalprice") > F.lit(avg_price))
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@q("top_customers", """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend,
+       count(*) AS n_orders
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 20
+""")
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D5: multi-key agg + total-order sort + LIMIT n (demo_airport.py:235;
+    dash head(30)). Spark executes as TakeOrderedAndProject — no full sort
+    at scale. Decimal spend ⇒ deterministic top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, o["o_custkey"] == c["c_custkey"])
+             .groupBy("c_custkey", "c_name")
+             .agg(dec_sum("o_totalprice").alias("total_spend"),
+                  F.count(F.lit(1)).alias("n_orders"))
+             .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+             .limit(20))
+
+
+@q("order_priority_conditional_agg", """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS fulfilled,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending,
+       round(coalesce(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0
+             / nullif(count(*), 0), 0), 2) AS fulfilled_pct,
+       count(*) - (count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                 + count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                 + count(CASE WHEN o_orderstatus = 'P' THEN 1 END)) AS other
+FROM orders GROUP BY o_orderpriority
+""")
+def order_priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 + F13/F14/F15: COUNT(CASE WHEN …) pivot-style buckets, derived
+    arithmetic over aggregates, nullIf div-by-zero guard —
+    passengers_by_flight_status.pipe:8-17, flights_missed_pct_minute.pipe:27."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return (o.groupBy("o_orderpriority")
+            .agg(bucket("F").alias("fulfilled"),
+                 bucket("O").alias("open_orders"),
+                 bucket("P").alias("pending"),
+                 F.round(F.coalesce(bucket("F") * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                                    F.lit(0.0)), 2).alias("fulfilled_pct"),
+                 (F.count(F.lit(1)) - (bucket("F") + bucket("O") + bucket("P"))).alias("other")))
+
+
+@q("order_status_case_rank", """
+SELECT o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN 3
+            WHEN o_orderstatus = 'P' THEN 2
+            WHEN o_orderstatus = 'O' THEN 1
+            ELSE 6 END AS status_rank,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def order_status_case_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/F16: ORDER BY CASE categorical ranking —
+    baggage_by_flight_status.pipe:17-26 (rank exposed as a column so the
+    custom order is value-checked, not just row order)."""
+    o = load_table(spark, sf_dir, "orders")
+    rank = (F.when(F.col("o_orderstatus") == "F", 3)
+             .when(F.col("o_orderstatus") == "P", 2)
+             .when(F.col("o_orderstatus") == "O", 1)
+             .otherwise(6))
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("status_rank", rank)
+            .select("o_orderstatus", "status_rank", "n")
+            .orderBy("status_rank"))
+
+
+@q("union_order_segments", """
+SELECT o_orderkey, o_totalprice, 'urgent' AS segment FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'big' AS segment FROM orders
+WHERE o_totalprice > 400000 AND (o_orderstatus = 'F' OR o_orderpriority = '5-LOW')
+""")
+def union_order_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + P7/P9: schema-aligned UNION ALL of two filtered branches with
+    IN-lists and AND/OR combinators — users_api_batch.pipe:40-44,
+    passengers_by_flight_status.pipe:24-26."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                       & (F.col("o_orderstatus") != "F"))
+              .select("o_orderkey", "o_totalprice", F.lit("urgent").alias("segment")))
+    big = (o.filter((F.col("o_totalprice") > 400000)
+                    & ((F.col("o_orderstatus") == "F") | (F.col("o_orderpriority") == "5-LOW")))
+           .select("o_orderkey", "o_totalprice", F.lit("big").alias("segment")))
+    return urgent.unionByName(big)
+
+
+@q("part_supplier_analysis", """
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS n_suppliers,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 5, 9, 14, 23) AND l.l_returnflag <> 'R'
+GROUP BY p.p_brand, p.p_type
+""")
+def part_supplier_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A2/P7: fact-to-dim broadcast join + exact count distinct +
+    IN-list/inequality filters (TPC-H Q16 shape on reference operators)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part")
+                    .filter(F.col("p_size").isin(1, 5, 9, 14, 23)))
+    return (li.filter(F.col("l_returnflag") != "R")
+            .join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 dec_sum("l_quantity").alias("total_qty")))
+
+
+@q("lineitem_ship_minute_projection", """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charged,
+       year(l_shipdate) AS ship_year
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_quantity >= 30 AND l_discount BETWEEN 0.05 AND 0.07
+""")
+def lineitem_ship_minute_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5/P6 + F7/F18: pure projection+filter — pushed to the parquet
+    scan (PushedFilters + pruned ReadSchema; SURVEY §4), arithmetic in
+    whole-stage codegen. Exact decimal output for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate").isNotNull()
+                      & (F.col("l_quantity") >= 30)
+                      & F.col("l_discount").between(0.05, 0.07))
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax"))).cast("decimal(18,6)").cast("double").alias("charged"),
+                    F.year("l_shipdate").alias("ship_year")))

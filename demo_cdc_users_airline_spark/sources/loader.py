@@ -1,0 +1,55 @@
+"""Parquet table loader for the driver-generated testdata.
+
+Responsibilities:
+- apply runtime session confs (UTC tz, AQE, nanosAsLong) so queries behave
+  identically under any host-provided SparkSession;
+- normalize TIMESTAMP(NANOS) parquet columns (read as long under
+  ``spark.sql.legacy.parquet.nanosAsLong``) back to proper microsecond
+  timestamps with exact integer arithmetic — the generated data is
+  µs-aligned so the conversion is lossless.
+
+At 100 TB the same loader works unchanged: schema detection reads one
+footer, not the data, and the DIV-1000 projection is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.session import configure
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_columns(path: str) -> set[str]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return {f.name for f in schema if str(f.type) == "timestamp[ns]"}
+    except Exception:
+        return set()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_columns(path):
+        if c in df.columns:
+            # long nanos -> µs via integer division (no double round-trip:
+            # epoch-nanos exceed 2^53 and would lose precision as float64).
+            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,129 @@
+"""Table engines, re-expressed Spark-first.
+
+The reference stores data in two ClickHouse engine families:
+
+- ``MergeTree`` — append-only columnar log, partitioned + sorted
+  (kits/users/pg/datasources/users_raw.datasource:16-18). Here:
+  append-mode parquet with ``partitionBy`` on a derived time column and
+  ``sortWithinPartitions`` so parquet row-group min/max stats act like the
+  sorting-key index.
+- ``ReplacingMergeTree`` — versioned upsert table keeping the max-version
+  row per key, deduped eventually at merge time or at read via ``FINAL``
+  (users_latest.datasource:16-19). Here: ``VersionedTable`` — all versions
+  are appended; ``latest()`` is the FINAL-equivalent dedup-on-read view;
+  ``compact()`` plays the role of a background merge, rewriting the table
+  to one row per key so the latest view stays cheap (and broadcastable)
+  no matter how much history has been ingested.
+
+Scale notes (100 TB): dedup-on-read is one hash-partition shuffle on the
+key; after ``compact()`` the state table is ~|keys| rows, so downstream
+joins of latest-state dims against big fact/event tables broadcast. The
+append path never rewrites history — only ``compact()`` does, and it can
+run per time-partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class AppendTable:
+    """MergeTree-style append-only parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_cols: list[str] | None = None,
+                 sort_cols: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = partition_cols or []
+        self.sort_cols = sort_cols or []
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def append(self, df: DataFrame) -> None:
+        if self.sort_cols:
+            df = df.sortWithinPartitions(*self.sort_cols)
+        w = df.write.mode("append")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+
+class VersionedTable(AppendTable):
+    """ReplacingMergeTree semantics: last-writer-wins per key.
+
+    key/version/tiebreak follow the reference: key = sorting key (``id``),
+    version = ``ENGINE_VER`` (``updated_at``), tiebreak = ingestion time
+    ``__timestamp`` (users_raw.datasource:18) then arbitrary-but-stable
+    extra columns so equal-version duplicates collapse deterministically.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key: list[str], version: str,
+                 tiebreak: list[str] | None = None,
+                 partition_cols: list[str] | None = None):
+        super().__init__(spark, path, partition_cols, sort_cols=list(key))
+        self.key = key
+        self.version = version
+        self.tiebreak = tiebreak or []
+
+    # -- read paths -------------------------------------------------------
+
+    def _order_cols(self):
+        return [F.col(self.version).desc_nulls_last()] + [
+            F.col(t).desc_nulls_last() for t in self.tiebreak
+        ]
+
+    def dedup(self, df: DataFrame) -> DataFrame:
+        """FINAL-equivalent: one row per key at max (version, tiebreak)."""
+        w = Window.partitionBy(*self.key).orderBy(*self._order_cols())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .drop("__rn"))
+
+    def latest(self) -> DataFrame:
+        """``SELECT * FROM t FINAL`` (users_api_rmt.pipe:6)."""
+        return self.dedup(self.read())
+
+    # -- write paths ------------------------------------------------------
+
+    def merge(self, batch: DataFrame) -> None:
+        """Idempotent upsert of a micro-batch (at-least-once safe).
+
+        Duplicates and out-of-order arrivals are absorbed because the read
+        path always takes max (version, tiebreak); appending the same event
+        twice changes nothing after dedup. This is the parquet analogue of
+        RMT's "insert now, collapse at merge/FINAL".
+        """
+        self.append(batch)
+
+    def compact(self) -> None:
+        """Background-merge analogue: rewrite to one row per key.
+
+        Keeps latest-state reads O(|keys|) instead of O(|history|), and the
+        result small enough to broadcast in joins. Run per time-partition
+        on a cluster to bound task memory.
+        """
+        if not self.exists():
+            return
+        snap = self.latest().cache()
+        snap.count()  # materialize before overwriting the source files
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        w = snap.write.mode("overwrite")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(tmp)
+        snap.unpersist()
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
