@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each designed as a shuffle-conscious Spark
+dataflow (the 100 TB path is noted per operator):
+
+- exact:        md5 fingerprint → groupBy (one shuffle on the hash)
+- n-gram Jaccard: shingle explode → inverted-index self-join → pair agg
+- MinHash+LSH:  signature (map) → band buckets (one shuffle) → candidate
+                pairs → Jaccard verification of candidates only
+- SimHash:      per-token bit votes → 32-bit signature (map + one agg)
+- embedding cosine near-dup: see similarity.py (bucketed)
+
+All hashing is md5-derived (identical across engines); permutation
+constants are fixed literals so the DuckDB oracle computes the same
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared shingling (3-word shingles over whitespace tokens)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = r"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-1, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-word shingles per document."""
+    sh = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(size(split(lower(trim(text)), '\\\\s+'))-2, 1)),"
+        " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i, 3)))"))
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(sh).alias("shingle")))
+
+
+# 60-bit shingle hash reduced mod a Mersenne prime (fits int64 products)
+_P = 2147483647
+_HASH_SQL = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647)"
+
+
+def _hash_col() -> F.Column:
+    return (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint") % _P)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id,
+       CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+            THEN 1 ELSE 0 END AS is_dup
+FROM fp
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content fingerprint, keep min doc_id.
+
+    Scale path: one shuffle on the 128-bit hash; at 100 TB hash first,
+    never shuffle the text itself (the fingerprint is computed map-side
+    and the shuffle moves 16-byte keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.min("doc_id").over(w).alias("keeper_id"),
+        F.when(F.col("doc_id") != F.min("doc_id").over(w), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+@q("dedup_ngram_jaccard", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2,
+       CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc1
+JOIN sizes sb ON sb.doc_id = p.doc2
+WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted index: explode shingles,
+    self-join on shingle (hash shuffle on the shingle — co-locates
+    postings), count common, Jaccard from per-doc set sizes.
+
+    Scale path: prune hot shingles (document frequency cap) before the
+    self-join so the skewed posting lists don't quadratically blow up;
+    at 100 TB you run MinHash-LSH below instead and verify only
+    candidates."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (pairs.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+            .select("doc1", "doc2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.2))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 16 fixed permutations (a*x + b) mod P, 4 bands × 4 rows. Literals are
+# deterministic (Knuth multiplicative steps) and embedded in the oracle.
+_PERMS = [((2654435761 * (i + 1) + 0x9E3779B9) % _P or 1,
+           (40503 * (i + 7) + 2 ** 16 + 1) % _P) for i in range(16)]
+_N_BANDS, _BAND_ROWS = 4, 4
+
+
+def _minhash_select_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * {_HASH_SQL} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_PERMS))
+    return mins
+
+
+def _band_key_sql(b: int) -> str:
+    cols = ", ".join(f"h{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+@q("dedup_minhash_signatures", f"""
+WITH sh AS ({_SHINGLE_SQL})
+SELECT doc_id,
+         {_minhash_select_sql()}
+FROM sh GROUP BY doc_id
+""")
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 16 permutation-min aggregates per document.
+
+    Pure map + partial-aggregatable min per perm — one shuffle on doc_id,
+    signature is 16×8 bytes regardless of document size. This is the
+    stage that makes 100 TB dedup tractable: everything downstream
+    operates on signatures, never text."""
+    sh = _shingles(spark, sf_dir)
+    x = _hash_col()
+    aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@q("dedup_minhash_lsh_pairs", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_select_sql()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key FROM sig"
+      for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+)
+SELECT v.doc1, v.doc2,
+       CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.doc1
+JOIN sizes sb ON sb.doc_id = v.doc2
+WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) >= 0.2
+""")
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: band the signatures (4 bands × 4
+    rows), bucket-join to get candidate pairs, then verify candidates
+    with exact Jaccard.
+
+    Scale path: the band bucket-join shuffles 16-byte keys only, and the
+    exact-Jaccard verification touches candidate pairs (tiny fraction),
+    not all O(n²) pairs — this is the canonical web-scale dedup layout."""
+    sh = _shingles(spark, sf_dir).cache()
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
+                                          for r in range(_BAND_ROWS)])).alias("band_key"))
+        for b in range(_N_BANDS)])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+             .select("doc_id", F.col("bd.band_id").alias("band_id"),
+                     F.col("bd.band_key").alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    verified = (cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+                .join(s2, (F.col("doc2") == F.col("s2.doc_id"))
+                      & (F.col("s1.shingle") == F.col("s2.shingle")))
+                .groupBy("doc1", "doc2")
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (verified.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+            .select("doc1", "doc2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.2))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@q("dedup_simhash", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM toks
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit locality-sensitive signature from per-token hash
+    bit votes. Near-dups then cluster by small Hamming distance on the
+    signature (bucket on bit-slices at scale, same LSH layout as MinHash).
+
+    Dataflow: explode tokens × 32 bit positions → signed votes →
+    per-(doc,bit) sum → pack bits. All integer arithmetic, identical in
+    the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")))
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("th"))
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    votes = (th.crossJoin(F.broadcast(bits))
+             .groupBy("doc_id", "bit")
+             .agg(F.sum(F.when(F.expr("(th >> bit) & 1") == 1, 1)
+                        .otherwise(-1)).alias("vote")))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash")))

@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers, from exactness to scale:
+- brute-force cosine top-k — the correctness baseline; query set is
+  broadcast, candidates scanned once (map + per-query top-k);
+- IVF-style partitioned top-k — candidates restricted to the query's
+  cell (here the ``label`` column plays the coarse-quantizer cell id);
+  at 100 TB the cell id comes from a k-means codebook and the table is
+  bucketed by cell so a probe touches 1/nlist of the data;
+- random-hyperplane LSH bucketing — signature via fixed hyperplanes
+  (sign patterns), bucket-join for near-dup pairs.
+
+Dot products use ``zip_with``/``aggregate`` on doubles — JVM-side
+sequential folds, bit-identical with the DuckDB oracle's
+``list_dot_product`` (verified empirically), so results hash-match
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential double dot product (whole-stage codegen, no UDF)."""
+    return F.expr(
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+_COS_SQL = """
+  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+"""
+
+
+@q("similarity_topk_brute", f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+)
+SELECT query_id, neighbor_id, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 5
+""")
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full candidate scan; per-query top-k via window.
+
+    Scale path: candidates are scanned exactly once (no shuffle of the
+    big side — the query set broadcasts); top-k per query is a
+    partial-aggregatable min-heap at 1000-executor scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("c_emb"))
+    joined = cand.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cosine = (dot("q_emb", "c_emb")
+              / (F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 5)
+            .drop("__rn"))
+
+
+@q("similarity_topk_ivf", f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS cell, b.vec_id AS neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+)
+SELECT query_id, cell, neighbor_id, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 3
+""")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: restrict candidates to the query's cell (the
+    ``label`` column = coarse-quantizer assignment), then exact top-k
+    within the cell — the inverted-file probe pattern.
+
+    Scale path: table bucketed/partitioned by cell id ⇒ a probe reads
+    1/nlist of the data with partition pruning; the equi-join on cell
+    co-locates without a candidate-side shuffle when bucketed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("cell"),
+                       F.col("embedding").alias("q_emb")))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("c_cell"),
+                    F.col("embedding").alias("c_emb"))
+    joined = (cand.join(F.broadcast(queries),
+                        (F.col("c_cell") == F.col("cell"))
+                        & (F.col("neighbor_id") != F.col("query_id"))))
+    cosine = (dot("q_emb", "c_emb")
+              / (F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (joined.select("query_id", "cell", "neighbor_id", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .drop("__rn"))
+
+
+@q("similarity_neardup_cosine", f"""
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS cell, {_COS_SQL} AS cosine
+FROM embeddings a
+JOIN embeddings b ON b.label = a.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.4
+""")
+def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by cell so the
+    pair join is within-bucket (O(Σ n_cell²), not O(n²)) — the
+    embedding-dedup stage of a training-data pipeline (SemDeDup-style:
+    cluster first, compare within clusters only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("cell"),
+                 F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("c2"),
+                 F.col("embedding").alias("e2"))
+    cosine = (dot("e1", "e2")
+              / (F.sqrt(dot("e1", "e1")) * F.sqrt(dot("e2", "e2"))))
+    return (a.join(b, (F.col("cell") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+            .select("vec1", "vec2", "cell", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= 0.4))
+
+
+# Fixed random-hyperplane matrix for LSH signatures: 8 hyperplanes whose
+# components are deterministic ±1 derived from md5 of (plane, dim) — the
+# same construction is expressible in the oracle.
+_N_PLANES = 8
+
+
+@q("similarity_lsh_buckets", f"""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+proj AS (
+  SELECT d.vec_id, d.label, p.plane,
+         CAST(sum(CAST(CASE WHEN ('0x' || substr(md5(concat(p.plane, '_', d.dim)), 1, 8))::BIGINT % 2 = 0
+                  THEN d.val ELSE -d.val END AS DECIMAL(38,12))) AS DOUBLE) AS dot_h
+  FROM dims d CROSS JOIN (SELECT unnest(range({_N_PLANES})) AS plane) p
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, label,
+       sum(CASE WHEN dot_h > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS bucket
+FROM proj GROUP BY vec_id, label
+""")
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of 8 fixed projections packs
+    into a bucket id; near vectors collide with high probability.
+    Signature computation is a map (explode dims × planes, sum, pack) —
+    the bucket id then drives a bucket-join exactly like MinHash bands.
+
+    ±1 hyperplane components derive from md5(plane, dim) — fixed and
+    oracle-reproducible; the signed projection sums go through DECIMAL
+    so they are order-independent (exact) in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat_ws("_", "plane", "dim")), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0, F.col("val")).otherwise(-F.col("val"))
+    proj = (dims.crossJoin(F.broadcast(planes))
+            .groupBy("vec_id", "label", "plane")
+            .agg(F.sum(sign.cast("decimal(38,12)")).cast("double").alias("dot_h")))
+    return (proj.groupBy("vec_id", "label")
+            .agg(F.sum(F.when(F.col("dot_h") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+                       .otherwise(F.lit(0))).alias("bucket")))

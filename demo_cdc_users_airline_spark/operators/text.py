@@ -1,0 +1,206 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure built-in-function dataflows (whole-stage
+codegen, no Python on the hot path) over a ``documents(doc_id, text,
+lang, source, n_chars)`` table, and scale linearly: tokenization and
+scoring are per-row map work, no shuffle at all.
+
+Cross-engine determinism: tokenization is a single regex split shared
+with the DuckDB oracle; hashes are md5-based (identical hex in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization of lowercased text (shared with oracle)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+# BPE-ish subword segmentation: split on word/number/punct boundaries the
+# way byte-pair tokenizers pre-segment (GPT-2 style pre-tokenizer regex,
+# simplified to what both regex engines implement identically).
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@q("text_token_stats", rf"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+       length(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (north-star text ops). Pure map — no shuffle, scales to 100 TB as a
+    single pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        # Spark SQL string literals process backslash escapes; DuckDB's don't
+        F.size(F.expr(
+            f"regexp_extract_all(lower(text), '{_BPE_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        )).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+         / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@q("text_quality_score", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+         len(list_filter(toks, w -> w IN {tuple(_STOPWORDS)})) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+                   THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                   THEN 1 ELSE 0 END AS DOUBLE) / 3 AS quality_score
+FROM s
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring via length / stopword-ratio / lexical-diversity
+    heuristics (Gopher-style document filters). Integer-derived ratios →
+    deterministic doubles; single map pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = d.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(distinct_ratio > 0.3, 1).otherwise(0)
+    ).cast("double") / 3
+    return base.select(
+        "doc_id", "lang", "n_chars", "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# n-gram language-ID: score each language by marker-token frequency and
+# take the argmax (deterministic tie-break by language order). The
+# markers are demo-scale; swap the table for real fastText-style profiles.
+_LANG_MARKERS = {
+    "en": ("the", "a", "key", "row"),
+    "es": ("data", "query", "sort"),
+    "fr": ("window", "agg", "line"),
+    "de": ("spark", "hash", "vector"),
+    "zh": ("merge", "batch", "big"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, w -> w IN ({markers})))"
+
+
+@q("text_lang_id", f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM t
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+            WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+            WHEN s_de THEN 'de' ELSE 'zh' END AS pred_lang,
+       greatest(s_en, s_es, s_fr, s_de, s_zh) AS best_score
+FROM scores
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by n-gram/marker-token profile scoring
+    (fastText-style, deterministic argmax with fixed tie-break order)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("actual_lang"), tokens("text").alias("toks"))
+
+    def score(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(F.col("toks"), lambda w: F.array_contains(arr, w)))
+
+    scored = t.select(
+        "doc_id", "actual_lang",
+        *[score(lg).alias(f"s_{lg}") for lg in _LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_MARKERS])
+    pred = F.when(F.col("s_en") == best, "en")
+    for lg in ("es", "fr", "de"):
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    pred = pred.otherwise("zh")
+    return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"),
+                         best.alias("best_score"))
+
+
+@q("text_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(string_split_regex(lower(trim(text)), '\\s+')), ' '))
+         AS bag_fingerprint,
+       md5(lower(trim(text))) AS exact_fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact hash + order-invariant bag-of-words
+    hash (catches shuffled/reordered duplicates). md5 hex is identical
+    across engines; fingerprints then feed exact-dedup groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("bag_fingerprint"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
+    )
