@@ -33,16 +33,15 @@ def _latest_by_id(df: DataFrame, cols: list[str]) -> DataFrame:
               .select(*cols))
 
 
-_STATUS_RANK = (
+def _status_rank():
     # shared ORDER BY CASE across baggage/passengers_by_flight_status
     # (baggage_by_flight_status.pipe:17-26)
-    F.when(F.col("flight_status") == "departed", 5)
-     .when(F.col("flight_status") == "boarded", 4)
-     .when(F.col("flight_status") == "boarding", 3)
-     .when(F.col("flight_status") == "closed", 2)
-     .when(F.col("flight_status") == "open", 1)
-     .otherwise(6)
-)
+    return (F.when(F.col("flight_status") == "departed", 5)
+             .when(F.col("flight_status") == "boarded", 4)
+             .when(F.col("flight_status") == "boarding", 3)
+             .when(F.col("flight_status") == "closed", 2)
+             .when(F.col("flight_status") == "open", 1)
+             .otherwise(6))
 
 
 def latest_flight_info_pipe() -> Pipe:
@@ -104,7 +103,7 @@ def baggage_by_flight_status_pipe() -> Pipe:
                      wsum("loaded").alias("baggage_loaded"),
                      wsum("offloaded").alias("baggage_offloaded"))
                 .drop("departed_at")
-                .orderBy(_STATUS_RANK, F.col("flight_number").asc()))
+                .orderBy(_status_rank(), F.col("flight_number").asc()))
 
     return Pipe("baggage_by_flight_status", [Node("endpoint", endpoint)])
 
@@ -144,7 +143,7 @@ def passengers_by_flight_status_pipe() -> Pipe:
                                                         + F.col("onboarded") + F.col("notboarded")))
                 .select("flight_number", "flight_status", "booked", "checkedin",
                         "boarding", "onboarded", "notboarded", "notcheckedin")
-                .orderBy(_STATUS_RANK, F.col("flight_number").asc()))
+                .orderBy(_status_rank(), F.col("flight_number").asc()))
 
     return Pipe("passengers_by_flight_status", [Node("passengers_by_flight_status_0", node)])
 
