@@ -287,20 +287,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit votes. Near-dups then cluster by small Hamming distance on the
     signature (bucket on bit-slices at scale, same LSH layout as MinHash).
 
-    Dataflow: explode tokens × 32 bit positions → signed votes →
-    per-(doc,bit) sum → pack bits. All integer arithmetic, identical in
-    the oracle."""
+    Dataflow: a single per-row higher-order-function fold — token hashes
+    accumulate a 32-counter vote array (``aggregate`` + ``zip_with``),
+    then the sign pattern packs into the signature. ZERO shuffle: the
+    whole operator is map-side whole-stage codegen, so at 100 TB it
+    scales as one pass over the documents (the naive explode×32-bits
+    formulation shuffles 32× the token count; the oracle uses it —
+    integer votes are exact, so both forms agree bit-for-bit)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (d.select("doc_id", F.explode(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")))
-    th = toks.select(
+    return d.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("th"))
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    votes = (th.crossJoin(F.broadcast(bits))
-             .groupBy("doc_id", "bit")
-             .agg(F.sum(F.when(F.expr("(th >> bit) & 1") == 1, 1)
-                        .otherwise(-1)).alias("vote")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+        F.expr("""
+          aggregate(
+            zip_with(
+              aggregate(
+                transform(split(lower(trim(text)), '\\\\s+'),
+                          t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
+                array_repeat(CAST(0 AS BIGINT), 32),
+                (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), 31),
+                                      (a, b) -> a + CASE WHEN (th >> b) & 1 = 1
+                                                    THEN 1 ELSE -1 END)),
+              sequence(CAST(0 AS BIGINT), 31),
+              (vote, bit) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
+                                  ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """).alias("simhash"))

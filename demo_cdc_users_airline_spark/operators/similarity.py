@@ -72,12 +72,12 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (e.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb")))
-    cand = e.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("c_emb"))
+    cand = (e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("c_emb"))
+            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
     joined = cand.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    cosine = (dot("q_emb", "c_emb")
-              / (F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))))
+    cosine = dot("q_emb", "c_emb") / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
@@ -111,14 +111,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("label").alias("cell"),
                        F.col("embedding").alias("q_emb")))
-    cand = e.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("label").alias("c_cell"),
-                    F.col("embedding").alias("c_emb"))
+    cand = (e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("c_cell"),
+                     F.col("embedding").alias("c_emb"))
+            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
     joined = (cand.join(F.broadcast(queries),
                         (F.col("c_cell") == F.col("cell"))
                         & (F.col("neighbor_id") != F.col("query_id"))))
-    cosine = (dot("q_emb", "c_emb")
-              / (F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))))
+    cosine = dot("q_emb", "c_emb") / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (joined.select("query_id", "cell", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
@@ -138,13 +138,21 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-dedup stage of a training-data pipeline (SemDeDup-style:
     cluster first, compare within clusters only)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # precompute each vector's norm once (map-side) instead of per pair —
+    # same float values as the per-pair form (identical sequential fold),
+    # ~3× fewer flops in the O(pairs) join
     a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("cell"),
-                 F.col("embedding").alias("e1"))
+                 F.col("embedding").alias("e1")) \
+         .withColumn("n1", F.sqrt(dot("e1", "e1")))
     b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("c2"),
-                 F.col("embedding").alias("e2"))
-    cosine = (dot("e1", "e2")
-              / (F.sqrt(dot("e1", "e1")) * F.sqrt(dot("e2", "e2"))))
-    return (a.join(b, (F.col("cell") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+                 F.col("embedding").alias("e2")) \
+         .withColumn("n2", F.sqrt(dot("e2", "e2")))
+    cosine = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    # broadcast one side: the label join key has few distinct values, so a
+    # shuffle join would collapse to |cells| tasks; broadcasting keeps the
+    # probe side at full partition parallelism (at 100 TB: bucket by cell)
+    return (a.join(F.broadcast(b),
+                   (F.col("cell") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
             .select("vec1", "vec2", "cell", cosine.alias("cosine"))
             .filter(F.col("cosine") >= 0.4))
 
@@ -186,13 +194,20 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
     ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
-    sign = F.when(
-        F.conv(F.substring(F.md5(F.concat_ws("_", "plane", "dim")), 1, 8), 16, 10)
-        .cast("bigint") % 2 == 0, F.col("val")).otherwise(-F.col("val"))
-    proj = (dims.crossJoin(F.broadcast(planes))
+    # materialize the tiny (plane × dim) sign matrix once and broadcast it —
+    # md5 runs 8×64 times total instead of once per (row, plane)
+    n_dims = len(e.select("embedding").first()[0])
+    signs = (spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
+             .crossJoin(spark.range(1, n_dims + 1).select(F.col("id").cast("int").alias("dim")))
+             .select("plane", "dim",
+                     F.when(F.conv(F.substring(
+                         F.md5(F.concat_ws("_", "plane", "dim")), 1, 8), 16, 10)
+                         .cast("bigint") % 2 == 0, F.lit(1.0))
+                      .otherwise(F.lit(-1.0)).alias("sign")))
+    proj = (dims.join(F.broadcast(signs), "dim")
             .groupBy("vec_id", "label", "plane")
-            .agg(F.sum(sign.cast("decimal(38,12)")).cast("double").alias("dot_h")))
+            .agg(F.sum((F.col("sign") * F.col("val")).cast("decimal(38,12)"))
+                 .cast("double").alias("dot_h")))
     return (proj.groupBy("vec_id", "label")
             .agg(F.sum(F.when(F.col("dot_h") > 0,
                               F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dec_sum, to_start_of_minute
 from ..sources.loader import load_table
+from .framework import Context, Node, Pipe, Registry
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -473,3 +474,59 @@ def lineitem_ship_minute_projection(spark: SparkSession, sf_dir: str) -> DataFra
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))
                      * (1 + F.col("l_tax"))).cast("decimal(18,6)").cast("double").alias("charged"),
                     F.year("l_shipdate").alias("ship_year")))
+
+
+@q("pipe_node_dag", """
+WITH node0 AS (
+  SELECT user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute
+  FROM events, (SELECT max(ts) AS now_ts FROM events) anchor
+  WHERE ts > now_ts - INTERVAL 2 HOUR
+),
+node1 AS (
+  SELECT minute AS time_interval, count(DISTINCT user_id) AS active_users
+  FROM node0 GROUP BY minute
+),
+node2 AS (
+  SELECT minute AS time_interval, count(*) AS errors
+  FROM node0 WHERE event_type = 'error' GROUP BY minute
+)
+SELECT n1.time_interval, n1.active_users, n2.errors
+FROM node1 n1 JOIN node2 n2 ON n1.time_interval = n2.time_interval
+""")
+def pipe_node_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 pipe/node framework end-to-end through the driver gate: a
+    4-node pipe (project → two aggregations → node-on-node join), the
+    passenger_activity.pipe shape, resolved via the Registry with a
+    frozen data-anchored clock. Catalyst sees ONE composed plan across
+    all nodes (cross-node reuse is inlined and optimized globally)."""
+    from ..core.clock import Clock
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).first()[0]
+
+    def node0(ctx: Context) -> DataFrame:
+        now = ctx.clock.now_col()
+        return (ctx.ref("events")
+                .filter(F.col("ts") > now - F.expr("INTERVAL 2 HOUR"))
+                .select("user_id", "event_type",
+                        to_start_of_minute("ts").alias("minute")))
+
+    def node1(ctx: Context) -> DataFrame:
+        return (ctx.ref("node0")
+                .groupBy(F.col("minute").alias("time_interval"))
+                .agg(F.countDistinct("user_id").alias("active_users")))
+
+    def node2(ctx: Context) -> DataFrame:
+        return (ctx.ref("node0").filter(F.col("event_type") == "error")
+                .groupBy(F.col("minute").alias("time_interval"))
+                .agg(F.count(F.lit(1)).alias("errors")))
+
+    def node3(ctx: Context) -> DataFrame:
+        return (ctx.ref("node1").join(ctx.ref("node2"), "time_interval")
+                .select("time_interval", "active_users", "errors"))
+
+    reg = Registry(spark)
+    reg.add_datasource("events", ev)
+    reg.add_pipe(Pipe("activity", [Node("node0", node0), Node("node1", node1),
+                                   Node("node2", node2), Node("node3", node3)]))
+    return reg.endpoint("activity", clock=Clock.fixed(anchor))
