@@ -530,3 +530,80 @@ def pipe_node_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.add_pipe(Pipe("activity", [Node("node0", node0), Node("node1", node1),
                                    Node("node2", node2), Node("node3", node3)]))
     return reg.endpoint("activity", clock=Clock.fixed(anchor))
+
+
+@q("users_mv_rmt_endpoint", """
+WITH users_raw AS (
+  -- PG-connector-shaped CDC log derived from events: key=user_id,
+  -- version=epoch-µs ts, nullable payload columns, __timestamp=arrival
+  SELECT CAST(user_id AS SMALLINT) AS id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE concat('user-', user_id) END AS name,
+         concat(user_id, '@example.com') AS email,
+         CASE WHEN value > 250 THEN CAST(1 AS SMALLINT)
+              ELSE CAST(0 AS SMALLINT) END AS email_verified,
+         CASE WHEN event_type = 'purchase' THEN CAST(1 AS SMALLINT)
+              ELSE CAST(0 AS SMALLINT) END AS deleted,
+         CASE WHEN event_type IS NULL THEN NULL ELSE substr(event_type, 1, 2) END AS lang,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS created_at,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE epoch_us(CAST(ts AS TIMESTAMP)) END AS updated_at,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS __timestamp
+  FROM events
+),
+mv AS (
+  -- users_mv.pipe:4-17: coalesce defaults, µs→timestamp, FixedString(2)
+  SELECT id,
+         coalesce(name, '') AS name,
+         coalesce(email, '') AS email,
+         coalesce(email_verified, 0) AS email_verified,
+         coalesce(deleted, 0) AS deleted,
+         __timestamp AS event_timestamp,
+         substr(coalesce(lang, ''), 1, 2) AS lang,
+         make_timestamp(coalesce(created_at, 0)) AS created_at,
+         coalesce(make_timestamp(updated_at), __timestamp) AS updated_at,
+         __timestamp
+  FROM users_raw
+)
+-- users_api_rmt.pipe:6-7: SELECT * FROM users_latest FINAL ORDER BY id
+SELECT id, name, email, email_verified, deleted, event_timestamp, lang,
+       created_at, updated_at
+FROM mv
+QUALIFY row_number() OVER (PARTITION BY id
+                           ORDER BY updated_at DESC, __timestamp DESC) = 1
+""")
+def users_mv_rmt_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The users kit's real code path through the correctness gate:
+    a PG-connector-shaped CDC log (nullable columns, epoch-µs Int64
+    versions, NULL-version rows — SURVEY §1.3) is derived from the
+    events table, then runs the ACTUAL ``users_mv_pg`` transform
+    (coalesce defaults / µs conversion / FixedString) and the
+    VersionedTable FINAL dedup + ORDER BY id endpoint
+    (users_mv.pipe:4-17 → users_api_rmt.pipe:6-7)."""
+    from ..sources.tables import VersionedTable
+    from .users import users_mv_pg
+
+    ev = load_table(spark, sf_dir, "events")
+    users_raw = ev.select(
+        F.col("user_id").cast("smallint").alias("id"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+         .otherwise(F.concat(F.lit("user-"), F.col("user_id"))).alias("name"),
+        F.concat(F.col("user_id"), F.lit("@example.com")).alias("email"),
+        F.lit(None).cast("string").alias("address"),
+        F.lit(None).cast("string").alias("phone_number"),
+        F.when(F.col("value") > 250, 1).otherwise(0).cast("smallint").alias("email_verified"),
+        F.lit(0).cast("smallint").alias("onboarded"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+         .cast("smallint").alias("deleted"),
+        F.substring("event_type", 1, 2).alias("lang"),
+        F.unix_micros(F.col("ts")).alias("created_at"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+         .otherwise(F.unix_micros(F.col("ts"))).alias("updated_at"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__timestamp"),
+    )
+    mv = users_mv_pg(users_raw)
+    vt = VersionedTable(spark, path="<in-memory>", key=["id"],
+                        version="updated_at", tiebreak=["__timestamp"])
+    latest = vt.dedup(mv)
+    return latest.select("id", "name", "email", "email_verified", "deleted",
+                         "event_timestamp", "lang", "created_at", "updated_at")

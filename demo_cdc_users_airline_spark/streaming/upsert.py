@@ -49,6 +49,8 @@ class CdcPipeline:
     quarantine_table: AppendTable | None = None
     mv_transform: Callable[[DataFrame], DataFrame] | None = None
     store_raw_value: bool = False
+    compact_every_n_batches: int = 0  # 0 = never; the background-merge cadence
+    _batches_seen: int = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body — the reference's per-ingested-block MV fire
@@ -63,6 +65,12 @@ class CdcPipeline:
                 self.quarantine_table.append(q)
         block = self.mv_transform(good) if self.mv_transform else good
         self.latest_table.merge(block)
+        self._batches_seen += 1
+        if (self.compact_every_n_batches
+                and self._batches_seen % self.compact_every_n_batches == 0):
+            # ReplacingMergeTree background merge analogue: bound the
+            # version history so latest() stays O(|keys|)
+            self.latest_table.compact()
 
     def start(self, source_stream: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):
