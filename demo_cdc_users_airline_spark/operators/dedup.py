@@ -279,7 +279,8 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,7 +177,8 @@ proj AS (
   GROUP BY 1, 2, 3
 )
 SELECT vec_id, label,
-       sum(CASE WHEN dot_h > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS bucket
+       CAST(sum(CASE WHEN dot_h > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END)
+            AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id, label
 """)
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

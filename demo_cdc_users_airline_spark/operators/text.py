@@ -59,12 +59,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         # Spark SQL string literals process backslash escapes; DuckDB's don't
         F.size(F.expr(
             f"regexp_extract_all(lower(text), '{_BPE_RE.replace(chr(92), chr(92) * 2)}', 0)"
-        )).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        )).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
         (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
          / F.size(toks)).alias("avg_token_len"),
     )
@@ -105,8 +105,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     base = d.select(
         "doc_id", "lang",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
     )
@@ -183,7 +183,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"s_{lg}") == best, lg)
     pred = pred.otherwise("zh")
     return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"),
-                         best.alias("best_score"))
+                         best.cast("long").alias("best_score"))
 
 
 @q("text_fingerprint", """

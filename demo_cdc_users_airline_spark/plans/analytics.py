@@ -473,7 +473,7 @@ def lineitem_ship_minute_projection(spark: SparkSession, sf_dir: str) -> DataFra
             .select("l_orderkey", "l_linenumber",
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))
                      * (1 + F.col("l_tax"))).cast("decimal(18,6)").cast("double").alias("charged"),
-                    F.year("l_shipdate").alias("ship_year")))
+                    F.year("l_shipdate").cast("long").alias("ship_year")))
 
 
 @q("pipe_node_dag", """
