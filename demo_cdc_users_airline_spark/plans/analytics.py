@@ -476,6 +476,34 @@ def lineitem_ship_minute_projection(spark: SparkSession, sf_dir: str) -> DataFra
                     F.year("l_shipdate").cast("long").alias("ship_year")))
 
 
+@q("supplier_part_coverage", """
+SELECT n.n_name AS nation,
+       count(DISTINCT s.s_suppkey) AS n_suppliers,
+       count(DISTINCT l.l_partkey) AS n_parts_shipped,
+       CAST(sum(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY n.n_name
+""")
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/A2 on the supplier dimension (completes coverage of every
+    testdata table): broadcast dim joins + two exact count-distincts.
+
+    Note the sum is over the per-(supplier,lineitem) expansion — the
+    left join multiplies s_acctbal by the supplier's lineitem count, as
+    in the SQL; decimal sum keeps it exact under any partitioning."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (s.join(n, s["s_nationkey"] == n["n_nationkey"])
+             .join(li, li["l_suppkey"] == s["s_suppkey"], "left")
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
+                  F.countDistinct("l_partkey").alias("n_parts_shipped"),
+                  dec_sum("s_acctbal").alias("total_acctbal")))
+
+
 @q("pipe_node_dag", """
 WITH node0 AS (
   SELECT user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute
