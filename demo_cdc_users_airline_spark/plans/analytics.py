@@ -476,6 +476,107 @@ def lineitem_ship_minute_projection(spark: SparkSession, sf_dir: str) -> DataFra
                     F.year("l_shipdate").cast("long").alias("ship_year")))
 
 
+@q("airport_status_board", """
+WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+flights AS (
+  SELECT CAST(user_id % 20 + 1 AS SMALLINT) AS id,
+         concat('FL', lpad(CAST(user_id % 20 + 1 AS VARCHAR), 2, '0')) AS flight_number,
+         list_extract(['open','closed','boarding','boarded','departed'],
+                      CAST(user_id % 20 AS INT) % 5 + 1) AS status,
+         CAST(count(DISTINCT user_id) AS SMALLINT) AS passenger_count,
+         CASE WHEN CAST(user_id % 20 AS INT) % 5 = 4
+              THEN (SELECT now_ts - INTERVAL 10 SECOND FROM anchor) END AS departed_at
+  FROM events GROUP BY user_id % 20
+),
+passengers AS (
+  SELECT CAST(user_id AS INT) AS id,
+         CAST(user_id % 20 + 1 AS SMALLINT) AS flight_id,
+         CASE event_type WHEN 'signup' THEN 'onboarded'
+                         WHEN 'error' THEN 'notboarded'
+                         WHEN 'purchase' THEN 'idle'
+                         ELSE 'checkedin' END AS status
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+-- passengers_by_flight_status.pipe:4-38 verbatim logic
+SELECT f.flight_number,
+       f.status AS flight_status,
+       CAST(f.passenger_count AS BIGINT) AS booked,
+       count(CASE WHEN p.status = 'checkedin' AND f.status IN ('open','closed') THEN 1 END) AS checkedin,
+       count(CASE WHEN p.status = 'checkedin' AND f.status = 'boarding' THEN 1 END) AS boarding,
+       count(CASE WHEN p.status = 'onboarded' AND f.status IN ('boarding','boarded','departed') THEN 1 END) AS onboarded,
+       count(CASE WHEN p.status = 'notboarded' AND f.status IN ('boarded','departed') THEN 1 END) AS notboarded,
+       f.passenger_count - (
+         count(CASE WHEN p.status = 'checkedin' AND f.status IN ('open','closed') THEN 1 END)
+         + count(CASE WHEN p.status = 'checkedin' AND f.status = 'boarding' THEN 1 END)
+         + count(CASE WHEN p.status = 'onboarded' AND f.status IN ('boarding','boarded','departed') THEN 1 END)
+         + count(CASE WHEN p.status = 'notboarded' AND f.status IN ('boarded','departed') THEN 1 END)
+       ) AS notcheckedin
+FROM flights f
+LEFT JOIN passengers p ON p.flight_id = f.id
+WHERE f.status <> 'departed'
+   OR (f.status = 'departed'
+       AND f.departed_at > (SELECT now_ts - INTERVAL 20 SECOND FROM anchor))
+GROUP BY f.flight_number, f.passenger_count, f.status
+""")
+def airport_status_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The airport kit's most complex pipe — passengers_by_flight_status
+    (left join + 4 conditional-count buckets + derived notcheckedin +
+    departed-recently exclusion) — run as the ACTUAL product pipe code
+    over an events-derived flights/passengers CDC mapping, verified
+    against a verbatim SQL translation of the reference pipe."""
+    from ..core.clock import Clock
+    from .airport import register_airport_pipes
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).first()[0]
+    bucket = (F.col("user_id") % 20).cast("int")
+    flights_status = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("open", "closed", "boarding", "boarded", "departed")]),
+        bucket % 5 + 1)
+    flights_raw = (ev.groupBy((F.col("user_id") % 20 + 1).cast("smallint").alias("id"))
+                   .agg(F.countDistinct("user_id").cast("smallint").alias("passenger_count"),
+                        F.min("ts").alias("created_at"),
+                        F.max("ts").alias("updated_at"),
+                        F.max("ts").alias("__timestamp"))
+                   .withColumn("flight_number",
+                               F.concat(F.lit("FL"), F.lpad((F.col("id")).cast("string"), 2, "0")))
+                   .withColumn("status", F.element_at(
+                       F.array(*[F.lit(s) for s in
+                                 ("open", "closed", "boarding", "boarded", "departed")]),
+                       ((F.col("id") - 1) % 5 + 1).cast("int")))
+                   .withColumn("departed_at",
+                               F.when(F.col("status") == "departed",
+                                      F.lit(anchor) - F.expr("INTERVAL 10 SECOND")))
+                   .withColumn("closed_at", F.lit(None).cast("timestamp"))
+                   .withColumn("boarding_at", F.lit(None).cast("timestamp"))
+                   .withColumn("boarded_at", F.lit(None).cast("timestamp")))
+    pax_status = (F.when(F.col("event_type") == "signup", "onboarded")
+                  .when(F.col("event_type") == "error", "notboarded")
+                  .when(F.col("event_type") == "purchase", "idle")
+                  .otherwise("checkedin"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    passengers_raw = (ev.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") == 1)
+                      .select(F.col("user_id").cast("int").alias("id"),
+                              (F.col("user_id") % 20 + 1).cast("smallint").alias("flight_id"),
+                              pax_status.alias("status"),
+                              F.col("ts").alias("created_at"),
+                              F.col("ts").alias("updated_at"),
+                              F.lit(None).cast("timestamp").alias("notboarded_at"),
+                              F.lit(None).cast("timestamp").alias("checkedin_at"),
+                              F.lit(None).cast("timestamp").alias("onboarded_at"),
+                              F.col("ts").alias("__timestamp")))
+    reg = Registry(spark)
+    reg.add_datasource("flights_raw", flights_raw)
+    reg.add_datasource("passengers_raw", passengers_raw)
+    reg.add_datasource("baggage_raw", passengers_raw)  # unused by this pipe
+    register_airport_pipes(reg)
+    out = reg.endpoint("passengers_by_flight_status", clock=Clock.fixed(anchor))
+    return out.withColumn("booked", F.col("booked").cast("long"))
+
+
 @q("supplier_part_coverage", """
 SELECT n.n_name AS nation,
        count(DISTINCT s.s_suppkey) AS n_suppliers,
