@@ -95,6 +95,59 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
+def resize_stub(payload: bytes, width: int, height: int,
+                target_w: int, target_h: int) -> tuple[bytes, int, int]:
+    """STUB resize: real image libs unavailable; returns a deterministic
+    truncated payload with the target dimensions (the pipeline contract —
+    payload in, payload out, metadata updated — is what's exercised)."""
+    if payload is None:
+        return (b"", target_w, target_h)
+    scale = max(1, (width * height) // max(1, target_w * target_h))
+    return (bytes(payload[: max(1, len(payload) // scale)]), target_w, target_h)
+
+
+def sample_frames_stub(payload: bytes, n_frames: int, every_k: int) -> list[bytes]:
+    """STUB frame sampling: slices the payload into n_frames//every_k
+    deterministic chunks (a real deployment calls ffmpeg per Arrow batch)."""
+    if not payload:
+        return []
+    picks = range(0, n_frames, max(1, every_k))
+    step = max(1, len(payload) // max(1, n_frames))
+    return [bytes(payload[i * step:(i + 1) * step]) for i in picks if i * step < len(payload)]
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), True),
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("frame_bytes", T.IntegerType(), True),
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 16, every_k: int = 4) -> DataFrame:
+    """Arrow-batched frame-sampling stage: one input media row fans out to
+    its sampled frames (mapInPandas lets output cardinality differ from
+    input — the fan-out shape a video pipeline needs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames_stub(payload, n_frames, every_k)):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame"].append(fr)
+                    out["frame_bytes"].append(len(fr))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "frame_no": pd.Series(out["frame_no"], dtype="int32"),
+                "frame": pd.Series(out["frame"], dtype="object"),
+                "frame_bytes": pd.Series(out["frame_bytes"], dtype="int32"),
+            })
+
+    return df.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
 def q(name: str, sql: str | None):
     def deco(fn):
         QUERIES[name] = fn

@@ -186,6 +186,39 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                          best.cast("long").alias("best_score"))
 
 
+@q("text_rolling_hash", """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                        t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(cs, (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)
+         AS rolling_hash,
+       CAST(len(cs) AS BIGINT) AS n_tokens
+FROM codes
+""")
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (Rabin-Karp
+    style, base 31 mod 2^31-1) over token codes — order-SENSITIVE, the
+    complement of the bag fingerprint below. Single per-row fold in
+    whole-stage codegen; zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("""
+          aggregate(
+            slice(transform(split(lower(trim(text)), '\\\\s+'),
+                            t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)),
+                  2, size(split(lower(trim(text)), '\\\\s+')) - 1),
+            CAST(conv(substring(md5(element_at(split(lower(trim(text)), '\\\\s+'), 1)), 1, 7), 16, 10) AS BIGINT),
+            (a, b) -> (a * 31 + b) % 2147483647)
+        """).alias("rolling_hash"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
 @q("text_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_sort(string_split_regex(lower(trim(text)), '\\s+')), ' '))

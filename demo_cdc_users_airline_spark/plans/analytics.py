@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec_sum, to_start_of_minute
-from ..sources.loader import load_table
+from ..sources.loader import cached_scalar, load_table
 from .framework import Context, Node, Pipe, Registry
 
 QUERIES: dict[str, object] = {}
@@ -181,7 +181,8 @@ def events_per_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill). Series via sequence+explode (Spark's numbers()); anchor on
     max(ts) for determinism (frozen-now pattern, SURVEY P10)."""
     ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max("ts")).first()[0]
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
     win = ev.filter(F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 6 HOUR"))
     bounds = win.agg(
         F.date_trunc("minute", F.min("ts")).alias("t0"),
@@ -209,7 +210,8 @@ def events_last_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an IN-list filter — active_flights_past_hour.pipe:4-13 +
     passengers_by_flight_status.pipe:8-11, anchored clock."""
     ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max("ts")).first()[0]
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
     return (ev.filter((F.col("ts") > F.lit(anchor) - F.expr("INTERVAL 1 HOUR"))
                       & F.col("event_type").isin("click", "view", "purchase"))
             .groupBy(to_start_of_minute("ts").alias("time_interval"))
@@ -529,7 +531,8 @@ def airport_status_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .airport import register_airport_pipes
 
     ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max("ts")).first()[0]
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
     bucket = (F.col("user_id") % 20).cast("int")
     flights_status = F.element_at(
         F.array(*[F.lit(s) for s in
@@ -631,7 +634,8 @@ def pipe_node_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.clock import Clock
 
     ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max("ts")).first()[0]
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
 
     def node0(ctx: Context) -> DataFrame:
         now = ctx.clock.now_col()

@@ -38,7 +38,15 @@ def _nanos_columns(path: str) -> set[str]:
         return set()
 
 
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (memoized per session: repeated calls reuse
+    the resolved logical plan/footer metadata; scans still stream fresh)."""
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    if key in _df_cache:
+        return _df_cache[key]
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -47,7 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # long nanos -> µs via integer division (no double round-trip:
             # epoch-nanos exceed 2^53 and would lose precision as float64).
             df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    _df_cache[key] = df
     return df
+
+
+_scalar_cache: dict[tuple[int, str, str], object] = {}
+
+
+def cached_scalar(spark: SparkSession, sf_dir: str, tag: str, compute) -> object:
+    """Memoize a per-dataset scalar (e.g. the frozen-now anchor max(ts)) so
+    repeated queries don't re-run the one-row aggregation job."""
+    key = (id(spark), os.path.abspath(sf_dir), tag)
+    if key not in _scalar_cache:
+        _scalar_cache[key] = compute()
+    return _scalar_cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

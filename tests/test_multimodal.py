@@ -7,6 +7,9 @@ from demo_cdc_users_airline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_image_stub,
     decode_media,
+    resize_stub,
+    sample_frames,
+    sample_frames_stub,
 )
 
 
@@ -36,3 +39,24 @@ def test_decode_media_pipeline(spark):
     out4 = {r["media_id"]: r for r in decode_media(df.repartition(4)).collect()}
     assert {k: (v["width"], v["height"]) for k, v in out.items()} \
         == {k: (v["width"], v["height"]) for k, v in out4.items()}
+
+
+def test_resize_and_frame_sampling(spark):
+    p, w, h = resize_stub(b"x" * 1000, 1920, 1080, 64, 64)
+    assert (w, h) == (64, 64) and 0 < len(p) < 1000
+    assert resize_stub(None, 0, 0, 64, 64)[0] == b""
+
+    frames = sample_frames_stub(b"0123456789abcdef", n_frames=8, every_k=2)
+    assert len(frames) == 4 and all(isinstance(f, bytes) for f in frames)
+    assert sample_frames_stub(b"", 8, 2) == []
+
+    rows = [(i, b"video-payload-%d" % i * 20, "video", None) for i in range(5)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, n_frames=8, every_k=2).collect()
+    # fan-out: each media row produced multiple frame rows
+    per_media = {}
+    for r in out:
+        per_media.setdefault(r["media_id"], []).append(r)
+    assert set(per_media) == {0, 1, 2, 3, 4}
+    assert all(len(v) >= 2 for v in per_media.values())
+    assert all(r["frame_bytes"] == len(r["frame"]) for r in out)
