@@ -36,6 +36,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # don't let one query's cache skew the next
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

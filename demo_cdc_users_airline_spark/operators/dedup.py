@@ -126,6 +126,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you run MinHash-LSH below instead and verify only
     candidates."""
     sh = _shingles(spark, sf_dir).cache()
+    sh.count()  # materialize eagerly: three downstream subtrees share it —
+    # concurrent lazy-cache population would recompute the explode per use
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -178,7 +180,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature is 16×8 bytes regardless of document size. This is the
     stage that makes 100 TB dedup tractable: everything downstream
     operates on signatures, never text."""
-    sh = _shingles(spark, sf_dir)
+    return _signatures_from(_shingles(spark, sf_dir))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
     x = _hash_col()
     aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"h{i}")
             for i, (a, b) in enumerate(_PERMS)]
@@ -227,7 +232,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification touches candidate pairs (tiny fraction),
     not all O(n²) pairs — this is the canonical web-scale dedup layout."""
     sh = _shingles(spark, sf_dir).cache()
-    sig = dedup_minhash_signatures(spark, sf_dir)
+    sh.count()  # eager materialization (see dedup_ngram_jaccard)
+    sig = _signatures_from(sh)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
