@@ -114,7 +114,28 @@ def parse_cdc_json(raw: DataFrame, schema: T.StructType,
         ingest_ts = F.current_timestamp()
     key_field = schema.fields[0].name if schema.fields else None
     parsed = raw.withColumn("__parsed", F.from_json(F.col(value_col), schema))
+    # untyped re-parse: detects per-column coercion failures (field present
+    # in the raw JSON but NULL after typed extraction) — Tinybird-style
+    # quarantine error detail (tb_functions.py:137-154). A corrupt-record
+    # column flags unparseable JSON (from_json yields an all-null struct,
+    # not a NULL struct, so struct-nullness can't detect it).
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        + [T.StructField("__corrupt", T.StringType(), True)])
+    parsed = parsed.withColumn(
+        "__raw", F.from_json(F.col(value_col), raw_schema,
+                             {"columnNameOfCorruptRecord": "__corrupt"}))
     parsed = parsed.withColumn("__timestamp", ingest_ts)
+
+    err_entries = [
+        F.when(F.col(f"__parsed.{f.name}").isNull()
+               & F.col(f"__raw.{f.name}").isNotNull(), F.lit(f.name))
+        for f in schema.fields
+    ]
+    errors = F.when(F.col("__parsed").isNull() | F.col("__raw.__corrupt").isNotNull(),
+                    F.array(F.lit("__malformed"))) \
+              .otherwise(F.filter(F.array(*err_entries), lambda c: c.isNotNull()))
+    parsed = parsed.withColumn("__errors", errors)
 
     cols = [F.col(f"__parsed.{f.name}").alias(f.name) for f in schema.fields]
     cols.append(F.col("__timestamp"))
@@ -130,5 +151,6 @@ def parse_cdc_json(raw: DataFrame, schema: T.StructType,
     good = parsed.filter(~bad_cond).select(*cols)
     quarantine = (parsed.filter(bad_cond)
                   .select(F.col(value_col).alias("__value"),
+                          F.col("__errors"),
                           F.col("__timestamp")))
     return good, quarantine

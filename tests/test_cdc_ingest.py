@@ -42,6 +42,21 @@ def test_malformed_and_null_key_rows_quarantined(spark):
     bad = quarantine.collect()
     assert len(bad) == 2
     assert all(b["__value"] is not None for b in bad)
+    errs = {tuple(b["__errors"]) for b in bad}
+    assert ("__malformed",) in errs          # unparseable JSON
+
+
+def test_quarantine_reports_coercion_error_columns(spark):
+    import json as _json
+    ev, _ = gen_users_events(n=3, seed=9)
+    rows = [dict(e) for e in ev]
+    rows[1]["id"] = "not-a-number"           # key coercion failure
+    lines = [_json.dumps(r) for r in rows]
+    good, quarantine = parse_cdc_json(to_value_df(spark, lines), USERS_RAW_PG_SCHEMA)
+    assert good.count() == 2
+    bad = quarantine.collect()
+    assert len(bad) == 1
+    assert "id" in bad[0]["__errors"]        # the offending column is named
 
 
 def test_mysql_shape_parsing(spark):
