@@ -580,6 +580,103 @@ def airport_status_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("booked", F.col("booked").cast("long"))
 
 
+@q("airport_missed_pct_series", """
+WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+flights AS (
+  SELECT CAST(user_id % 20 + 1 AS SMALLINT) AS id,
+         CAST(count(DISTINCT user_id) AS SMALLINT) AS passenger_count,
+         CASE WHEN CAST(user_id % 20 AS INT) % 3 = 0 THEN NULL
+              ELSE (SELECT now_ts FROM anchor)
+                   - to_minutes(CAST(user_id % 20 AS INT) * 7 % 55)
+                   - to_seconds(11) END AS closed_at
+  FROM events GROUP BY user_id % 20
+),
+passengers AS (
+  SELECT CAST(user_id AS INT) AS id,
+         CAST(user_id % 20 + 1 AS SMALLINT) AS flight_id,
+         CASE event_type WHEN 'error' THEN 'notboarded' ELSE 'onboarded' END AS status
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+-- flights_missed_pct_minute.pipe node 0
+node0 AS (
+  SELECT f.closed_at, f.passenger_count AS booked_passengers,
+         count(p.id) AS missed_passengers
+  FROM flights f JOIN passengers p ON p.flight_id = f.id
+  WHERE f.closed_at IS NOT NULL AND p.status = 'notboarded'
+  GROUP BY f.id, f.closed_at, f.passenger_count
+),
+-- node 1: pct per minute inside the [now-1h, now] param window
+node1 AS (
+  SELECT date_trunc('minute', closed_at) AS window,
+         round(coalesce(sum(missed_passengers) * 100
+               / nullif(sum(booked_passengers), 0), 0), 2) AS flights_missed_pct
+  FROM node0, anchor
+  WHERE closed_at >= now_ts - INTERVAL 1 HOUR AND closed_at <= now_ts
+  GROUP BY 1
+),
+-- node 2: 61-minute gap-filled series
+series AS (
+  SELECT unnest(generate_series(date_trunc('minute', now_ts) - INTERVAL 1 HOUR,
+                                date_trunc('minute', now_ts),
+                                INTERVAL 1 MINUTE)) AS series_time
+  FROM anchor
+)
+SELECT s.series_time AS time_interval,
+       coalesce(n.flights_missed_pct, 0) AS flights_missed_pct
+FROM series s LEFT JOIN node1 n ON s.series_time = n.window
+""")
+def airport_missed_pct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flights_missed_pct_minute — the reference's most intricate pipe
+    (3 nodes: join+agg, windowed pct with nullIf guard, scalar-CTE
+    61-minute gap-filled series; flights_missed_pct_minute.pipe:4-60) —
+    run as the ACTUAL product pipe over an events-derived mapping with
+    the clock frozen at max(ts). Some flights carry NULL closed_at and
+    some minutes are empty, exercising both exclusion and zero-fill."""
+    from ..core.clock import Clock
+    from .airport import register_airport_pipes
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
+    fid = (F.col("user_id") % 20 + 1).cast("smallint")
+    flights_raw = (ev.groupBy(fid.alias("id"))
+                   .agg(F.countDistinct("user_id").cast("smallint").alias("passenger_count"),
+                        F.min("ts").alias("created_at"),
+                        F.max("ts").alias("updated_at"),
+                        F.max("ts").alias("__timestamp"))
+                   .withColumn("closed_at", F.when(
+                       ((F.col("id") - 1) % 3) == 0, F.lit(None).cast("timestamp"))
+                       .otherwise(F.lit(anchor)
+                                  - ((F.col("id") - 1) * 7 % 55)
+                                  * F.expr("INTERVAL 1 MINUTE")
+                                  - F.expr("INTERVAL 11 SECOND")))
+                   .withColumn("flight_number", F.concat(F.lit("FL"), F.col("id")))
+                   .withColumn("status", F.lit("closed"))
+                   .withColumn("departed_at", F.lit(None).cast("timestamp"))
+                   .withColumn("boarding_at", F.lit(None).cast("timestamp"))
+                   .withColumn("boarded_at", F.lit(None).cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    passengers_raw = (ev.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") == 1)
+                      .select(F.col("user_id").cast("int").alias("id"),
+                              fid.alias("flight_id"),
+                              F.when(F.col("event_type") == "error", "notboarded")
+                               .otherwise("onboarded").alias("status"),
+                              F.col("ts").alias("created_at"),
+                              F.col("ts").alias("updated_at"),
+                              F.lit(None).cast("timestamp").alias("notboarded_at"),
+                              F.lit(None).cast("timestamp").alias("checkedin_at"),
+                              F.lit(None).cast("timestamp").alias("onboarded_at"),
+                              F.col("ts").alias("__timestamp")))
+    reg = Registry(spark)
+    reg.add_datasource("flights_raw", flights_raw)
+    reg.add_datasource("passengers_raw", passengers_raw)
+    reg.add_datasource("baggage_raw", passengers_raw)  # unused by this pipe
+    register_airport_pipes(reg)
+    return reg.endpoint("flights_missed_pct_minute", clock=Clock.fixed(anchor))
+
+
 @q("supplier_part_coverage", """
 SELECT n.n_name AS nation,
        count(DISTINCT s.s_suppkey) AS n_suppliers,
