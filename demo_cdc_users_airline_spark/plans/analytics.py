@@ -677,6 +677,117 @@ def airport_missed_pct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.endpoint("flights_missed_pct_minute", clock=Clock.fixed(anchor))
 
 
+@q("users_api_batch_live", """
+WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+users_raw AS (
+  SELECT CAST(user_id AS SMALLINT) AS id,
+         concat('user-', user_id) AS name,
+         concat(user_id, '@x.com') AS email,
+         'addr' AS address, '555' AS phone_number,
+         CAST(CASE WHEN value > 250 THEN 1 ELSE 0 END AS SMALLINT) AS email_verified,
+         CAST(0 AS SMALLINT) AS onboarded,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS SMALLINT) AS deleted,
+         substr(event_type, 1, 2) AS lang,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS created_at,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS updated_at,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS __timestamp
+  FROM events
+),
+wm AS (SELECT epoch_us(now_ts - INTERVAL 7 DAY) AS last_batch_ts FROM anchor),
+-- previous snapshot: argMax state of events at/before the watermark,
+-- stamped batch_max_updated = watermark (the seeded users_batch table)
+users_batch AS (
+  SELECT id, name, email, address, phone_number, email_verified, onboarded,
+         deleted, __timestamp AS event_timestamp, lang,
+         make_timestamp(created_at) AS created_at,
+         updated_at AS updated_at_unix,
+         (SELECT last_batch_ts FROM wm) AS batch_max_updated
+  FROM users_raw, wm WHERE updated_at <= wm.last_batch_ts
+  QUALIFY row_number() OVER (PARTITION BY id
+                             ORDER BY updated_at DESC, __timestamp DESC) = 1
+),
+-- users_api_batch.pipe get_new_events (no coalesce defaults)
+new_events AS (
+  SELECT id, name, email, address, phone_number, email_verified, onboarded,
+         deleted, __timestamp AS event_timestamp, lang,
+         make_timestamp(created_at) AS created_at,
+         updated_at AS updated_at_unix
+  FROM users_raw, wm WHERE updated_at > wm.last_batch_ts
+  QUALIFY row_number() OVER (PARTITION BY id
+                             ORDER BY updated_at DESC, __timestamp DESC) = 1
+),
+-- backfill_last_batch: previous-snapshot rows whose id did not change
+backfill AS (
+  SELECT id, name, email, address, phone_number, email_verified, onboarded,
+         deleted, event_timestamp, lang, created_at, updated_at_unix
+  FROM users_batch
+  WHERE batch_max_updated = (SELECT last_batch_ts FROM wm)
+    AND id NOT IN (SELECT id FROM new_events)
+),
+-- produce_api: SELECT * EXCEPT(...), µs → timestamp
+produced AS (
+  SELECT id, name, email, address, phone_number, email_verified, onboarded,
+         deleted, event_timestamp, lang, created_at,
+         make_timestamp(updated_at_unix) AS updated_at
+  FROM backfill
+  UNION ALL
+  SELECT id, name, email, address, phone_number, email_verified, onboarded,
+         deleted, event_timestamp, lang, created_at,
+         make_timestamp(updated_at_unix) AS updated_at
+  FROM new_events
+)
+-- api_publish: deleted = false, order by id
+SELECT * FROM produced WHERE deleted = 0
+""")
+def users_api_batch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users_api_batch.pipe end-to-end as ACTUAL product code: seeded
+    previous snapshot (users_batch) + fresh events → watermark scalar,
+    argMax reconstruct of changed ids, NOT-IN backfill, EXCEPT reshape
+    with µs→timestamp, soft-delete filter, ORDER BY id. The full live
+    read path of §3.3's incremental-snapshot algorithm."""
+    from .framework import Registry as _Reg
+    from .users import register_users_pipes
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = cached_scalar(spark, sf_dir, "max_ts",
+                           lambda: ev.agg(F.max("ts")).first()[0])
+    users_raw = ev.select(
+        F.col("user_id").cast("smallint").alias("id"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("name"),
+        F.concat(F.col("user_id"), F.lit("@x.com")).alias("email"),
+        F.lit("addr").alias("address"), F.lit("555").alias("phone_number"),
+        F.when(F.col("value") > 250, 1).otherwise(0).cast("smallint").alias("email_verified"),
+        F.lit(0).cast("smallint").alias("onboarded"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+         .cast("smallint").alias("deleted"),
+        F.substring("event_type", 1, 2).alias("lang"),
+        F.unix_micros(F.col("ts")).alias("created_at"),
+        F.unix_micros(F.col("ts")).alias("updated_at"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__timestamp"),
+    )
+    import datetime as _dt
+
+    wm_us = int(((anchor - _dt.timedelta(days=7))
+                 - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    w = Window.partitionBy("id").orderBy(F.col("updated_at").desc(),
+                                         F.col("__timestamp").desc())
+    users_batch = (users_raw.filter(F.col("updated_at") <= wm_us)
+                   .withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1)
+                   .select("id", "name", "email", "address", "phone_number",
+                           "email_verified", "onboarded", "deleted",
+                           F.col("__timestamp").alias("event_timestamp"),
+                           "lang",
+                           F.timestamp_micros("created_at").alias("created_at"),
+                           F.col("updated_at").alias("updated_at_unix"),
+                           F.lit(wm_us).alias("batch_max_updated")))
+    reg = _Reg(spark)
+    reg.add_datasource("users_raw", users_raw)
+    reg.add_datasource("users_batch", users_batch)
+    register_users_pipes(reg)
+    return reg.endpoint("users_api_batch")
+
+
 @q("supplier_part_coverage", """
 SELECT n.n_name AS nation,
        count(DISTINCT s.s_suppkey) AS n_suppliers,
