@@ -49,12 +49,18 @@ _SHINGLE_SQL = r"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles per document."""
+    """(doc_id, shingle) — distinct 3-word shingles per document.
+
+    Tokenize in a separate projection so the shingle lambda slices a
+    bound array column: inlining split() inside the lambda re-runs the
+    regex once per shingle position (O(tokens²) per document)."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")))
     sh = F.array_distinct(F.expr(
-        "transform(sequence(1, greatest(size(split(lower(trim(text)), '\\\\s+'))-2, 1)),"
-        " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i, 3)))"))
-    return (load_table(spark, sf_dir, "documents")
-            .select("doc_id", F.explode(sh).alias("shingle")))
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> concat_ws(' ', slice(toks, i, 3)))"))
+    return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 # 60-bit shingle hash reduced mod a Mersenne prime (fits int64 products)
@@ -184,10 +190,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures_from(sh: DataFrame) -> DataFrame:
-    x = _hash_col()
-    aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"h{i}")
+    # project the shingle hash ONCE, then run the 16 permutation-mins over
+    # the precomputed column (inlining _hash_col in every aggregate would
+    # recompute the md5 16× per row — no CSE across aggregate expressions)
+    hashed = sh.select("doc_id", _hash_col().alias("x"))
+    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P).alias(f"h{i}")
             for i, (a, b) in enumerate(_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 @q("dedup_minhash_lsh_pairs", f"""

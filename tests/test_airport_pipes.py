@@ -9,7 +9,6 @@ gap-filled series.
 import datetime
 
 import pytest
-from pyspark.sql import functions as F
 
 from demo_cdc_users_airline_spark.core.clock import Clock
 from demo_cdc_users_airline_spark.plans.airport import register_airport_pipes

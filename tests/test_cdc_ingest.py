@@ -2,7 +2,6 @@
 
 import json
 
-from pyspark.sql import functions as F
 
 from demo_cdc_users_airline_spark.sources.cdc import (
     USERS_RAW_MYSQL_SCHEMA,

@@ -1,7 +1,6 @@
 """Multimodal plumbing: schema, Arrow batch shape, stubbed decode."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from demo_cdc_users_airline_spark.operators.multimodal import (
     MEDIA_SCHEMA,

@@ -11,7 +11,6 @@ import datetime
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from demo_cdc_users_airline_spark.sources.tables import VersionedTable
 
