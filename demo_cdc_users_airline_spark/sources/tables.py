@@ -57,6 +57,37 @@ class AppendTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    # -- management ops (SURVEY §2 S8: truncate/delete/create wrappers,
+    #    tb_functions.py:137-168) ------------------------------------------
+
+    def truncate(self) -> None:
+        """Drop all rows, keep the table (tb_functions truncate)."""
+        if self.exists():
+            import shutil
+
+            shutil.rmtree(self.path)
+            os.makedirs(self.path, exist_ok=True)
+
+    def delete_where(self, condition) -> None:
+        """Batch DELETE: rewrite the table without matching rows.
+
+        Parquet is immutable, so DELETE is a filtered rewrite (exactly what
+        a managed warehouse does under the hood); at scale run it
+        per-partition so only affected partitions rewrite.
+        """
+        if not self.exists():
+            return
+        kept = self.read().filter(~condition).localCheckpoint(eager=True)
+        tmp = self.path.rstrip("/") + ".delete.tmp"
+        w = kept.write.mode("overwrite")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
 
 class VersionedTable(AppendTable):
     """ReplacingMergeTree semantics: last-writer-wins per key.

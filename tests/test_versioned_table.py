@@ -79,6 +79,20 @@ def test_compact_preserves_latest_and_shrinks(spark, tmp_path):
     assert latest_map(vt)[1] == "c"
 
 
+def test_truncate_and_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
+                        version="updated_at", tiebreak=["__timestamp"])
+    vt.merge(df_of(spark, make_rows()))
+    vt.delete_where(F.col("id") == 2)         # batch DELETE analogue
+    assert sorted(latest_map(vt)) == [1, 3]
+    vt.truncate()
+    assert not vt.exists()
+    vt.merge(df_of(spark, make_rows()[:1]))   # table usable after truncate
+    assert latest_map(vt) == {1: "a"}
+
+
 def test_dedup_is_pure_view(spark, tmp_path):
     """latest() must not mutate the underlying history (FINAL is read-time)."""
     vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
