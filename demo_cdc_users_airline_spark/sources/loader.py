@@ -38,13 +38,22 @@ def _nanos_columns(path: str) -> set[str]:
         return set()
 
 
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    # applicationId is unique per SparkContext; id(spark) could be reused
+    # after GC and alias a dead session's cached plans
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (memoized per session: repeated calls reuse
     the resolved logical plan/footer metadata; scans still stream fresh)."""
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    key = (_session_key(spark), os.path.abspath(sf_dir), name)
     if key in _df_cache:
         return _df_cache[key]
     configure(spark)
@@ -59,13 +68,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_scalar_cache: dict[tuple[int, str, str], object] = {}
+_scalar_cache: dict[tuple[str, str, str], object] = {}
 
 
 def cached_scalar(spark: SparkSession, sf_dir: str, tag: str, compute) -> object:
     """Memoize a per-dataset scalar (e.g. the frozen-now anchor max(ts)) so
     repeated queries don't re-run the one-row aggregation job."""
-    key = (id(spark), os.path.abspath(sf_dir), tag)
+    key = (_session_key(spark), os.path.abspath(sf_dir), tag)
     if key not in _scalar_cache:
         _scalar_cache[key] = compute()
     return _scalar_cache[key]
