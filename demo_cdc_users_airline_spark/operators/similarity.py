@@ -162,9 +162,8 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same construction is expressible in the oracle.
 _N_PLANES = 8
 
-
-@q("similarity_lsh_buckets", f"""
-WITH dims AS (
+_BUCKETS_SQL = f"""
+dims AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
          unnest(embedding::DOUBLE[]) AS val
   FROM embeddings
@@ -175,11 +174,18 @@ proj AS (
                   THEN d.val ELSE -d.val END AS DECIMAL(38,12))) AS DOUBLE) AS dot_h
   FROM dims d CROSS JOIN (SELECT unnest(range({_N_PLANES})) AS plane) p
   GROUP BY 1, 2, 3
-)
-SELECT vec_id, label,
-       CAST(sum(CASE WHEN dot_h > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END)
-            AS BIGINT) AS bucket
-FROM proj GROUP BY vec_id, label
+),
+buckets AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN dot_h > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, label
+)"""
+
+
+@q("similarity_lsh_buckets", f"""
+WITH {_BUCKETS_SQL}
+SELECT vec_id, label, bucket FROM buckets
 """)
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of 8 fixed projections packs
@@ -190,6 +196,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1 hyperplane components derive from md5(plane, dim) — fixed and
     oracle-reproducible; the signed projection sums go through DECIMAL
     so they are order-independent (exact) in both engines."""
+    return _lsh_buckets(spark, sf_dir)
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
         "vec_id", "label",
@@ -213,3 +223,45 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(F.col("dot_h") > 0,
                               F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
                        .otherwise(F.lit(0))).alias("bucket")))
+
+
+@q("similarity_lsh_neardup", f"""
+WITH {_BUCKETS_SQL}
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.bucket,
+       list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cosine
+FROM buckets a
+JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= 0.3
+""")
+def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN end-to-end: candidate pairs from sign-pattern bucket
+    collisions, verified with exact cosine — the learned-bucketing scale
+    path (vs similarity_neardup_cosine's given-cell shortcut). Only
+    bucket-colliding pairs (≈ 1/2^planes of all pairs) pay the exact
+    cosine; the bucket join shuffles 8-byte keys."""
+    buckets = _lsh_buckets(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")) \
+           .withColumn("norm", F.sqrt(F.expr(
+               "aggregate(zip_with(emb, emb, (x, y) -> x * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
+    a = buckets.select(F.col("vec_id").alias("vec1"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec2"), F.col("bucket").alias("b2"))
+    cand = a.join(b, (F.col("bucket") == F.col("b2"))
+                  & (F.col("vec1") < F.col("vec2"))).drop("b2")
+    ea = emb.select(F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"),
+                    F.col("norm").alias("n1"))
+    eb = emb.select(F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"),
+                    F.col("norm").alias("n2"))
+    cosine = (F.expr("aggregate(zip_with(e1, e2, (x, y) -> x * y),"
+                     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+              / (F.col("n1") * F.col("n2")))
+    return (cand.join(F.broadcast(ea), "vec1").join(F.broadcast(eb), "vec2")
+            .select("vec1", "vec2", "bucket", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= 0.3))
