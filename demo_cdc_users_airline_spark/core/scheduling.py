@@ -28,7 +28,8 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
             rng = range(int(a), int(b) + 1)
         else:
             rng = range(int(part), int(part) + 1)
-        out.update(v for v in rng if (v - lo) % step == 0 or step == 1)
+        # steps anchor at the range start (cron: "11-30/5" -> 11,16,21,26)
+        out.update(v for v in rng if (v - rng.start) % step == 0)
     return out
 
 
@@ -46,7 +47,9 @@ class CronSchedule:
         self.hours = _parse_field(f[1], 0, 23)
         self.dom = _parse_field(f[2], 1, 31)
         self.months = _parse_field(f[3], 1, 12)
-        self.dow = _parse_field(f[4], 0, 6)  # 0 = Monday (python weekday)
+        # cron convention: 0 and 7 are both Sunday; map onto python
+        # weekday (0 = Monday) once at parse time
+        self.dow = {(d - 1) % 7 for d in _parse_field(f[4], 0, 7)}
 
     def matches(self, t: _dt.datetime) -> bool:
         return (t.minute in self.minutes and t.hour in self.hours

@@ -33,19 +33,33 @@ def _json_value(v: Any) -> Any:
     return v
 
 
-def to_api_json(df: DataFrame, max_rows: int | None = None) -> dict:
-    """Render an endpoint result as the reference's response envelope."""
+DEFAULT_MAX_ROWS = 10_000
+
+
+def to_api_json(df: DataFrame, max_rows: int | None = DEFAULT_MAX_ROWS) -> dict:
+    """Render an endpoint result as the reference's response envelope.
+
+    ``max_rows`` defaults to a cap so an endpoint over a large table never
+    collects unbounded data to the driver (pass ``None`` to opt out
+    explicitly). When the cap truncates, ``rows_before_limit_at_least``
+    reports the floor without paying a full count over the table.
+    """
     t0 = time.perf_counter()
     if max_rows is not None:
-        df = df.limit(max_rows)
-    rows = df.collect()
+        # fetch cap+1 so truncation is detectable without a count() job
+        rows = df.limit(max_rows + 1).collect()
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+    else:
+        rows = df.collect()
+        truncated = False
     elapsed = time.perf_counter() - t0
     meta = [{"name": f.name,
              "type": _TYPE_NAMES.get(f.dataType.simpleString(),
                                      f.dataType.simpleString())}
             for f in df.schema.fields]
     data = [{f["name"]: _json_value(row[f["name"]]) for f in meta} for row in rows]
-    return {
+    out = {
         "meta": meta,
         "data": data,
         "rows": len(data),
@@ -53,3 +67,6 @@ def to_api_json(df: DataFrame, max_rows: int | None = None) -> dict:
                        "rows_read": len(data),
                        "bytes_read": sum(len(str(r)) for r in data)},
     }
+    if truncated:
+        out["rows_before_limit_at_least"] = max_rows + 1
+    return out

@@ -38,16 +38,18 @@ def _nanos_columns(path: str) -> set[str]:
         return set()
 
 
-_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+_df_cache: dict[tuple, DataFrame] = {}
 
 
-def _session_key(spark: SparkSession) -> str:
-    # applicationId is unique per SparkContext; id(spark) could be reused
-    # after GC and alias a dead session's cached plans
+def _session_key(spark: SparkSession) -> tuple[str, int]:
+    # applicationId alone would alias sibling sessions from newSession()
+    # (same SparkContext, possibly different per-session confs); id(spark)
+    # alone could be reused after GC. The pair is safe: an applicationId
+    # outlives every session object it ever keyed.
     try:
-        return spark.sparkContext.applicationId
+        return (spark.sparkContext.applicationId, id(spark))
     except Exception:
-        return str(id(spark))
+        return ("no-context", id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -68,7 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_scalar_cache: dict[tuple[str, str, str], object] = {}
+_scalar_cache: dict[tuple, object] = {}
 
 
 def cached_scalar(spark: SparkSession, sf_dir: str, tag: str, compute) -> object:

@@ -74,19 +74,40 @@ class AppendTable:
         Parquet is immutable, so DELETE is a filtered rewrite (exactly what
         a managed warehouse does under the hood); at scale run it
         per-partition so only affected partitions rewrite.
+
+        SQL DELETE-WHERE removes only rows where the predicate is TRUE;
+        rows where it evaluates NULL are kept (coalesce guard below).
         """
         if not self.exists():
             return
-        kept = self.read().filter(~condition).localCheckpoint(eager=True)
-        tmp = self.path.rstrip("/") + ".delete.tmp"
-        w = kept.write.mode("overwrite")
+        from pyspark.sql import functions as _F
+
+        kept = self.read().filter(~_F.coalesce(condition, _F.lit(False)))
+        self._swap_rewrite(kept, ".delete")
+
+    def _swap_rewrite(self, df: DataFrame, suffix: str) -> None:
+        """Atomically replace the table's files with ``df``'s rows.
+
+        Write-to-tmp reads the live files while writing elsewhere (no
+        read-your-own-overwrite hazard), then swap via rename-aside:
+        path -> path.old, tmp -> path, delete path.old. A crash mid-swap
+        leaves either the old or the new directory at a recoverable
+        location — the table path is never missing with data stranded
+        only in a tmp dir.
+        """
+        base = self.path.rstrip("/")
+        tmp, old = base + suffix + ".tmp", base + suffix + ".old"
+        w = df.write.mode("overwrite")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(tmp)
         import shutil
 
-        shutil.rmtree(self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
+        shutil.rmtree(old)
 
 
 class VersionedTable(AppendTable):
@@ -146,15 +167,7 @@ class VersionedTable(AppendTable):
         """
         if not self.exists():
             return
-        snap = self.latest().cache()
-        snap.count()  # materialize before overwriting the source files
-        tmp = self.path.rstrip("/") + ".compact.tmp"
-        w = snap.write.mode("overwrite")
-        if self.partition_cols:
-            w = w.partitionBy(*self.partition_cols)
-        w.parquet(tmp)
-        snap.unpersist()
-        import shutil
-
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        # no cache: the tmp write streams straight from the live files
+        # (they are only removed after the write completes), so caching
+        # the full snapshot is pure executor-memory pressure at scale
+        self._swap_rewrite(self.latest(), ".compact")

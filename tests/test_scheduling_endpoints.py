@@ -25,6 +25,26 @@ def test_cron_fields():
         CronSchedule("* * *")
 
 
+def test_cron_range_step_anchors_at_range_start():
+    # standard cron: "11-30/5" fires at 11,16,21,26 (not 15,20,25,30)
+    s = CronSchedule("11-30/5 * * * *")
+    assert s.minutes == {11, 16, 21, 26}
+    assert CronSchedule("10-40/15 * * * *").minutes == {10, 25, 40}
+    assert CronSchedule("*/15 * * * *").minutes == {0, 15, 30, 45}
+
+
+def test_cron_dow_sunday_convention():
+    # cron DOW: 0 and 7 are both Sunday; 2026-01-04 is a Sunday
+    sun = datetime.datetime(2026, 1, 4, 0, 0)
+    mon = datetime.datetime(2026, 1, 5, 0, 0)
+    assert CronSchedule("0 0 * * 0").matches(sun)
+    assert not CronSchedule("0 0 * * 0").matches(mon)
+    assert CronSchedule("0 0 * * 7").matches(sun)
+    assert CronSchedule("0 0 * * 1").matches(mon)
+    assert CronSchedule("0 0 * * 1-5").matches(mon)
+    assert not CronSchedule("0 0 * * 1-5").matches(sun)
+
+
 def test_scheduler_fires_once_per_minute():
     fired = []
     sch = Scheduler()
@@ -45,3 +65,14 @@ def test_api_json_envelope(spark):
     assert {"name": "id", "type": "Int16"} in out["meta"]
     assert out["data"][0]["ts"] == "2026-01-01 10:00:00.123456"
     assert "elapsed" in out["statistics"]
+    assert "rows_before_limit_at_least" not in out   # under the cap
+
+
+def test_api_json_caps_driver_collect(spark):
+    df = spark.range(1000).orderBy("id")
+    out = to_api_json(df, max_rows=10)
+    assert out["rows"] == 10
+    assert len(out["data"]) == 10
+    assert out["rows_before_limit_at_least"] == 11   # truncation floor
+    full = to_api_json(df, max_rows=None)            # explicit opt-out
+    assert full["rows"] == 1000

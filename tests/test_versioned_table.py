@@ -93,6 +93,20 @@ def test_truncate_and_delete_where(spark, tmp_path):
     assert latest_map(vt) == {1: "a"}
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """DELETE WHERE removes rows where the predicate is TRUE only; rows
+    where it evaluates NULL (e.g. NULL = value) must survive."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
+                        version="updated_at", tiebreak=["__timestamp"])
+    rows = df_of(spark, make_rows()).withColumn(
+        "val", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("val")))
+    vt.merge(rows)
+    vt.delete_where(F.col("val") == "b")      # NULL = 'b' is NULL, not TRUE
+    state = latest_map(vt)
+    assert sorted(state) == [1, 2, 3]         # id 3 (NULL val) kept
+    assert state[1] == "stale"                # only the TRUE row deleted
+
+
 def test_dedup_is_pure_view(spark, tmp_path):
     """latest() must not mutate the underlying history (FINAL is read-time)."""
     vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
