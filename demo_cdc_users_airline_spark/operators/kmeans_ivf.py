@@ -5,16 +5,28 @@ uses the dataset's ``label`` column as a stand-in cell id; this module
 LEARNS the cells). Spark-first Lloyd iterations:
 
 - assignment: candidates × broadcast centroids → argmin distance (a
-  map over rows, min_by over a small exploded struct array — no UDF);
-- update: groupBy cell → per-dimension mean via posexplode + DECIMAL
-  sums (order-independent ⇒ bit-identical centroids under any
-  partitioning — k-means on floats is normally nondeterministic on a
-  cluster; decimal aggregation removes that);
+  map over rows, min over a small (d2, cid) struct array — no UDF);
+- update: groupBy cell → per-dimension mean via posexplode;
 - fixed iteration count + first-k-vectors init ⇒ fully reproducible.
 
+Cross-engine exactness strategy: FIXED-POINT. Components quantize to
+micro-units once up front (``floor(x * 1e6)`` — floor of the same
+IEEE double is unambiguous on every engine, unlike round-half or a
+double→decimal cast, whose rounding differs between Spark's
+shortest-repr cast and DuckDB's exact-binary cast). After that every
+step — squared distances, argmin tie-breaks, floor'd centroid means,
+error totals — is 64-bit integer arithmetic, so the 3-iteration Lloyd
+run unrolls into a DuckDB oracle that hash-matches bit-for-bit.
+Quantization at 1e-6 on unit-scale embeddings is far below any
+meaningful distance difference; it changes the metric by design, not
+by accident, and identically on both engines.
+
 At 100 TB: each iteration is one shuffle (the per-cell dimension agg);
-the codebook (k × dim doubles) broadcasts; the final table is written
+the codebook (k × dim int64) broadcasts; the final table is written
 partitioned by cell so an IVF probe prunes to 1/k of the files.
+int64 bounds: per-dim diffs ≤ ~2e6 → d2 ≤ 64·4e12 ≈ 2.6e14; the
+per-cell error total stays under 2^63 up to ~3e4 vectors/cell × that —
+widen total_sq_err to DECIMAL beyond ~10^18 (sf≫1).
 """
 
 from __future__ import annotations
@@ -27,59 +39,116 @@ from ..sources.loader import load_table
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
 
-
-def _dist2(vec_col: str, cent_col: str):
-    """Squared L2 distance between two double arrays (codegen fold)."""
-    return F.expr(
-        f"aggregate(zip_with({vec_col}, {cent_col}, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+SCALE = 1_000_000  # micro-unit fixed-point quantization
 
 
-def assign_cells(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """vectors(id, vec: array<double>) → + cell (argmin centroid).
+def quantize(vectors: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """array<double> → array<bigint> micro-units (floor — engine-stable)."""
+    return vectors.withColumn(
+        vec_col,
+        F.expr(f"transform({vec_col}, x -> CAST(FLOOR(x * {SCALE}.0D) AS BIGINT))"))
+
+
+def assign_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """vectors(id, vec: array<bigint>) → + cell (argmin centroid) + q_err.
 
     Pure per-row map: the centroid codebook is a literal struct array and
-    ``array_min`` over (distance, cid) structs is the argmin with a
+    ``array_min`` over (d2, cid) structs is the argmin with a
     deterministic tie-break — NO shuffle, no window; assignment cost is
     one codegen pass however many executors scan the table.
     """
     cent_arr = F.array(*[
         F.struct(F.lit(cid).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"))
+                 F.array(*[F.lit(int(x)).cast("bigint") for x in cvec]).alias("cvec"))
         for cid, cvec in centroids])
-    return vectors.withColumn(
-        "__cents", cent_arr).withColumn(
-        "cell",
-        F.expr(
-            "array_min(transform(__cents, c -> struct("
-            "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
-            " c.cid AS cid))).cid"
-        )).drop("__cents")
+    best = F.expr(
+        "array_min(transform(__cents, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        " c.cid AS cid)))")
+    return (vectors.withColumn("__cents", cent_arr)
+            .withColumn("__best", best)
+            .withColumn("cell", F.col("__best.cid"))
+            .withColumn("q_err", F.col("__best.d2"))
+            .drop("__cents", "__best"))
 
 
-def update_centroids(assigned: DataFrame, k: int, dim: int) -> list[tuple[int, list[float]]]:
-    """Per-cell dimension means with DECIMAL sums (order-independent)."""
+def update_centroids(assigned: DataFrame, k: int, dim: int) -> list[tuple[int, list[int]]]:
+    """Per-cell dimension means, floor'd back to micro-unit integers.
+
+    sum(int64) and count are exactly representable in double here
+    (sums ≪ 2^53), the division is correctly rounded identically on
+    every engine, and floor removes the final ambiguity.
+    """
     dims = assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
     means = (dims.groupBy("cell", "dim")
-             .agg((F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                   / F.count(F.lit(1))).alias("m")))
+             .agg(F.floor(F.sum("val").cast("double")
+                          / F.count(F.lit(1))).alias("m")))
     rows = means.collect()
-    by_cell: dict[int, list[float]] = {}
+    by_cell: dict[int, list[int]] = {}
     for r in rows:
-        by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = r["m"]
+        by_cell.setdefault(r["cell"], [0] * dim)[r["dim"]] = r["m"]
     return sorted(by_cell.items())
 
 
 def kmeans_fit(vectors: DataFrame, k: int = 8, iters: int = 3):
-    """Deterministic Lloyd: init = first k vectors by id, fixed iters."""
+    """Deterministic Lloyd over quantized vectors: init = first k by id."""
     dim = len(vectors.select("vec").first()[0])
     init = (vectors.orderBy("id").limit(k).collect())
-    centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
+    centroids = [(i, [int(x) for x in r["vec"]]) for i, r in enumerate(init)]
     for _ in range(iters):
         assigned = assign_cells(vectors, centroids)
         centroids = update_centroids(assigned, k, dim)
     return centroids
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """The same deterministic Lloyd run, unrolled into DuckDB CTEs.
+
+    Mirrors the Spark operator step for step in integer micro-units:
+    quantize = floor(x·1e6), d2 = Σ(xq−cq)², argmin tie-broken by
+    (d2, cid), centroid mean = floor(sum/count) — hash-exact.
+    """
+    d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
+    parts = [f"""dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+cent0 AS (SELECT i.cid, d.dim, d.val FROM init i JOIN dims d USING (vec_id))"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""d{it} AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2
+  FROM dims v JOIN cent{it - 1} c USING (dim)
+  GROUP BY 1, 2
+),
+asg{it} AS (
+  SELECT vec_id, cid AS cell FROM d{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+cent{it} AS (
+  SELECT s.cell AS cid, d.dim,
+         CAST(floor(CAST(sum(d.val) AS DOUBLE) / count(*)) AS BIGINT) AS val
+  FROM asg{it} s JOIN dims d USING (vec_id)
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""dfin AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2
+  FROM dims v JOIN cent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+asgfin AS (
+  SELECT vec_id, cid AS cell, d2 AS q_err FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT cell, count(*) AS n_vectors,
+       CAST(sum(q_err) AS BIGINT) AS total_sq_err_micro
+FROM asgfin GROUP BY cell ORDER BY cell""")
 
 
 def q(name: str, sql: str | None):
@@ -91,29 +160,22 @@ def q(name: str, sql: str | None):
     return deco
 
 
-@q("similarity_kmeans_ivf", None)  # rows-only: iterative algorithm (driver
-# records the weaker check per the contract for non-SQL-expressible ops)
+@q("similarity_kmeans_ivf", _kmeans_oracle_sql(k=8, iters=3))
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-codebook IVF: fit k=8 k-means on the embeddings, assign
-    every vector to its cell, report per-cell stats + quantization error.
-    Deterministic end-to-end (decimal means, fixed init/iters), verified
-    by invariant tests (tests/test_kmeans_ivf.py)."""
+    every vector to its cell, report per-cell stats + quantization error
+    (micro-unit² fixed point). Deterministic end-to-end and hash-exact
+    against the unrolled DuckDB oracle; invariant tests in
+    tests/test_kmeans_ivf.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    vectors = e.select(F.col("vec_id").alias("id"),
-                       F.col("embedding").cast("array<double>").alias("vec"))
+    vectors = quantize(
+        e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").cast("array<double>").alias("vec")))
     centroids = kmeans_fit(vectors, k=8, iters=3)
     assigned = assign_cells(vectors, centroids)
-    cent_arr = F.array(*[
-        F.struct(F.lit(cid).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"))
-        for cid, cvec in centroids])
-    with_cent = assigned.withColumn(
-        "__cent", F.element_at(F.filter(cent_arr,
-                                        lambda c: c["cid"] == F.col("cell")), 1))
-    err = _dist2("vec", "__cent.cvec")
-    return (with_cent.withColumn("q_err", err)
-            .groupBy("cell")
+    return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 F.sum(F.col("q_err").cast("decimal(38,12)")).cast("double")
-                  .alias("total_sq_error"))
+                 F.sum("q_err").alias("total_sq_err_micro"))
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_vectors", "total_sq_err_micro")
             .orderBy("cell"))
