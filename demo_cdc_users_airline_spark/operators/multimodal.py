@@ -157,14 +157,43 @@ def q(name: str, sql: str | None):
     return deco
 
 
-@q("multimodal_decode_pipeline", None)  # rows-only: mapInPandas is not SQL-expressible
+# The decode stub is pure byte arithmetic (h = first 8 payload bytes
+# big-endian; width = 64 + h % 1920; height = 64 + (h >> 16) % 1080), so
+# although the mapInPandas *kernel* is not SQL, its metadata aggregate IS
+# SQL-expressible — DuckDB rebuilds h from ascii(substr(..)) (the
+# documents text is ASCII, so bytes == characters; strlen = byte length).
+_POW256 = [256 ** (7 - i) for i in range(8)]
+_H_SQL = " + ".join(
+    f"CAST(ascii(substr(text, {i + 1}, 1)) AS HUGEINT) * {p}"
+    for i, p in enumerate(_POW256))
+
+_DECODE_ORACLE = f"""
+WITH wh AS (
+  SELECT doc_id, strlen(text) AS payload_bytes,
+         CAST(64 + ({_H_SQL}) % 1920 AS BIGINT) AS width,
+         CAST(64 + (({_H_SQL}) // 65536) % 1080 AS BIGINT) AS height
+  FROM documents
+)
+SELECT 'image' AS media_type,
+       count(*) AS n_media,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       min(width) AS min_width,
+       max(width) AS max_width,
+       CAST(sum(width * height) AS BIGINT) AS total_pixels
+FROM wh
+"""
+
+
+@q("multimodal_decode_pipeline", _DECODE_ORACLE)
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing on real data: documents' text bytes
     stand in for media payloads (binary column), run through the
     Arrow-batched decode stage, then aggregate decoded metadata.
 
-    Driver records a rows-only check (mapInPandas has no SQL oracle);
-    determinism still holds — the stub decode is hash-derived."""
+    The mapInPandas kernel itself is not SQL, but the stub decode is
+    deterministic byte arithmetic, so the metadata aggregate hash-matches
+    a DuckDB oracle that re-derives width/height from the same bytes —
+    a full-strength gate on the Arrow plumbing end to end."""
     from ..sources.loader import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -178,6 +207,6 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (decoded.groupBy("media_type")
             .agg(F.count(F.lit(1)).alias("n_media"),
                  F.sum("payload_bytes").alias("total_bytes"),
-                 F.min("width").alias("min_width"),
-                 F.max("width").alias("max_width"),
+                 F.min("width").cast("long").alias("min_width"),
+                 F.max("width").cast("long").alias("max_width"),
                  F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels")))
