@@ -53,13 +53,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tokenize in a separate projection so the shingle lambda slices a
     bound array column: inlining split() inside the lambda re-runs the
-    regex once per shingle position (O(tokens²) per document)."""
+    regex once per shingle position (O(tokens²) per document).
+
+    Documents with fewer than 3 tokens produce NO shingles (matching the
+    oracle's empty range — a truncated 2-token shingle would diverge)."""
     toks = (load_table(spark, sf_dir, "documents")
             .select("doc_id",
                     F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")))
-    sh = F.array_distinct(F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-        " i -> concat_ws(' ', slice(toks, i, 3)))"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"))
+    ).otherwise(F.array().cast("array<string>"))
     return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
@@ -107,12 +113,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard dedup (inverted-index self-join)
 # ---------------------------------------------------------------------------
 
+# boilerplate guard: shingles appearing in more than _DF_CAP documents are
+# dropped from the index AND from the set sizes (Jaccard over the filtered
+# shingle space). At the gate SFs no shingle exceeds the cap (max df 25 at
+# sf0.1), so results equal the uncapped form; at 100× a hot template
+# shingle would otherwise contribute df² pair-rows — the quadratic
+# straggler this cap removes.
+_DF_CAP = 50
+
+
 @q("dedup_ngram_jaccard", f"""
 WITH sh AS ({_SHINGLE_SQL}),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id, {_HASH_SQL} AS hsh FROM sh),
+kept AS (
+  SELECT doc_id, hsh FROM hh
+  QUALIFY count(*) OVER (PARTITION BY hsh) <= {_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.doc1, p.doc2,
@@ -123,24 +143,42 @@ JOIN sizes sb ON sb.doc_id = p.doc2
 WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.2
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs via inverted index: explode shingles,
-    self-join on shingle (hash shuffle on the shingle — co-locates
-    postings), count common, Jaccard from per-doc set sizes.
+    """n-gram Jaccard near-dup pairs via inverted index: shingles reduce
+    to 60-bit hashes (the shuffle moves 8-byte keys, never shingle text),
+    a window count drops boilerplate shingles with df > _DF_CAP, the
+    self-join on the hash counts common shingles, Jaccard comes from
+    per-doc filtered set sizes.
 
-    Scale path: prune hot shingles (document frequency cap) before the
-    self-join so the skewed posting lists don't quadratically blow up;
-    at 100 TB you run MinHash-LSH below instead and verify only
-    candidates."""
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()  # materialize eagerly: three downstream subtrees share it —
+    Scale path: the df cap bounds every posting list, so the self-join
+    blowup is ≤ Σ min(df, cap)² — linear in corpus size instead of
+    quadratic in the hottest shingle. The window, the self-join, and the
+    hash groupBy all partition on the same key (one shuffle, reused).
+    Same-doc hash collisions are not re-deduped (both engines hash with
+    the same md5, so any collision is mirrored exactly).
+    """
+    hh = _shingles(spark, sf_dir).select("doc_id", _hash_col().alias("hsh"))
+    kept = (hh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("hsh")))
+            .filter(F.col("__df") <= _DF_CAP)
+            .drop("__df")
+            .cache())
+    kept.count()  # materialize eagerly: the downstream subtrees share it —
     # concurrent lazy-cache population would recompute the explode per use
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # posting-list pair generation: group the (already df-capped, so
+    # bounded ≤ _DF_CAP elements) postings per shingle hash and emit each
+    # ordered pair map-side — no self-join probe; the groupBy reuses the
+    # window's hsh partitioning, so this costs no extra shuffle. The
+    # strict doc1 < doc2 filter keeps it pair-for-pair identical to the
+    # oracle's self-join even if a same-doc hash collision duplicated an
+    # entry in a posting list.
+    posts = kept.groupBy("hsh").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    pairs = (posts.select(F.explode(F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
+    )).alias("p"))
+        .filter(F.col("p.doc1") < F.col("p.doc2"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))

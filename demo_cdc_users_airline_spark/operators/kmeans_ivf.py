@@ -52,21 +52,23 @@ def quantize(vectors: DataFrame, vec_col: str = "vec") -> DataFrame:
 def assign_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """vectors(id, vec: array<bigint>) → + cell (argmin centroid) + q_err.
 
-    Pure per-row map: the centroid codebook is a literal struct array and
-    ``array_min`` over (d2, cid) structs is the argmin with a
-    deterministic tie-break — NO shuffle, no window; assignment cost is
-    one codegen pass however many executors scan the table.
+    Pure per-row map: the centroid codebook travels as a broadcast
+    single-row DataFrame (a bounded k×dim payload — NOT an unbounded
+    table side), which keeps the expression tree tiny; inlining k·dim
+    literals instead makes every iteration pay a large codegen/planning
+    cost. ``array_min`` over (d2, cid) structs is the argmin with a
+    deterministic tie-break — NO shuffle, no window.
     """
-    cent_arr = F.array(*[
-        F.struct(F.lit(cid).alias("cid"),
-                 F.array(*[F.lit(int(x)).cast("bigint") for x in cvec]).alias("cvec"))
-        for cid, cvec in centroids])
+    spark = vectors.sparkSession
+    cb = spark.createDataFrame(
+        [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
+        "__cents array<struct<cid:int,cvec:array<bigint>>>")
     best = F.expr(
         "array_min(transform(__cents, c -> struct("
         "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
         " c.cid AS cid)))")
-    return (vectors.withColumn("__cents", cent_arr)
+    return (vectors.crossJoin(F.broadcast(cb))
             .withColumn("__best", best)
             .withColumn("cell", F.col("__best.cid"))
             .withColumn("q_err", F.col("__best.d2"))
@@ -168,9 +170,13 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the unrolled DuckDB oracle; invariant tests in
     tests/test_kmeans_ivf.py."""
     e = load_table(spark, sf_dir, "embeddings")
+    # cache the quantized vectors: the Lloyd loop scans them 3×(assign +
+    # update) + 1 final time — without the cache every pass re-reads the
+    # parquet and re-quantizes (at 100 TB: persist to DISK_ONLY or write
+    # the quantized table once and iterate over that)
     vectors = quantize(
         e.select(F.col("vec_id").alias("id"),
-                 F.col("embedding").cast("array<double>").alias("vec")))
+                 F.col("embedding").cast("array<double>").alias("vec"))).cache()
     centroids = kmeans_fit(vectors, k=8, iters=3)
     assigned = assign_cells(vectors, centroids)
     return (assigned.groupBy("cell")

@@ -148,11 +148,18 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("e2")) \
          .withColumn("n2", F.sqrt(dot("e2", "e2")))
     cosine = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
-    # broadcast one side: the label join key has few distinct values, so a
-    # shuffle join would collapse to |cells| tasks; broadcasting keeps the
-    # probe side at full partition parallelism (at 100 TB: bucket by cell)
-    return (a.join(F.broadcast(b),
-                   (F.col("cell") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+    # the cell key alone has few distinct values, so a plain shuffle join
+    # would collapse to |cells| tasks. Salt it: side a takes a deterministic
+    # salt from its id, side b is replicated K ways — the join key becomes
+    # (cell, salt) with |cells|·K partitions, restoring full parallelism
+    # through an ordinary shuffle join with NO unbounded broadcast (the
+    # round-1 F.broadcast(b) of the whole embedding side OOMs at scale).
+    K = 16
+    a = a.withColumn("__salt", F.pmod(F.col("vec1"), F.lit(K)))
+    b = b.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+    return (a.join(b, (F.col("cell") == F.col("c2"))
+                   & (F.col("__salt") == F.col("__rep"))
+                   & (F.col("vec1") < F.col("vec2")))
             .select("vec1", "vec2", "cell", cosine.alias("cosine"))
             .filter(F.col("cosine") >= 0.4))
 
@@ -262,6 +269,10 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = (F.expr("aggregate(zip_with(e1, e2, (x, y) -> x * y),"
                      " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
               / (F.col("n1") * F.col("n2")))
-    return (cand.join(F.broadcast(ea), "vec1").join(F.broadcast(eb), "vec2")
+    # vec_id is high-cardinality, so these equi-joins shuffle with full
+    # parallelism on their own; forcing broadcast of the whole embedding
+    # side (round 1) is an OOM at scale. Left adaptive: AQE still picks a
+    # broadcast when the side is genuinely small.
+    return (cand.join(ea, "vec1").join(eb, "vec2")
             .select("vec1", "vec2", "bucket", cosine.alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
