@@ -83,6 +83,67 @@ class CdcPipeline:
         return writer.start()
 
 
+def kafka_source_options(brokers: str, topic: str, group_id: str,
+                         auto_offset_reset: str = "latest",
+                         store_headers: bool = False) -> dict[str, str]:
+    """Reader options mapping the reference's Kafka datasource settings
+    (users_raw.datasource:20-27) onto Structured Streaming's Kafka source:
+
+    - KAFKA_TOPIC            → ``subscribe``
+    - KAFKA_AUTO_OFFSET_RESET → ``startingOffsets`` (first start only;
+      after that the checkpoint owns offsets)
+    - KAFKA_GROUP_ID         → ``groupIdPrefix`` for broker-side
+      monitoring parity. Offset *tracking* does NOT use the group:
+      Structured Streaming commits offsets to the checkpoint dir, so the
+      checkpoint passed to ``CdcPipeline.start`` is the real group
+      identity (derive it from group_id for 1:1 semantics).
+    - KAFKA_STORE_HEADERS    → ``includeHeaders``
+
+    ``failOnDataLoss=false`` matches the reference's at-least-once
+    posture (retention-expired offsets skip forward rather than kill the
+    ingest; the idempotent RMT sink absorbs any replay).
+    """
+    if auto_offset_reset not in ("latest", "earliest"):
+        raise ValueError(f"unsupported KAFKA_AUTO_OFFSET_RESET {auto_offset_reset!r}")
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": auto_offset_reset,
+        "groupIdPrefix": group_id,
+        "includeHeaders": "true" if store_headers else "false",
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_reader(spark: SparkSession, brokers: str, topic: str, group_id: str,
+                 auto_offset_reset: str = "latest",
+                 store_headers: bool = False):
+    """Configured ``readStream.format("kafka")`` reader (not yet loaded —
+    split from kafka_source so option wiring is testable without a
+    broker/connector in the container)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+            brokers, topic, group_id, auto_offset_reset, store_headers).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str, group_id: str,
+                 auto_offset_reset: str = "latest",
+                 store_headers: bool = False) -> DataFrame:
+    """The real Kafka CDC source: message value → the same ``value``
+    string column ``file_json_source`` produces, so a CdcPipeline runs
+    unchanged on either. On a cluster:
+
+        pipe.start(kafka_source(spark, brokers, topic, group),
+                   checkpoint_dir=f"/checkpoints/{group}")
+    """
+    return (kafka_reader(spark, brokers, topic, group_id,
+                         auto_offset_reset, store_headers)
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value"))
+
+
 def file_json_source(spark: SparkSession, directory: str) -> DataFrame:
     """File-based stand-in for the Kafka source: each file is a batch of
     JSON-line CDC events; ``value`` column mirrors the Kafka message."""

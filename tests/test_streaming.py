@@ -83,3 +83,59 @@ def test_stream_quarantine_side_output(spark, tmp_path):
     run_available(pipeline, spark, src, tmp_path / "ckpt")
     assert pipeline.raw_table.read().count() == 20
     assert pipeline.quarantine_table.read().count() == 1
+
+
+def test_kafka_source_option_wiring():
+    """Broker-free validation of the Kafka reader construction: the
+    reference's datasource settings (users_raw.datasource:20-27) must map
+    onto the Structured Streaming Kafka source options exactly."""
+    import pytest
+
+    from demo_cdc_users_airline_spark.streaming.upsert import (
+        kafka_reader,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        brokers="broker1:9092,broker2:9092",
+        topic="postgres_cdc_demo.public.users",
+        group_id="postgres_cdc_demo.public.users_1694424162",
+        auto_offset_reset="latest",
+        store_headers=False,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "postgres_cdc_demo.public.users",
+        "startingOffsets": "latest",
+        "groupIdPrefix": "postgres_cdc_demo.public.users_1694424162",
+        "includeHeaders": "false",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_source_options("b", "t", "g", "earliest",
+                                store_headers=True)["startingOffsets"] == "earliest"
+    assert kafka_source_options("b", "t", "g", store_headers=True)["includeHeaders"] == "true"
+    with pytest.raises(ValueError):
+        kafka_source_options("b", "t", "g", auto_offset_reset="none")
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+    class FakeSpark:
+        def __init__(self):
+            self.readStream = FakeReader()
+
+    fake = FakeSpark()
+    reader = kafka_reader(fake, "b:9092", "topic", "grp")
+    assert reader.fmt == "kafka"
+    assert reader.opts["subscribe"] == "topic"
+    assert reader.opts["kafka.bootstrap.servers"] == "b:9092"
