@@ -171,3 +171,43 @@ class VersionedTable(AppendTable):
         # (they are only removed after the write completes), so caching
         # the full snapshot is pure executor-memory pressure at scale
         self._swap_rewrite(self.latest(), ".compact")
+
+
+class MergeOnWriteTable(VersionedTable):
+    """MERGE-based upsert backend: state resolves at WRITE time.
+
+    The alternative RMT expression (SURVEY §1.1 S3 option b): instead of
+    appending history and deduplicating at read (``VersionedTable``),
+    every ``merge(batch)`` resolves last-writer-wins immediately —
+    union current state with the batch, keep max (version, tiebreak) per
+    key, atomically swap the files. This is exactly what Delta Lake's
+
+        MERGE INTO state USING batch ON state.id = batch.id
+        WHEN MATCHED AND batch.version >= state.version THEN UPDATE ...
+        WHEN NOT MATCHED THEN INSERT ...
+
+    performs under the hood (rewrite of matched files + append); the
+    container has no delta-spark, so the rewrite is expressed directly.
+    Same public API and LWW invariants as VersionedTable — the
+    parametrized suite in tests/test_versioned_table.py runs both.
+
+    Trade-off (same as ClickHouse RMT-vs-OLTP): reads are O(|keys|) with
+    no dedup work (``latest() == read()``), writes pay a full-state
+    rewrite per batch. At 100 TB, partition the state (e.g. by key range
+    or time) so a merge only rewrites partitions the batch touches —
+    which is also precisely Delta MERGE's file-pruning behavior.
+    """
+
+    def merge(self, batch: DataFrame) -> None:
+        if not self.exists():
+            self.append(self.dedup(batch))
+            return
+        merged = self.dedup(self.read().unionByName(batch))
+        self._swap_rewrite(merged, ".merge")
+
+    def latest(self) -> DataFrame:
+        """State is already one row per key — no read-time dedup."""
+        return self.read()
+
+    def compact(self) -> None:
+        """No-op: every merge leaves the table fully compacted."""

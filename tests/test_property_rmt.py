@@ -12,7 +12,10 @@ import datetime
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from demo_cdc_users_airline_spark.sources.tables import VersionedTable
+from demo_cdc_users_airline_spark.sources.tables import (
+    MergeOnWriteTable,
+    VersionedTable,
+)
 
 BASE = datetime.datetime(2026, 1, 1)
 
@@ -48,3 +51,29 @@ def test_latest_matches_replay_model(spark, tmp_path_factory, events, dups, data
                         version="ver", tiebreak=["__timestamp"])
     got = {r["k"]: r["payload"] for r in vt.dedup(df).collect()}
     assert got == model_latest(arrivals)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=events_strategy, dups=dup_mask, data=st.data())
+def test_merge_on_write_matches_replay_model(spark, tmp_path_factory, events,
+                                             dups, data):
+    """The MERGE backend resolves incrementally (state ⊎ batch per merge)
+    — for ANY split into two batches it must agree with the one-shot
+    replay model, and the stored table must hold exactly one row/key."""
+    arrivals = list(events) + [e for e, d in zip(events, dups) if d]
+    perm = data.draw(st.permutations(range(len(arrivals))))
+    arrivals = [arrivals[i] for i in perm]
+    cut = data.draw(st.integers(0, len(arrivals)))
+
+    rows = [(k, v, p, BASE + datetime.timedelta(seconds=seq))
+            for seq, (k, v, p) in enumerate(arrivals)]
+    vt = MergeOnWriteTable(spark, str(tmp_path_factory.mktemp("mow")), key=["k"],
+                           version="ver", tiebreak=["__timestamp"])
+    ddl = "k INT, ver INT, payload INT, __timestamp TIMESTAMP"
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            vt.merge(spark.createDataFrame(chunk, ddl))
+    got = {r["k"]: r["payload"] for r in vt.latest().collect()}
+    assert got == model_latest(arrivals)
+    assert vt.read().count() == len(got)

@@ -12,9 +12,19 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from demo_cdc_users_airline_spark.sources.tables import VersionedTable
+from demo_cdc_users_airline_spark.sources.tables import (
+    MergeOnWriteTable,
+    VersionedTable,
+)
 
 DDL = "id INT, val STRING, updated_at BIGINT, __timestamp TIMESTAMP"
+
+
+@pytest.fixture(params=[VersionedTable, MergeOnWriteTable],
+                ids=["dedup_on_read", "merge_on_write"])
+def vt_cls(request):
+    """Both RMT backends must satisfy the same LWW invariants."""
+    return request.param
 
 
 def make_rows():
@@ -42,23 +52,23 @@ def latest_map(vt):
     return {r["id"]: r["val"] for r in vt.latest().collect()}
 
 
-def test_latest_last_writer_wins(spark, tmp_path):
-    vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
-                        version="updated_at", tiebreak=["__timestamp"])
+def test_latest_last_writer_wins(spark, tmp_path, vt_cls):
+    vt = vt_cls(spark, str(tmp_path / "t"), key=["id"],
+                version="updated_at", tiebreak=["__timestamp"])
     vt.merge(df_of(spark, make_rows()))
     assert latest_map(vt) == expected_latest()
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_out_of_order_and_duplicates_invariant(spark, tmp_path, seed):
+def test_out_of_order_and_duplicates_invariant(spark, tmp_path, seed, vt_cls):
     """FIXTURES.md: shuffled-arrival + duplicated-events copies must give
     an identical final state (at-least-once absorption)."""
     rng = random.Random(seed)
     rows = make_rows()
     rng.shuffle(rows)
     dupes = [r for r in rows if rng.random() < 0.4]
-    vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
-                        version="updated_at", tiebreak=["__timestamp"])
+    vt = vt_cls(spark, str(tmp_path / "t"), key=["id"],
+                version="updated_at", tiebreak=["__timestamp"])
     half = len(rows) // 2
     vt.merge(df_of(spark, rows[:half]))
     vt.merge(df_of(spark, rows[half:] + dupes))
@@ -79,11 +89,11 @@ def test_compact_preserves_latest_and_shrinks(spark, tmp_path):
     assert latest_map(vt)[1] == "c"
 
 
-def test_truncate_and_delete_where(spark, tmp_path):
+def test_truncate_and_delete_where(spark, tmp_path, vt_cls):
     from pyspark.sql import functions as F
 
-    vt = VersionedTable(spark, str(tmp_path / "t"), key=["id"],
-                        version="updated_at", tiebreak=["__timestamp"])
+    vt = vt_cls(spark, str(tmp_path / "t"), key=["id"],
+                version="updated_at", tiebreak=["__timestamp"])
     vt.merge(df_of(spark, make_rows()))
     vt.delete_where(F.col("id") == 2)         # batch DELETE analogue
     assert sorted(latest_map(vt)) == [1, 3]
@@ -114,3 +124,25 @@ def test_dedup_is_pure_view(spark, tmp_path):
     vt.merge(df_of(spark, make_rows()))
     vt.latest().collect()
     assert vt.read().count() == 7
+
+
+def test_merge_on_write_keeps_state_compacted(spark, tmp_path):
+    """MERGE backend: the stored table is always one row per key (reads
+    pay zero dedup); stale and duplicate deliveries still absorb."""
+    vt = MergeOnWriteTable(spark, str(tmp_path / "t"), key=["id"],
+                           version="updated_at", tiebreak=["__timestamp"])
+    rows = make_rows()
+    vt.merge(df_of(spark, rows[:4]))
+    vt.merge(df_of(spark, rows[4:]))
+    assert vt.read().count() == 3              # state, not history
+    assert latest_map(vt) == expected_latest()
+    # stale replay cannot regress state
+    vt.merge(df_of(spark, [(1, "ancient", 10, "2026-01-01 09:00:00")]))
+    assert vt.read().count() == 3
+    assert latest_map(vt)[1] == "b"
+    # compact is a no-op (already compacted) but must stay callable
+    vt.compact()
+    assert latest_map(vt) == expected_latest()
+    # DELETE on the MERGE backend operates on state: the key disappears
+    vt.delete_where(F.col("id") == 2)
+    assert sorted(latest_map(vt)) == [1, 3]
