@@ -448,8 +448,11 @@ def part_supplier_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/A2/P7: fact-to-dim broadcast join + exact count distinct +
     IN-list/inequality filters (TPC-H Q16 shape on reference operators)."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = F.broadcast(load_table(spark, sf_dir, "part")
-                    .filter(F.col("p_size").isin(1, 5, 9, 14, 23)))
+    # no forced broadcast: part scales with SF (unlike nation/region's
+    # fixed 25/5 rows), so the hint is AQE's call — it still picks a
+    # broadcast whenever the filtered slice is under the threshold
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_size").isin(1, 5, 9, 14, 23)))
     return (li.filter(F.col("l_returnflag") != "R")
             .join(p, li["l_partkey"] == p["p_partkey"])
             .groupBy("p_brand", "p_type")

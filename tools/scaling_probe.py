@@ -44,6 +44,57 @@ def build_scaled(spark, base_dir: str, mult: int, out_dir: str) -> int:
     return n * mult
 
 
+def build_scaled_documents(spark, base_dir: str, mult: int, out_dir: str) -> int:
+    """N× documents with per-copy token suffixes: shingle spaces are
+    disjoint across copies, so per-shingle df and near-dup structure stay
+    constant while the corpus grows — the honest linear regime for the
+    inverted-index dedup (a probe with identical copies instead measures
+    the intended df-cap/quadratic behavior, not scaling)."""
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    d = load_table(spark, base_dir, "documents")
+    n = d.count()
+    copies = []
+    for i in range(mult):
+        copies.append(d.select(
+            (F.col("doc_id") + F.lit(i) * n).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")]))
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+    return n * mult
+
+
+def build_scaled_embeddings(spark, base_dir: str, mult: int, out_dir: str) -> int:
+    """N× embeddings with labels shifted per copy: cell count grows with
+    the data (disjoint cells per copy), so the within-cell pair join's
+    work scales linearly — flat rows/s here shows the salted join keeps
+    full parallelism as cells multiply."""
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    e = load_table(spark, base_dir, "embeddings")
+    n = e.count()
+    copies = []
+    for i in range(mult):
+        copies.append(e.select(
+            (F.col("vec_id") + F.lit(i) * n).alias("vec_id"),
+            (F.col("label") + F.lit(i) * 1000).alias("label"),
+            *[c for c in e.columns if c not in ("vec_id", "label")]))
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+    return n * mult
+
+
 def main() -> int:
     mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
     from pyspark.sql import functions as F
@@ -82,7 +133,31 @@ def main() -> int:
             print(f"x{mult:<3} {name:22s} {n:>10,} rows  {dt:6.2f}s  "
                   f"{n / dt / 1e6:6.2f} M rows/s")
 
-    lines = ["# SCALING — CDC core throughput vs data size",
+    # LLM-operator probes: run the REAL catalog operators against scaled
+    # copies of their input table (disjoint shingle spaces / cells per
+    # copy — see the builders — so flat rows/s = linear scaling of the
+    # df-capped posting-list jaccard and the salted cell-pair join)
+    from demo_cdc_users_airline_spark.catalog import QUERIES
+
+    llm_probes = [
+        ("dedup_ngram_jaccard", build_scaled_documents),
+        ("similarity_neardup_cosine", build_scaled_embeddings),
+    ]
+    llm_rows = []
+    for name, builder in llm_probes:
+        for mult in mults:
+            out_dir = os.path.join(SCRATCH, f"{name}-x{mult}")
+            os.makedirs(out_dir, exist_ok=True)
+            n = builder(spark, base, mult, out_dir)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            llm_rows.append((name, mult, n, dt, n / dt))
+            print(f"x{mult:<3} {name:28s} {n:>10,} rows  {dt:6.2f}s  "
+                  f"{n / dt / 1e3:8.1f} K rows/s")
+
+    lines = ["# SCALING — throughput vs data size",
              "",
              "N× copies of the sf0.1 events table with distinct keys per copy",
              "(keyed state grows with data). Flat-or-rising M rows/s across",
@@ -92,6 +167,18 @@ def main() -> int:
              "|---|---|---|---|---|"]
     for name, mult, n, dt, rps in rows:
         lines.append(f"| {name} | {mult}× | {n:,} | {dt:.2f} | {rps / 1e6:.2f} |")
+    lines += ["",
+              "## LLM-operator scaling (real catalog operators)",
+              "",
+              "Scaled inputs keep per-copy structure constant (disjoint",
+              "shingle spaces / cells per copy), so work grows linearly and",
+              "flat K rows/s demonstrates: the df-capped posting-list",
+              "jaccard has no quadratic straggler, and the salted cell-pair",
+              "join keeps full parallelism with NO unbounded broadcast.", "",
+              "| operator | mult | input rows | sec | K rows/s |",
+              "|---|---|---|---|---|"]
+    for name, mult, n, dt, rps in llm_rows:
+        lines.append(f"| {name} | {mult}× | {n:,} | {dt:.2f} | {rps / 1e3:.1f} |")
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     shutil.rmtree(SCRATCH, ignore_errors=True)
