@@ -1,0 +1,111 @@
+"""HTTP pipe API: the reference's GET /v0/pipes/<name>.json + READ
+tokens (tb_functions.py:264-273 consumer), served by the stdlib shim."""
+
+import datetime
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_cdc_users_airline_spark.core.clock import Clock
+from demo_cdc_users_airline_spark.plans.framework import (
+    Context,
+    Node,
+    Param,
+    Pipe,
+    Registry,
+)
+from demo_cdc_users_airline_spark.plans.http_api import (
+    PipeApiServer,
+    Token,
+    TokenRegistry,
+)
+
+NOW = datetime.datetime(2026, 1, 2, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    reg = Registry(spark)
+    reg.add_datasource(
+        "users_latest",
+        spark.createDataFrame(
+            [(1, "ada", 10), (2, "bob", 20), (3, "cyd", 30)],
+            "id INT, name STRING, score INT"))
+
+    def node(ctx: Context):
+        return (ctx.ref("users_latest")
+                .filter(F.col("score") >= F.lit(ctx.param("min_score")))
+                .orderBy("id"))
+
+    reg.add_pipe(Pipe("users_api", [Node("users_api_0", node)],
+                      params=[Param("min_score", "Int32", default=0)]))
+
+    tokens = TokenRegistry([
+        Token("users_api_endpoint_read_1234", "secret-users", {"users_api"}),
+        Token("Dashboard_Read", "secret-dash", {"*"}),
+    ])
+    srv = PipeApiServer(reg, tokens, clock=Clock.fixed(NOW)).start()
+    yield srv
+    srv.stop()
+
+
+def fetch(url, token=None, bearer=None):
+    if token:
+        url += ("&" if "?" in url else "?") + f"token={token}"
+    req = urllib.request.Request(url)
+    if bearer:
+        req.add_header("Authorization", f"Bearer {bearer}")
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_endpoint_envelope_and_auth_modes(server):
+    # query-param token
+    status, body = fetch(f"{server.base_url}/v0/pipes/users_api.json",
+                         token="secret-users")
+    assert status == 200
+    assert body["rows"] == 3
+    assert [r["name"] for r in body["data"]] == ["ada", "bob", "cyd"]
+    assert {"name": "id", "type": "Int32"} in body["meta"]
+    assert "elapsed" in body["statistics"]
+    # bearer header (the dashboard's mode) + wildcard-scope token
+    status, body = fetch(f"{server.base_url}/v0/pipes/users_api.json",
+                         bearer="secret-dash")
+    assert status == 200 and body["rows"] == 3
+
+
+def test_typed_params_reach_the_pipe(server):
+    status, body = fetch(
+        f"{server.base_url}/v0/pipes/users_api.json?min_score=15",
+        token="secret-users")
+    assert status == 200
+    assert [r["id"] for r in body["data"]] == [2, 3]
+
+
+def test_auth_failures(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        fetch(f"{server.base_url}/v0/pipes/users_api.json")
+    assert e.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as e:
+        fetch(f"{server.base_url}/v0/pipes/users_api.json", token="wrong")
+    assert e.value.code == 403
+
+
+def test_not_found_and_bad_path(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        fetch(f"{server.base_url}/v0/pipes/nope.json", token="secret-dash")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        fetch(f"{server.base_url}/v1/other", token="secret-dash")
+    assert e.value.code == 404
+
+
+def test_bad_param_is_a_client_error(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        fetch(f"{server.base_url}/v0/pipes/users_api.json?min_score=abc",
+              token="secret-users")
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
