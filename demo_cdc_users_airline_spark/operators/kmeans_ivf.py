@@ -104,12 +104,12 @@ def kmeans_fit(vectors: DataFrame, k: int = 8, iters: int = 3):
     return centroids
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """The same deterministic Lloyd run, unrolled into DuckDB CTEs.
-
-    Mirrors the Spark operator step for step in integer micro-units:
-    quantize = floor(x·1e6), d2 = Σ(xq−cq)², argmin tie-broken by
-    (d2, cid), centroid mean = floor(sum/count) — hash-exact.
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """The deterministic Lloyd run unrolled into DuckDB CTEs, ending at
+    ``asgfin(vec_id, cell, q_err)``. Mirrors the Spark operator step for
+    step in integer micro-units: quantize = floor(x·1e6),
+    d2 = Σ(xq−cq)², argmin tie-broken by (d2, cid), centroid
+    mean = floor(sum/count) — hash-exact.
     """
     d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
     parts = [f"""dims AS (
@@ -147,10 +147,36 @@ asgfin AS (
   SELECT vec_id, cid AS cell, d2 AS q_err FROM dfin
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
 )""")
-    return ("WITH " + ",\n".join(parts) + """
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    return ("WITH " + _kmeans_ctes(k, iters) + """
 SELECT cell, count(*) AS n_vectors,
        CAST(sum(q_err) AS BIGINT) AS total_sq_err_micro
 FROM asgfin GROUP BY cell ORDER BY cell""")
+
+
+def _learned_probe_oracle_sql(k: int = 8, iters: int = 3, topk: int = 3) -> str:
+    """Learned-IVF probe: the kmeans CTEs assign every vector a cell,
+    then each query probes only its own cell with exact cosine top-k
+    (double sequential dot — the empirically engine-identical fold)."""
+    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    return ("WITH " + _kmeans_ctes(k, iters) + f""",
+pairs AS (
+  SELECT qa.vec_id AS query_id, qa.cell AS cell,
+         ba.vec_id AS neighbor_id, {cos} AS cosine
+  FROM asgfin qa
+  JOIN asgfin ba ON ba.cell = qa.cell AND ba.vec_id <> qa.vec_id
+  JOIN embeddings a ON a.vec_id = qa.vec_id
+  JOIN embeddings b ON b.vec_id = ba.vec_id
+  WHERE qa.vec_id < 8
+)
+SELECT query_id, cell, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {topk}""")
 
 
 def q(name: str, sql: str | None):
@@ -185,3 +211,49 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cell").cast("long").alias("cell"),
                     "n_vectors", "total_sq_err_micro")
             .orderBy("cell"))
+
+
+@q("similarity_topk_ivf_learned", _learned_probe_oracle_sql(k=8, iters=3, topk=3))
+def similarity_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned ANN: fit the k-means codebook, assign every
+    vector its learned cell (replacing similarity_topk_ivf's given
+    ``label`` stand-in), then probe each query's own cell with exact
+    cosine top-3 — the full IVF index lifecycle (train → assign →
+    probe), hash-exact against the unrolled oracle.
+
+    Scale path: assignment is the map-only broadcast-codebook pass; at
+    100 TB the assigned table is written partitioned by cell, so a probe
+    reads 1/k of the files; the query set broadcasts (bounded)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    vq = quantize(e.select(F.col("vec_id").alias("id"),
+                           F.col("embedding").cast("array<double>").alias("vec"))).cache()
+    centroids = kmeans_fit(vq, k=8, iters=3)
+    assigned = (assign_cells(vq, centroids)
+                .select(F.col("id").alias("vec_id"), "cell"))
+    with_emb = assigned.join(emb, "vec_id")
+    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    queries = (with_emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("cell").alias("q_cell"),
+                       F.col("emb").alias("q_emb")))
+    cand = (with_emb.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("cell").alias("c_cell"),
+                            F.col("emb").alias("c_emb"))
+            .withColumn("c_norm", F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
+    joined = cand.join(F.broadcast(queries),
+                       (F.col("c_cell") == F.col("q_cell"))
+                       & (F.col("neighbor_id") != F.col("query_id")))
+    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
+              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb"))) * F.col("c_norm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (joined.select("query_id",
+                          F.col("q_cell").cast("long").alias("cell"),
+                          "neighbor_id", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .drop("__rn"))
