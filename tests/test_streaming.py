@@ -11,16 +11,19 @@ import time
 
 from demo_cdc_users_airline_spark.plans.users import users_mv_pg
 from demo_cdc_users_airline_spark.sources.cdc import USERS_RAW_PG_SCHEMA
-from demo_cdc_users_airline_spark.sources.tables import AppendTable, VersionedTable
+from demo_cdc_users_airline_spark.sources.tables import (
+    AppendTable,
+    VersionedTable,
+)
 from demo_cdc_users_airline_spark.streaming.upsert import CdcPipeline, file_json_source
 
 from fixtures import gen_users_events, users_events_to_json_lines
 
 
-def make_pipeline(spark, tmp_path):
+def make_pipeline(spark, tmp_path, latest_cls=VersionedTable):
     raw = AppendTable(spark, str(tmp_path / "raw"))
-    latest = VersionedTable(spark, str(tmp_path / "latest"), key=["id"],
-                            version="updated_at", tiebreak=["__timestamp"])
+    latest = latest_cls(spark, str(tmp_path / "latest"), key=["id"],
+                        version="updated_at", tiebreak=["__timestamp"])
     quarantine = AppendTable(spark, str(tmp_path / "quarantine"))
     return CdcPipeline(
         spark=spark, schema=USERS_RAW_PG_SCHEMA, raw_table=raw,
@@ -83,6 +86,32 @@ def test_stream_quarantine_side_output(spark, tmp_path):
     run_available(pipeline, spark, src, tmp_path / "ckpt")
     assert pipeline.raw_table.read().count() == 20
     assert pipeline.quarantine_table.read().count() == 1
+
+
+def test_stream_into_merge_on_write_backend(spark, tmp_path):
+    """The MERGE-based RMT backend drops into the identical streaming
+    loop: same CdcPipeline, same idempotence, state stays compacted."""
+    from demo_cdc_users_airline_spark.sources.tables import MergeOnWriteTable
+
+    events, truth = gen_users_events(n=60, seed=33, null_probability=0.0)
+    lines = users_events_to_json_lines(events)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pipeline = make_pipeline(spark, tmp_path, latest_cls=MergeOnWriteTable)
+    (src / "b1.json").write_text("\n".join(lines[:40]) + "\n")
+    (src / "b2.json").write_text("\n".join(lines[40:]) + "\n")
+    run_available(pipeline, spark, src, tmp_path / "ckpt")
+    state = {r["id"]: r for r in pipeline.latest_table.latest().collect()}
+    assert len(state) == len(truth)
+    for uid, t in truth.items():
+        assert state[uid]["updated_at"] == t["updated_at"]
+    # merge-on-write: stored table IS the state (one row per key)
+    assert pipeline.latest_table.read().count() == len(truth)
+    # duplicate replay absorbs
+    (src / "b3_dupes.json").write_text("\n".join(lines[:40]) + "\n")
+    run_available(pipeline, spark, src, tmp_path / "ckpt")
+    state2 = {r["id"]: r["updated_at"] for r in pipeline.latest_table.latest().collect()}
+    assert state2 == {k: v["updated_at"] for k, v in state.items()}
 
 
 def test_kafka_source_option_wiring():
