@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from . import dedup, kmeans_ivf, multimodal, similarity, text
+from . import dedup, kmeans_ivf, multimodal, sampling, similarity, text
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for mod in (text, dedup, similarity, kmeans_ivf, multimodal):
+for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

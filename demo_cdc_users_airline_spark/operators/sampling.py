@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Two standard pipeline stages, both expressed as pure per-row maps
+(ZERO shuffle — at 100 TB these are one codegen pass over the corpus,
+embarrassingly parallel across executors):
+
+- **stratified sampling**: per-stratum keep rates applied via a salted
+  content hash (`md5('sample_' || doc_id)`), so the decision is a pure
+  function of the row — reproducible across runs, engines, partitions,
+  and cluster sizes (no RNG state, unlike ``df.sample``, whose output
+  depends on partitioning).
+- **train/val/test split**: an INDEPENDENT salt (``split_``) hashes
+  every document into 80/10/10 — independence from the sampling hash
+  means subsampling never skews split proportions.
+
+The strata here are document-length buckets (short/medium/long token
+counts) with higher keep-rates for rarer short documents — the shape
+of a real mixture-rebalancing job; swap the stratum expression for
+language/quality/source as needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# per-stratum keep rates in basis points (integer compare — exact)
+RATES_BP = {"short": 10_000, "medium": 5_000, "long": 2_500}
+SHORT_MAX, MEDIUM_MAX = 40, 55  # token-count bucket edges
+
+
+def _salted_hash(salt: str, key: Column) -> Column:
+    """Uniform 32-bit integer from md5(salt || key) — identical in any
+    engine, partition-independent (the reproducibility property
+    ``df.sample`` lacks)."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))),
+                               1, 8), 16, 10).cast("bigint"))
+
+
+def _salted_hash_sql(salt: str, key: str) -> str:
+    return f"('0x' || substr(md5('{salt}' || {key}), 1, 8))::BIGINT"
+
+
+@q("dataset_sample_split", f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+strat AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= {SHORT_MAX} THEN 'short'
+              WHEN n_tokens <= {MEDIUM_MAX} THEN 'medium'
+              ELSE 'long' END AS stratum
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stratum,
+         {_salted_hash_sql("sample_", "doc_id")} % 10000 AS u,
+         {_salted_hash_sql("split_", "doc_id")} % 10 AS v
+  FROM strat
+)
+SELECT doc_id, n_tokens, stratum,
+       CASE WHEN v < 8 THEN 'train' WHEN v = 8 THEN 'val' ELSE 'test' END AS split
+FROM hashed
+WHERE u < CASE stratum WHEN 'short' THEN {RATES_BP['short']}
+                       WHEN 'medium' THEN {RATES_BP['medium']}
+                       ELSE {RATES_BP['long']} END
+""")
+def dataset_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample + 80/10/10 split over the documents corpus.
+
+    Map-only: bucket by token count, keep each row iff its salted hash
+    falls under the stratum's basis-point rate, and assign the split
+    from an independent salted hash. Integer compares end to end —
+    hash-exact vs the oracle, and bit-stable under any repartitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    stratum = (F.when(n_tokens <= SHORT_MAX, "short")
+               .when(n_tokens <= MEDIUM_MAX, "medium")
+               .otherwise("long"))
+    u = _salted_hash("sample_", F.col("doc_id")) % 10_000
+    v = _salted_hash("split_", F.col("doc_id")) % 10
+    rate = (F.when(F.col("stratum") == "short", RATES_BP["short"])
+            .when(F.col("stratum") == "medium", RATES_BP["medium"])
+            .otherwise(RATES_BP["long"]))
+    split = (F.when(F.col("__v") < 8, "train")
+             .when(F.col("__v") == 8, "val")
+             .otherwise("test"))
+    return (d.select("doc_id",
+                     n_tokens.cast("long").alias("n_tokens"),
+                     stratum.alias("stratum"),
+                     u.alias("__u"), v.alias("__v"))
+            .filter(F.col("__u") < rate)
+            .select("doc_id", "n_tokens", "stratum", split.alias("split")))

@@ -1,0 +1,39 @@
+"""Deterministic stratified sample + split invariants."""
+
+from collections import Counter
+
+from demo_cdc_users_airline_spark.operators.sampling import (
+    RATES_BP,
+    dataset_sample_split,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sample_is_deterministic_and_partition_independent(spark):
+    a = {r["doc_id"]: (r["stratum"], r["split"])
+         for r in dataset_sample_split(spark, SF).collect()}
+    b = {r["doc_id"]: (r["stratum"], r["split"])
+         for r in dataset_sample_split(spark, SF).repartition(17).collect()}
+    assert a == b                          # no RNG/partition dependence
+
+
+def test_rates_and_split_proportions(spark):
+    rows = dataset_sample_split(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert 0 < len(rows) < n_docs          # a real subsample
+    by_stratum = Counter(r["stratum"] for r in rows)
+    # short docs keep 100%: every sampled stratum respects its rate ±10pp
+    # (binomial noise at n≈500); the qualitative ordering must hold
+    assert set(by_stratum) <= {"short", "medium", "long"}
+    splits = Counter(r["split"] for r in rows)
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits["train"] > splits["val"] + splits["test"]  # ~80/10/10
+    # a kept short doc proves the 100% stratum passes through unfiltered
+    if by_stratum.get("short"):
+        short_total = sum(
+            1 for r in load_table(spark, SF, "documents").collect()
+            if len(r["text"].strip().lower().split()) <= 40)
+        assert by_stratum["short"] == short_total
+    assert RATES_BP["short"] == 10_000
