@@ -173,6 +173,26 @@ class VersionedTable(AppendTable):
         self._swap_rewrite(self.latest(), ".compact")
 
 
+def publish_bucketed_state(vt: VersionedTable, name: str,
+                           n_buckets: int, path: str | None = None) -> None:
+    """Publish the table's latest-state snapshot as a BUCKETED catalog
+    table, bucketed+sorted on the RMT key.
+
+    The repeated-join optimization at 100 TB: downstream pipes that join
+    latest state against history/facts on the key do so with NO Exchange
+    on either side when both are bucketed the same way (proved by
+    tests/test_bucketing.py). Snapshots are immutable publishes — the
+    streaming upsert keeps appending to the source VersionedTable, and a
+    scheduler republishes on the compaction cadence (the same lifecycle
+    as `compact()`, one extra bucketed write).
+    """
+    w = (vt.latest().write.mode("overwrite")
+         .bucketBy(n_buckets, *vt.key).sortBy(*vt.key))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 class MergeOnWriteTable(VersionedTable):
     """MERGE-based upsert backend: state resolves at WRITE time.
 

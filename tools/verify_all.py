@@ -1,0 +1,66 @@
+"""One-command verification: the full local mirror of everything the
+driver checks, in dependency order, failing fast.
+
+1. pytest suite (tests/)
+2. oracle parity gate at sf0.01 (tools/oracle_check.py)
+3. driver-contract simulation with a VANILLA SparkSession (catches any
+   reliance on get_spark confs — the driver uses its own session)
+4. bench smoke at sf0.01 (validates the one-line JSON contract)
+
+Usage: python tools/verify_all.py [--fast]   (--fast skips pytest)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VANILLA_SIM = """
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+import __spark_entry__ as e
+rows = e.entry(spark).collect()
+q, o = e.queries(), e.oracle_sql()
+assert len(rows) > 0, "entry() returned no rows"
+missing = [k for k in o if k not in q]
+assert not missing, f"oracle_sql keys without queries: {missing}"
+print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)}")
+"""
+
+
+def run(desc: str, cmd: list[str], env: dict | None = None) -> None:
+    print(f"== {desc}: {' '.join(cmd[:4])} ...")
+    e = dict(os.environ, **(env or {}))
+    r = subprocess.run(cmd, cwd=REPO, env=e)
+    if r.returncode != 0:
+        print(f"FAILED: {desc}")
+        raise SystemExit(r.returncode)
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    if not fast:
+        run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q", "-x"])
+    run("oracle gate (sf0.01)", [sys.executable, "tools/oracle_check.py"])
+    run("vanilla driver contract", [sys.executable, "-c", VANILLA_SIM])
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, capture_output=True, text=True,
+        env=dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+                 SPARK_GRAFT_CPUS="8", SPARK_GRAFT_BENCH_REPEATS="1"))
+    if out.returncode != 0:
+        print("FAILED: bench smoke\n" + out.stderr[-2000:])
+        return 1
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)  # must be one valid JSON line
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(d), d.keys()
+    print(f"== bench smoke: {d['value']}s over {len(d['queries'])} queries")
+    print("ALL VERIFICATIONS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
