@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from . import dedup, kmeans_ivf, multimodal, sampling, similarity, text
+from . import dedup, kmeans_ivf, multimodal, sampling, similarity, temporal, text
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling):
+for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling, temporal):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

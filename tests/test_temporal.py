@@ -1,0 +1,64 @@
+"""As-of join + sessionization invariants."""
+
+from demo_cdc_users_airline_spark.operators.temporal import (
+    SESSION_GAP_MICROS,
+    events_asof_last_purchase,
+    events_sessionization,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_semantics(spark):
+    rows = events_asof_last_purchase(spark, SF).collect()
+    events = load_table(spark, SF, "events").collect()
+    n_events = len(events)
+    assert len(rows) == n_events               # left semantics: every event kept
+    purchases = {(r["user_id"], r["ts"], r["event_id"])
+                 for r in events if r["event_type"] == "purchase"}
+    by_user_purchases = {}
+    for u, ts, eid in purchases:
+        by_user_purchases.setdefault(u, []).append((ts, eid))
+    for r in rows:
+        expect = max(((ts, eid) for ts, eid in by_user_purchases.get(r["user_id"], [])
+                      if ts <= r["ts"]), default=None)
+        got = (None if r["last_purchase_ts"] is None
+               else (r["last_purchase_ts"], r["last_purchase_id"]))
+        assert got == expect                   # replay-model equivalence
+        if got is not None:
+            assert r["micros_since_purchase"] >= 0
+
+
+def test_asof_partition_independent(spark):
+    a = {r["event_id"]: r["last_purchase_id"]
+         for r in events_asof_last_purchase(spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    # same result regardless of input partitioning (window is keyed)
+    from demo_cdc_users_airline_spark.operators import temporal
+
+    withm = temporal.asof_last_marker(
+        e.repartition(13).select("event_id", "user_id", "ts", "event_type"),
+        key="user_id", time="ts", uid="event_id",
+        marker=__import__("pyspark.sql.functions", fromlist=["col"]).col("event_type") == "purchase")
+    b = {r["event_id"]: r["__last_marker"]["mid"] if r["__last_marker"] else None
+         for r in withm.collect()}
+    assert a == b
+
+
+def test_sessionization_invariants(spark):
+    sessions = events_sessionization(spark, SF).collect()
+    events = load_table(spark, SF, "events").collect()
+    assert sum(r["n_events"] for r in sessions) == len(events)  # partition of events
+    by_user = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    for u, ss in by_user.items():
+        ss.sort(key=lambda s: s["session_seq"])
+        for a, b in zip(ss, ss[1:]):
+            # consecutive sessions are separated by more than the gap
+            delta = (b["session_start"] - a["session_end"]).total_seconds() * 1e6
+            assert delta > SESSION_GAP_MICROS
+        for s in ss:
+            assert s["session_start"] <= s["session_end"]
+            assert s["duration_micros"] >= 0
