@@ -204,6 +204,51 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id) <= {topk}""")
 
 
+def probe_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]],
+                nprobe: int) -> DataFrame:
+    """vectors(id, vec) → (id, probe_cell): each vector's ``nprobe``
+    nearest cells by (d2, cid) — the IVF recall/latency dial (nprobe=1
+    is plain assignment; higher values probe neighboring cells to catch
+    near-boundary vectors). Same broadcast-codebook map as assignment,
+    still shuffle-free."""
+    spark = vectors.sparkSession
+    cb = spark.createDataFrame(
+        [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
+        "__cents array<struct<cid:int,cvec:array<bigint>>>")
+    top = F.expr(
+        "slice(array_sort(transform(__cents, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        f" c.cid AS cid))), 1, {int(nprobe)})")
+    return (vectors.crossJoin(F.broadcast(cb))
+            .withColumn("__probe", F.explode(top))
+            .select("id", F.col("__probe.cid").alias("probe_cell"), "vec")
+            .drop("__cents"))
+
+
+def _nprobe_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
+                       topk: int = 3) -> str:
+    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    return ("WITH " + _kmeans_ctes(k, iters) + f""",
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probe p
+  JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {topk}""")
+
+
 def q(name: str, sql: str | None):
     def deco(fn):
         QUERIES[name] = fn
@@ -270,6 +315,47 @@ def similarity_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.select("query_id",
                           F.col("q_cell").cast("long").alias("cell"),
                           "neighbor_id", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .drop("__rn"))
+
+
+@q("similarity_topk_ivf_nprobe", _nprobe_oracle_sql(k=8, iters=3, nprobe=2, topk=3))
+def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned IVF with nprobe=2: each query probes its TWO nearest
+    cells, recovering near-boundary neighbors that single-cell probing
+    misses — the standard IVF recall dial (cost scales as
+    nprobe/k of the data; here 2/8 instead of 1/8).
+
+    The probe-cell expansion is the same shuffle-free broadcast-codebook
+    map as assignment; candidates join on their (unique) assigned cell,
+    so no pair is scored twice."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
+    vq = _quantized_vectors(spark, sf_dir)
+    assigned = (assign_cells(vq, centroids)
+                .select(F.col("id").alias("vec_id"), "cell"))
+    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    queries = (probe_cells(vq.filter(F.col("id") < 8), centroids, nprobe=2)
+               .select(F.col("id").alias("query_id"), "probe_cell")
+               .join(emb.select(F.col("vec_id").alias("query_id"),
+                                F.col("emb").alias("q_emb")), "query_id"))
+    cand = (assigned.join(emb, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("cell").alias("c_cell"), F.col("emb").alias("c_emb"))
+            .withColumn("c_norm", F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
+    joined = cand.join(F.broadcast(queries),
+                       (F.col("c_cell") == F.col("probe_cell"))
+                       & (F.col("neighbor_id") != F.col("query_id")))
+    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
+              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb"))) * F.col("c_norm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= 3)
             .drop("__rn"))
