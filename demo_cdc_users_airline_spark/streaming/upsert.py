@@ -72,6 +72,41 @@ class CdcPipeline:
             # version history so latest() stays O(|keys|)
             self.latest_table.compact()
 
+    def replay_quarantine(self, fix: Callable[[DataFrame], DataFrame] | None = None
+                          ) -> tuple[int, int]:
+        """Re-ingest quarantined rows after an upstream fix — the
+        reference's quarantine recovery workflow (rows park with their
+        raw payload precisely so they can be re-sent once the producer
+        or schema is repaired).
+
+        ``fix`` optionally transforms the raw ``value`` column (e.g.
+        repair a malformed payload). Recovered rows route through the
+        NORMAL ingest path (raw append + mv transform + versioned
+        merge — idempotent, so replaying an already-recovered row is
+        harmless); still-bad rows remain quarantined. Returns
+        ``(n_recovered, n_remaining)``.
+        """
+        qt = self.quarantine_table
+        if qt is None or not qt.exists():
+            return (0, 0)
+        raw = qt.read().select(F.col("__value").alias("value"))
+        if fix is not None:
+            raw = fix(raw)
+        good, still_bad = parse_cdc_json(
+            raw, self.schema, store_raw_value=self.store_raw_value)
+        # materialize BEFORE truncating the table they are derived from
+        good = good.localCheckpoint(eager=True)
+        still_bad = still_bad.localCheckpoint(eager=True)
+        n_good, n_bad = good.count(), still_bad.count()
+        if n_good:
+            self.raw_table.append(good)
+            block = self.mv_transform(good) if self.mv_transform else good
+            self.latest_table.merge(block)
+        qt.truncate()
+        if n_bad:
+            qt.append(still_bad)
+        return n_good, n_bad
+
     def start(self, source_stream: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):
         """Attach to a streaming source of raw JSON lines (col ``value``)."""

@@ -168,3 +168,35 @@ def test_kafka_source_option_wiring():
     assert reader.fmt == "kafka"
     assert reader.opts["subscribe"] == "topic"
     assert reader.opts["kafka.bootstrap.servers"] == "b:9092"
+
+
+def test_quarantine_replay_recovers_fixed_rows(spark, tmp_path):
+    """Quarantine recovery: after an upstream fix, replayed rows flow
+    through the normal ingest path; unrecoverable rows stay parked."""
+    from pyspark.sql import functions as F
+
+    events, truth = gen_users_events(n=10, seed=44, null_probability=0.0)
+    lines = users_events_to_json_lines(events)
+    # two bad rows: one repairable (stray prefix), one hopeless
+    lines.insert(0, "GARBAGE>>" + lines[0])
+    lines.insert(1, "{{{not json")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pipeline = make_pipeline(spark, tmp_path)
+    (src / "b.json").write_text("\n".join(lines) + "\n")
+    run_available(pipeline, spark, src, tmp_path / "ckpt")
+    assert pipeline.quarantine_table.read().count() == 2
+
+    recovered, remaining = pipeline.replay_quarantine(
+        fix=lambda df: df.withColumn(
+            "value", F.regexp_replace("value", r"^GARBAGE>>", "")))
+    assert (recovered, remaining) == (1, 1)
+    assert pipeline.quarantine_table.read().count() == 1
+    # the recovered duplicate of row 0 is absorbed idempotently: final
+    # state still matches the replay truth
+    state = {r["id"]: r for r in pipeline.latest_table.latest().collect()}
+    assert len(state) == len(truth)
+    for uid, t in truth.items():
+        assert state[uid]["updated_at"] == t["updated_at"]
+    # replaying again with no fix is a no-op for the hopeless row
+    assert pipeline.replay_quarantine() == (0, 1)
