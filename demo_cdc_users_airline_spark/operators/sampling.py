@@ -56,6 +56,46 @@ def _salted_hash_sql(salt: str, key: str) -> str:
     return f"('0x' || substr(md5('{salt}' || {key}), 1, 8))::BIGINT"
 
 
+@q("corpus_vocabulary", """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token
+),
+tot AS (SELECT sum(n_occurrences) AS total FROM freq)
+SELECT token, n_occurrences,
+       CAST(n_occurrences AS DOUBLE) / (SELECT total FROM tot) AS frequency
+FROM freq
+QUALIFY row_number() OVER (ORDER BY n_occurrences DESC, token) <= 100
+""")
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace tokens with counts and
+    relative frequency — the tokenizer-training precursor (BPE seeding
+    starts from exactly this table).
+
+    Scale path: token counting is the canonical partial-aggregatable
+    groupBy (map-side combine shrinks the shuffle to |vocab| per
+    partition); the top-k is a single-reducer sort over |vocab| rows,
+    not the corpus; the grand total folds in as a broadcast scalar.
+    Integer counts + one double division — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = freq.agg(F.sum("n_occurrences")).collect()[0][0]
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (freq.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 100)
+            .select("token", "n_occurrences",
+                    (F.col("n_occurrences").cast("double")
+                     / F.lit(float(total))).alias("frequency")))
+
+
 @q("dataset_sample_split", f"""
 WITH toks AS (
   SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
