@@ -1,0 +1,79 @@
+"""Physical-plan invariants: the scale properties PLANS.md documents,
+enforced so a future change cannot silently regress them.
+
+Checks the *static* plan (AQE off, like tools/explain_audit.py) at
+sf0.001 — plan shape is data-size-independent for these queries.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from demo_cdc_users_airline_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# query -> max allowed Exchange (shuffle) operators in the static plan
+MAX_SHUFFLES = {
+    # map-only operators: NO shuffle, ever
+    "text_token_stats": 0,
+    "text_quality_score": 0,
+    "text_lang_id": 0,
+    "text_rolling_hash": 0,
+    "text_fingerprint": 0,
+    "dedup_simhash": 0,
+    "dataset_sample_split": 0,
+    "lineitem_ship_minute_projection": 0,
+    # single-shuffle keyed operators
+    "cdc_latest_row_per_key": 1,
+    "cdc_latest_state_argmax": 1,
+    "dedup_exact": 1,
+    "dedup_minhash_signatures": 1,
+    "events_asof_last_purchase": 1,
+    "events_sessionization": 2,   # window + final rollup
+    "pricing_summary": 1,
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def static_plans(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield {name: plan_text(QUERIES[name](spark, SF))
+               for name in MAX_SHUFFLES}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def shuffles_in(plan: str) -> int:
+    return plan.count("+- Exchange") + plan.count(":- Exchange")
+
+
+@pytest.mark.parametrize("name", sorted(MAX_SHUFFLES))
+def test_shuffle_budget(static_plans, name):
+    got = shuffles_in(static_plans[name])
+    assert got <= MAX_SHUFFLES[name], (
+        f"{name}: {got} shuffles in static plan, budget {MAX_SHUFFLES[name]} — "
+        "a plan regression (see PLANS.md)")
+
+
+@pytest.mark.parametrize("name", sorted(MAX_SHUFFLES))
+def test_no_cartesian_products(static_plans, name):
+    assert "CartesianProduct" not in static_plans[name], (
+        f"{name}: CartesianProduct in plan")
+
+
+def test_filters_push_to_parquet(static_plans):
+    # the projection query's filters must reach the scan
+    plan = static_plans["lineitem_ship_minute_projection"]
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "IsNotNull" in pushed or "GreaterThan" in pushed, pushed
