@@ -28,7 +28,16 @@ q, o = e.queries(), e.oracle_sql()
 assert len(rows) > 0, "entry() returned no rows"
 missing = [k for k in o if k not in q]
 assert not missing, f"oracle_sql keys without queries: {missing}"
-print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)}")
+# the driver executes EVERY query with its own vanilla session — any
+# reliance on get_spark-only confs must surface here, not in the gate
+bad = []
+for name, fn in q.items():
+    try:
+        n = fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as ex:
+        bad.append(f"{name}: {type(ex).__name__}: {ex}")
+assert not bad, "vanilla-session failures:\\n" + "\\n".join(bad)
+print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)} all vanilla-ok")
 """
 
 
