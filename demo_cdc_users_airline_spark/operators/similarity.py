@@ -206,30 +206,46 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_buckets(spark, sf_dir)
 
 
+def _sign_matrix(n_dims: int) -> list[list[float]]:
+    """The fixed ±1 hyperplane components, computed driver-side with the
+    SAME md5 derivation the oracle uses (md5(f"{plane}_{dim}") first 8
+    hex chars, even → +1). 8×n_dims values — a bounded constant."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+             else -1.0 for d in range(1, n_dims + 1)]
+            for p in range(_N_PLANES)]
+
+
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature computation is a pure per-row fold — ZERO shuffle.
+
+    The previous formulation exploded every (row, dim) and shuffled
+    ~n_dims× the row count through a groupBy; here the tiny sign matrix
+    rides a broadcast 1-row DataFrame and each signed projection folds
+    in-row through the same per-term DECIMAL(38,12) casts, so the sums
+    are value-identical (decimal addition is associative — order cannot
+    matter) and the oracle hash-match is preserved while the whole
+    operator becomes one codegen map pass.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
-    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
-    # materialize the tiny (plane × dim) sign matrix once and broadcast it —
-    # md5 runs 8×64 times total instead of once per (row, plane)
     n_dims = len(e.select("embedding").first()[0])
-    signs = (spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
-             .crossJoin(spark.range(1, n_dims + 1).select(F.col("id").cast("int").alias("dim")))
-             .select("plane", "dim",
-                     F.when(F.conv(F.substring(
-                         F.md5(F.concat_ws("_", "plane", "dim")), 1, 8), 16, 10)
-                         .cast("bigint") % 2 == 0, F.lit(1.0))
-                      .otherwise(F.lit(-1.0)).alias("sign")))
-    proj = (dims.join(F.broadcast(signs), "dim")
-            .groupBy("vec_id", "label", "plane")
-            .agg(F.sum((F.col("sign") * F.col("val")).cast("decimal(38,12)"))
-                 .cast("double").alias("dot_h")))
-    return (proj.groupBy("vec_id", "label")
-            .agg(F.sum(F.when(F.col("dot_h") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-                       .otherwise(F.lit(0))).alias("bucket")))
+    sm = spark.createDataFrame([(_sign_matrix(n_dims),)],
+                               "__signs array<array<double>>")
+    # per plane p: dot_h = Σ_dims DECIMAL(val · sign) ; bucket bit = dot_h > 0
+    bucket = F.expr(f"""
+      aggregate(sequence(0, {_N_PLANES - 1}),
+        CAST(0 AS BIGINT),
+        (acc, p) -> acc + CASE WHEN CAST(
+            aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), __signs[p],
+                               (x, s) -> CAST(x * s AS DECIMAL(38,12))),
+                      CAST(0 AS DECIMAL(38,12)),
+                      (a, v) -> CAST(a + v AS DECIMAL(38,12))) AS DOUBLE) > 0
+          THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
+          ELSE CAST(0 AS BIGINT) END)
+    """)
+    return (e.crossJoin(F.broadcast(sm))
+            .select("vec_id", "label", bucket.alias("bucket")))
 
 
 @q("similarity_lsh_neardup", f"""

@@ -23,6 +23,7 @@ MAX_SHUFFLES = {
     "text_rolling_hash": 0,
     "text_fingerprint": 0,
     "dedup_simhash": 0,
+    "similarity_lsh_buckets": 0,   # in-row signature fold, broadcast signs
     "dataset_sample_split": 0,
     "lineitem_ship_minute_projection": 0,
     # single-shuffle keyed operators
