@@ -220,10 +220,19 @@ FROM sh GROUP BY doc_id
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: 16 permutation-min aggregates per document.
 
-    Pure map + partial-aggregatable min per perm — one shuffle on doc_id,
-    signature is 16×8 bytes regardless of document size. This is the
-    stage that makes 100 TB dedup tractable: everything downstream
-    operates on signatures, never text."""
+    Explode + codegen'd hash columns + partial-aggregatable mins: the
+    shuffle moves ~one 16×8-byte row per document per map partition
+    (map-side combine collapses each doc's shingles before the wire).
+    An all-in-row HOF fold looks cheaper (zero shuffle) but measures 3×
+    SLOWER: Spark evaluates lambda bodies interpreted, outside
+    whole-stage codegen, so per-element md5/conv work belongs in
+    exploded codegen columns, not lambdas (kept as a measured lesson —
+    the opposite trade held for similarity_lsh_buckets, where the HOF
+    form deleted a 64×-row explode and two shuffles).
+
+    Signature is 16×8 bytes regardless of document size: everything
+    downstream operates on signatures, never text — the stage that
+    makes 100 TB dedup tractable."""
     return _signatures_from(_shingles(spark, sf_dir))
 
 
