@@ -326,8 +326,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-@q("dedup_simhash", r"""
-WITH toks AS (
+_SIMHASH_CTES = r"""toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
   FROM documents
 ),
@@ -339,11 +338,18 @@ votes AS (
          sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
   FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
   GROUP BY doc_id, bit
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+@q("dedup_simhash", f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sig
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 32-bit locality-sensitive signature from per-token hash
@@ -375,3 +381,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ELSE CAST(0 AS BIGINT) END),
             CAST(0 AS BIGINT), (acc, v) -> acc + v)
         """).alias("simhash"))
+
+
+# 32-bit simhash → 4 bands of 8 bits; pigeonhole: hamming ≤ 3 flips at
+# most 3 bands, so near-dup pairs ALWAYS collide on ≥1 intact band —
+# band-bucketing is exhaustive for the threshold, never all-pairs.
+_SH_BANDS, _SH_BITS, _SH_MAX_HAMMING = 4, 8, 3
+
+
+@q("dedup_simhash_pairs", f"""
+WITH {_SIMHASH_CTES},
+bands AS (
+  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & 255 AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.doc1
+JOIN sig s2 ON s2.doc_id = c.doc2
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {_SH_MAX_HAMMING}
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed candidates verified by
+    exact Hamming distance — completing the SimHash family the same way
+    dedup_minhash_lsh_pairs completes MinHash.
+
+    Scale path: the signature is the zero-shuffle dedup_simhash map;
+    banding shuffles 8-byte (band, key) rows; the verify joins touch
+    candidates only (pigeonhole-complete for hamming ≤ 3) and compare
+    single int64s — no shingles, no text, no all-pairs anywhere.
+    """
+    sig = dedup_simhash(spark, sf_dir).cache()
+    sig.count()  # shared by bands + two verify joins
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(f"(simhash >> ({_SH_BITS} * {b})) & 255").alias("band_key"))
+        for b in range(_SH_BANDS)])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+             .select("doc_id", "bd.band", "bd.band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct())
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"))
+    hamming = F.bit_count(F.expr("sh1 ^ sh2")).cast("long")
+    return (cand.join(s1, "doc1").join(s2, "doc2")
+            .select("doc1", "doc2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= _SH_MAX_HAMMING))
