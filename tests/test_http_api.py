@@ -109,3 +109,52 @@ def test_bad_param_is_a_client_error(server):
               token="secret-users")
     assert e.value.code == 400
     assert "error" in json.loads(e.value.read())
+
+
+def test_airport_registry_over_http(spark):
+    """The reference's actual dashboard queries, served end-to-end over
+    the HTTP surface (dash_airport.py consumer parity)."""
+    from demo_cdc_users_airline_spark.plans.airport import register_airport_pipes
+
+    from fixtures import (
+        BAGGAGE_DDL,
+        FLIGHTS_DDL,
+        PASSENGERS_DDL,
+        gen_airport_events,
+    )
+
+    flights, passengers, baggage = gen_airport_events(NOW)
+    reg = Registry(spark)
+    reg.add_datasource("flights_raw", spark.createDataFrame(flights, FLIGHTS_DDL))
+    reg.add_datasource("passengers_raw",
+                       spark.createDataFrame(passengers, PASSENGERS_DDL))
+    reg.add_datasource("baggage_raw", spark.createDataFrame(baggage, BAGGAGE_DDL))
+    register_airport_pipes(reg)
+    tokens = TokenRegistry([Token("Dashboard_Read", "dash-secret")])
+    srv = PipeApiServer(reg, tokens, clock=Clock.fixed(NOW)).start()
+    try:
+        for pipe in ("latest_flight_info", "flights_missed_pct_minute",
+                     "active_vs_missed_flights"):
+            status, body = fetch(f"{srv.base_url}/v0/pipes/{pipe}.json",
+                                 bearer="dash-secret")
+            assert status == 200, pipe
+            assert body["rows"] == len(body["data"])
+            assert body["meta"], pipe
+        # templated window param through HTTP, like the dashboard's start=:
+        # the series stays 61 minutes (reference numbers(61)), but the
+        # aggregate only counts events inside [start, end] — minutes
+        # before start must read 0.0
+        start_dt = NOW - datetime.timedelta(minutes=30)
+        status, body = fetch(
+            f"{srv.base_url}/v0/pipes/flights_missed_pct_minute.json"
+            f"?start={start_dt.isoformat()}",
+            bearer="dash-secret")
+        assert status == 200
+        assert body["rows"] == 61              # series length is fixed
+        for row in body["data"]:
+            t = datetime.datetime.strptime(row["time_interval"],
+                                           "%Y-%m-%d %H:%M:%S.%f")
+            if t < start_dt:
+                assert row["flights_missed_pct"] == 0.0
+    finally:
+        srv.stop()
