@@ -37,3 +37,22 @@ def test_rates_and_split_proportions(spark):
             if len(r["text"].strip().lower().split()) <= 40)
         assert by_stratum["short"] == short_total
     assert RATES_BP["short"] == 10_000
+
+
+def test_cluster_labels_are_valid_partition(spark):
+    """Cluster labels: every doc labeled, labels are cluster minima, and
+    every near-dup pair (the edges) lands in one cluster."""
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        dedup_cluster_labels,
+        dedup_simhash_pairs,
+    )
+
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_cluster_labels(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").count()
+    assert len(labels) == docs
+    assert all(cid <= d for d, cid in labels.items())   # min-label
+    assert all(labels[cid] == cid for cid in set(labels.values()))  # roots are roots
+    pairs = dedup_simhash_pairs(spark, SF).collect()
+    for p in pairs:   # at convergence every edge lies within one cluster
+        assert labels[p["doc1"]] == labels[p["doc2"]]
