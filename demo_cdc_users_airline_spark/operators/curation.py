@@ -1,0 +1,235 @@
+"""Corpus-curation operators: the stages between raw documents and a
+training set that the dedup/text/similarity families feed.
+
+- **benchmark decontamination**: flag training documents sharing ≥ N
+  distinct 3-word shingles with a held-out eval set (the 13-gram
+  overlap filter of GPT-3/Llama reports, at demo shingle width). The
+  eval set is tiny next to the corpus, so its shingle-hash set is
+  broadcast — the corpus side is one map + one broadcast probe + one
+  groupBy on doc_id; the shuffle moves 8-byte hashes, never text.
+- **sequence packing** (concat-and-chunk): documents are concatenated
+  per shard in doc_id order and split at a fixed token budget — the
+  layout LLM pretraining actually uses. Sharding makes it distributed:
+  each shard packs independently (PARTITION BY shard window), so the
+  only shuffle is the shard exchange and each task sorts one shard.
+  Global greedy bin-packing is inherently sequential; the sharded
+  concat form is the scalable equivalent (each shard emits its own
+  pack-id space).
+- **end-to-end curation verdict**: per-document retained/dropped with
+  the reason flags, composing quality scoring (text.py), exact dedup
+  (dedup.py), near-dup clustering (dedup_cluster_labels) and
+  decontamination. On a cluster this is three joins on doc_id over
+  column-pruned single-column frames — the fingerprint/cluster/flag
+  columns, never text or embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from . import dedup as _dd
+from . import text as _tx
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# the held-out "benchmark" slice: doc_id ≡ 0 (mod 97) — ~1% of docs,
+# standing in for an external eval suite table
+_BENCH_MOD = 97
+# a training doc sharing ≥ this many distinct shingle hashes with the
+# benchmark set is contaminated
+_CONTAM_MIN = 5
+
+_DECON_SQL = f"""
+WITH sh AS ({_dd._SHINGLE_SQL}),
+hh AS (SELECT doc_id, {_dd._HASH_SQL} AS hsh FROM sh),
+bench AS (SELECT DISTINCT hsh FROM hh WHERE doc_id % {_BENCH_MOD} = 0),
+marked AS (
+  SELECT h.doc_id, CASE WHEN b.hsh IS NULL THEN 0 ELSE 1 END AS hit
+  FROM hh h LEFT JOIN bench b USING (hsh)
+  WHERE h.doc_id % {_BENCH_MOD} <> 0
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles, sum(hit) AS n_overlap
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN coalesce(a.n_overlap, 0) >= {_CONTAM_MIN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % {_BENCH_MOD} <> 0
+"""
+
+
+@q("corpus_decontaminate", _DECON_SQL)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct shingle hashes appear anywhere in the benchmark slice, and
+    a contamination flag at ≥ _CONTAM_MIN shared shingles.
+
+    Scale path: the benchmark shingle-hash set is bounded by the eval
+    suite size (thousands of docs), so it broadcasts; the corpus pays
+    one shingle map + broadcast probe + one groupBy(doc_id) — 8-byte
+    hashes on the wire. Docs with < 3 tokens shingle to nothing and
+    surface with zero counts via the left join (oracle-identical)."""
+    hh = _dd._shingles(spark, sf_dir).select("doc_id", _dd._hash_col().alias("hsh"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = (hh.filter(is_bench).select("hsh").distinct()
+             .withColumn("hit", F.lit(1)))
+    agg = (hh.filter(~is_bench)
+           .join(F.broadcast(bench), "hsh", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap")))
+    return (load_table(spark, sf_dir, "documents")
+            .filter(~is_bench)
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+                F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+                F.when(F.coalesce("n_overlap", F.lit(0)) >= _CONTAM_MIN, 1)
+                 .otherwise(0).cast("long").alias("is_contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048   # tokens per training sequence
+_N_SHARDS = 64        # independent packing streams; scale with the cluster
+
+
+@q("corpus_pack_chunks", rf"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(shard * 1000000 + start_off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS pack_offset,
+       CAST(CASE WHEN start_off % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET}
+                 THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+FROM w
+""")
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per shard, documents are laid
+    end-to-end in doc_id order and cut into _PACK_BUDGET-token training
+    sequences; each doc reports the pack where it starts, its offset in
+    that pack, and whether it spans a pack boundary.
+
+    Scale path: ONE shuffle (hash on shard), then a per-shard window —
+    each of the _N_SHARDS streams packs independently, which is how
+    distributed pretraining tokenizers actually shard the corpus. A
+    single global ORDER BY would serialize on one task; the shard
+    count is the parallelism dial."""
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    (F.col("doc_id") % _N_SHARDS).alias("shard"),
+                    F.size(_tx.tokens("text")).alias("n_tokens")))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (toks.withColumn("start_off", off)
+            .select(
+                "doc_id",
+                F.col("shard").cast("long").alias("shard"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                (F.col("shard") * 1000000
+                 + F.expr(f"start_off div {_PACK_BUDGET}"))
+                .cast("long").alias("pack_id"),
+                (F.col("start_off") % _PACK_BUDGET).cast("long").alias("pack_offset"),
+                F.when(F.col("start_off") % _PACK_BUDGET + F.col("n_tokens")
+                       > _PACK_BUDGET, 1)
+                 .otherwise(0).cast("long").alias("spans_boundary")))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation verdict
+# ---------------------------------------------------------------------------
+
+# quality_score takes values {0, 1/3, 2/3, 1}; 0.6 cleanly separates
+# "at least 2 of 3 filters pass" with identical doubles in both engines
+_QUALITY_MIN = 0.6
+
+
+def _curation_oracle_sql() -> str:
+    return f"""
+WITH quality AS ({_tx.ORACLE["text_quality_score"]}),
+exact AS ({_dd.ORACLE["dedup_exact"]}),
+clusters AS ({_dd._cluster_oracle_sql()}),
+decon AS ({_DECON_SQL})
+SELECT dc.doc_id,
+       CAST(CASE WHEN qu.quality_score >= {_QUALITY_MIN} THEN 1 ELSE 0 END
+            AS BIGINT) AS quality_pass,
+       CAST(1 - ex.is_dup AS BIGINT) AS exact_canonical,
+       CAST(cl.is_canonical AS BIGINT) AS neardup_canonical,
+       CAST(1 - dc.is_contaminated AS BIGINT) AS uncontaminated,
+       CAST(CASE WHEN qu.quality_score >= {_QUALITY_MIN}
+                  AND ex.is_dup = 0 AND cl.is_canonical = 1
+                  AND dc.is_contaminated = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS retained
+FROM decon dc
+JOIN quality qu USING (doc_id)
+JOIN exact ex USING (doc_id)
+JOIN clusters cl USING (doc_id)
+"""
+
+
+@q("corpus_curation_pipeline", _curation_oracle_sql())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end: per training document (the
+    benchmark slice excluded), pass/fail flags from quality scoring,
+    exact dedup (fingerprint keeper), near-dup clustering (cluster
+    canonical) and decontamination — and the final retained verdict a
+    training-data pipeline acts on. Composes the underlying operators
+    verbatim, so each stage keeps its own oracle-exact semantics.
+
+    Scale path: every input frame is (doc_id, one small column) after
+    column pruning — the joins shuffle 16-byte rows, and the heavy
+    lifting happened inside the composed operators with their own
+    documented layouts."""
+    quality = _tx.text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    exact = _dd.dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
+    clusters = _dd.dedup_cluster_labels(spark, sf_dir).select("doc_id", "is_canonical")
+    decon = corpus_decontaminate(spark, sf_dir).select("doc_id", "is_contaminated")
+    j = (decon.join(quality, "doc_id")
+         .join(exact, "doc_id")
+         .join(clusters, "doc_id"))
+    quality_pass = F.col("quality_score") >= _QUALITY_MIN
+    retained = (quality_pass & (F.col("is_dup") == 0)
+                & (F.col("is_canonical") == 1) & (F.col("is_contaminated") == 0))
+    return j.select(
+        "doc_id",
+        F.when(quality_pass, 1).otherwise(0).cast("long").alias("quality_pass"),
+        (1 - F.col("is_dup")).cast("long").alias("exact_canonical"),
+        F.col("is_canonical").cast("long").alias("neardup_canonical"),
+        (1 - F.col("is_contaminated")).cast("long").alias("uncontaminated"),
+        F.when(retained, 1).otherwise(0).cast("long").alias("retained"))

@@ -292,3 +292,47 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(ea, "vec1").join(eb, "vec2")
             .select("vec1", "vec2", "bucket", cosine.alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage/serving compression)
+# ---------------------------------------------------------------------------
+
+@q("embedding_quantize_int8", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+  FROM embeddings
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx, scale,
+       CAST(CASE WHEN scale = 0 THEN 0
+            ELSE least(127, greatest(-127,
+                 CAST(floor(((CAST(embedding[i] AS DOUBLE) / scale) * 127) + 0.5)
+                      AS BIGINT)))
+       END AS BIGINT) AS q
+FROM ex
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, each
+    component maps to round(x / scale · 127) clamped to ±127 — the 4×
+    storage/bandwidth compression an embedding store applies before
+    ANN serving. Rounding is floor(v + 0.5): identical IEEE doubles in
+    both engines (SQL round() half-away vs half-even varies by engine).
+
+    Scale path: a pure per-row map, zero shuffle. The gate emits one
+    row per (vec_id, dim) so every quantized component is value-checked;
+    the production form keeps the int8 array in-row (the exploded and
+    in-row forms share the same per-element expression)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", F.abs)).cast("double")
+    ex = (e.select("vec_id", scale.alias("scale"),
+                   F.posexplode("embedding").alias("dim_idx", "x")))
+    qv = F.floor(((F.col("x").cast("double") / F.col("scale")) * 127) + 0.5) \
+          .cast("long")
+    return ex.select(
+        "vec_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "scale",
+        F.when(F.col("scale") == 0, 0)
+         .otherwise(F.least(F.lit(127), F.greatest(F.lit(-127), qv)))
+         .cast("long").alias("q"))

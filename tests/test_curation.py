@@ -1,0 +1,69 @@
+"""Curation-operator invariants: decontamination, sequence packing,
+int8 quantization, and the end-to-end retained verdict."""
+
+from demo_cdc_users_airline_spark.operators.curation import (
+    _BENCH_MOD,
+    _CONTAM_MIN,
+    _PACK_BUDGET,
+    corpus_curation_pipeline,
+    corpus_decontaminate,
+    corpus_pack_chunks,
+)
+from demo_cdc_users_airline_spark.operators.similarity import (
+    embedding_quantize_int8,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_decontaminate_excludes_bench_and_bounds_overlap(spark):
+    rows = corpus_decontaminate(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    n_bench = sum(1 for r in load_table(spark, SF, "documents")
+                  .select("doc_id").collect() if r[0] % _BENCH_MOD == 0)
+    assert len(rows) == n_docs - n_bench
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert r["is_contaminated"] == int(r["n_overlap"] >= _CONTAM_MIN)
+
+
+def test_pack_chunks_layout(spark):
+    rows = corpus_pack_chunks(spark, SF).collect()
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["pack_offset"] < _PACK_BUDGET
+        assert r["spans_boundary"] == int(
+            r["pack_offset"] + r["n_tokens"] > _PACK_BUDGET)
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in docs:  # offsets are exactly the running concat position
+            assert r["pack_id"] == shard * 1000000 + off // _PACK_BUDGET
+            assert r["pack_offset"] == off % _PACK_BUDGET
+            off += r["n_tokens"]
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    rows = embedding_quantize_int8(spark, SF).collect()
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_table(spark, SF, "embeddings").collect()}
+    dim = len(next(iter(emb.values())))
+    assert len(rows) == len(emb) * dim
+    for r in rows[:2000]:
+        assert -127 <= r["q"] <= 127
+        x = emb[r["vec_id"]][r["dim_idx"]]
+        if r["scale"] > 0:  # dequantized value within half a step
+            assert abs(x - r["q"] * r["scale"] / 127) <= r["scale"] / 127
+
+
+def test_curation_verdict_is_conjunction(spark):
+    rows = corpus_curation_pipeline(spark, SF).collect()
+    assert rows and any(r["retained"] == 1 for r in rows)
+    assert any(r["retained"] == 0 for r in rows)
+    for r in rows:
+        assert r["retained"] == (r["quality_pass"] & r["exact_canonical"]
+                                 & r["neardup_canonical"] & r["uncontaminated"])
