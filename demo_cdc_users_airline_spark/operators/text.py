@@ -12,7 +12,7 @@ engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
@@ -237,3 +237,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("bag_fingerprint"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# learned char-n-gram language ID (the scale path past _LANG_MARKERS)
+# ---------------------------------------------------------------------------
+
+_PROFILE_K = 200  # trigrams kept per language profile
+
+
+@q("text_lang_id_ngram", f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(trim(text)) AS s FROM documents
+),
+tg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+                               i -> substr(s, i, 3))) AS tri
+  FROM base WHERE length(s) >= 3
+),
+doc_tg AS (SELECT doc_id, tri, count(*) AS cnt FROM tg GROUP BY 1, 2),
+lang_tg AS (SELECT lang, tri, count(*) AS cnt FROM tg GROUP BY 1, 2),
+prof AS (
+  SELECT lang, tri FROM lang_tg
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, tri) <= {_PROFILE_K}
+),
+grid AS (
+  SELECT d.doc_id, l.lang AS cand_lang
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+),
+scores AS (
+  SELECT dt.doc_id, p.lang AS cand_lang, sum(dt.cnt) AS score
+  FROM doc_tg dt JOIN prof p ON p.tri = dt.tri
+  GROUP BY 1, 2
+),
+filled AS (
+  SELECT g.doc_id, g.cand_lang, coalesce(s.score, 0) AS score
+  FROM grid g LEFT JOIN scores s
+    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
+)
+SELECT f.doc_id, d.lang AS actual_lang, f.cand_lang AS pred_lang,
+       CAST(f.score AS BIGINT) AS best_score
+FROM filled f JOIN documents d USING (doc_id)
+QUALIFY row_number() OVER (PARTITION BY f.doc_id
+                           ORDER BY f.score DESC, f.cand_lang) = 1
+""")
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned char-trigram language ID: per-language profiles (top-K
+    trigrams by corpus frequency, deterministic count-then-trigram
+    order) are learned FROM the documents table, then every document is
+    scored by how much of its trigram mass lands in each profile;
+    argmax with (score desc, lang) total order. This replaces
+    text_lang_id's fixed demo marker lists with the fastText-style
+    learned-profile shape. (On this synthetic corpus the lang label
+    carries little content signal — measured 0.38 accuracy vs 0.29 for
+    the fixed markers and 0.44 majority class; ppm-weighted and
+    global-discounted variants measured WORSE, so membership top-K is
+    kept. On real multilingual text the same dataflow is the standard
+    high-accuracy design.)
+
+    Scale path: profile learning is one groupBy(lang, trigram) + a
+    per-language top-K window — the result is n_langs × K rows, a
+    broadcast constant. Scoring re-aggregates per (doc, trigram) BEFORE
+    the probe (map-side combine bounds rows at distinct trigrams per
+    doc), probes the broadcast profile, and reduces per (doc, lang) —
+    no shuffle ever carries raw text, and the candidate grid guarantees
+    an all-zero doc still classifies deterministically."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("s"))
+    tg = (base.filter(F.length("s") >= 3)
+          .select("doc_id", "lang", F.explode(F.expr(
+              "transform(sequence(1, length(s) - 2),"
+              " i -> substring(s, i, 3))")).alias("tri")))
+    doc_tg = tg.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tg = tg.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    wk = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
+    prof = (lang_tg.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= _PROFILE_K)
+            .select(F.col("lang").alias("cand_lang"), "tri"))
+    scores = (doc_tg.join(F.broadcast(prof), "tri")
+              .groupBy("doc_id", "cand_lang").agg(F.sum("cnt").alias("score")))
+    grid = (d.select("doc_id").distinct()
+            .crossJoin(F.broadcast(
+                d.select(F.col("lang").alias("cand_lang")).distinct())))
+    filled = (grid.join(scores, ["doc_id", "cand_lang"], "left")
+              .select("doc_id", "cand_lang",
+                      F.coalesce("score", F.lit(0)).alias("score")))
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                              F.col("cand_lang"))
+    return (filled.join(d.select("doc_id", F.col("lang").alias("actual_lang")),
+                        "doc_id")
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "actual_lang",
+                    F.col("cand_lang").alias("pred_lang"),
+                    F.col("score").cast("long").alias("best_score")))
