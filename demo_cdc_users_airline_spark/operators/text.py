@@ -264,25 +264,21 @@ prof AS (
                              ORDER BY cnt DESC, tri) <= {_PROFILE_K}
 ),
 grid AS (
-  SELECT d.doc_id, l.lang AS cand_lang
-  FROM (SELECT DISTINCT doc_id FROM documents) d
+  SELECT d.doc_id, d.lang AS actual_lang, l.lang AS cand_lang
+  FROM documents d
   CROSS JOIN (SELECT DISTINCT lang FROM documents) l
 ),
 scores AS (
   SELECT dt.doc_id, p.lang AS cand_lang, sum(dt.cnt) AS score
   FROM doc_tg dt JOIN prof p ON p.tri = dt.tri
   GROUP BY 1, 2
-),
-filled AS (
-  SELECT g.doc_id, g.cand_lang, coalesce(s.score, 0) AS score
-  FROM grid g LEFT JOIN scores s
-    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
 )
-SELECT f.doc_id, d.lang AS actual_lang, f.cand_lang AS pred_lang,
-       CAST(f.score AS BIGINT) AS best_score
-FROM filled f JOIN documents d USING (doc_id)
-QUALIFY row_number() OVER (PARTITION BY f.doc_id
-                           ORDER BY f.score DESC, f.cand_lang) = 1
+SELECT g.doc_id, g.actual_lang, g.cand_lang AS pred_lang,
+       CAST(coalesce(s.score, 0) AS BIGINT) AS best_score
+FROM grid g LEFT JOIN scores s
+  ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
+QUALIFY row_number() OVER (PARTITION BY g.doc_id
+                           ORDER BY coalesce(s.score, 0) DESC, g.cand_lang) = 1
 """)
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned char-trigram language ID: per-language profiles (top-K
@@ -319,17 +315,17 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("lang").alias("cand_lang"), "tri"))
     scores = (doc_tg.join(F.broadcast(prof), "tri")
               .groupBy("doc_id", "cand_lang").agg(F.sum("cnt").alias("score")))
-    grid = (d.select("doc_id").distinct()
+    # the ×n_langs candidate grid carries actual_lang along, so no second
+    # pass over documents is needed after scoring (one big-side scan total)
+    grid = (d.select("doc_id", F.col("lang").alias("actual_lang"))
             .crossJoin(F.broadcast(
                 d.select(F.col("lang").alias("cand_lang")).distinct())))
     filled = (grid.join(scores, ["doc_id", "cand_lang"], "left")
-              .select("doc_id", "cand_lang",
+              .select("doc_id", "actual_lang", "cand_lang",
                       F.coalesce("score", F.lit(0)).alias("score")))
     wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
                                               F.col("cand_lang"))
-    return (filled.join(d.select("doc_id", F.col("lang").alias("actual_lang")),
-                        "doc_id")
-            .withColumn("__rn", F.row_number().over(wr))
+    return (filled.withColumn("__rn", F.row_number().over(wr))
             .filter(F.col("__rn") == 1)
             .select("doc_id", "actual_lang",
                     F.col("cand_lang").alias("pred_lang"),

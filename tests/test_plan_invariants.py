@@ -26,14 +26,21 @@ MAX_SHUFFLES = {
     "similarity_lsh_buckets": 0,   # in-row signature fold, broadcast signs
     "dataset_sample_split": 0,
     "lineitem_ship_minute_projection": 0,
+    "embedding_quantize_int8": 0,
     # single-shuffle keyed operators
     "cdc_latest_row_per_key": 1,
     "cdc_latest_state_argmax": 1,
     "dedup_exact": 1,
     "dedup_minhash_signatures": 1,
+    "dedup_simhash_pairs": 1,     # band exchange; verify joins broadcast
     "events_asof_last_purchase": 1,
     "events_sessionization": 2,   # window + final rollup
     "pricing_summary": 1,
+    "corpus_pack_chunks": 1,      # the shard exchange, then per-shard window
+    "corpus_decontaminate": 2,    # shingle groupBy + final doc join
+    # multi-stage compositions: budget = sum of the composed stages
+    "corpus_curation_pipeline": 6,
+    "text_lang_id_ngram": 7,
 }
 
 
