@@ -2,13 +2,13 @@
 
 from __future__ import annotations
 
-from . import (curation, dedup, kmeans_ivf, multimodal, sampling, similarity,
-               temporal, text)
+from . import (curation, dedup, kmeans_ivf, multimodal, pq, sampling,
+               similarity, temporal, text)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
 for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling, temporal,
-            curation):
+            curation, pq):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

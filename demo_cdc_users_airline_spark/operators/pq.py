@@ -1,0 +1,272 @@
+"""Product quantization (PQ) over the embedding column — the
+compression tier of a web-scale ANN stack (IVF selects cells,
+PQ compresses residents to M byte codes, ADC scans codes).
+
+Each 64-dim vector splits into M=8 subspaces of 8 dims; a K=16-word
+codebook is learned PER subspace with deterministic Lloyd iterations,
+and every vector encodes as 8 codes (4 bits each here) — a 64×
+compression of the float vector. Search uses Asymmetric Distance
+Computation: the query precomputes a (sub, code) → distance lookup
+table against the codebook, and each candidate's distance is the sum
+of M table lookups — no float vector is ever read at scan time.
+
+Spark-first layout:
+- ALL subspaces train simultaneously: vectors explode to (id, sub,
+  subvec) once, and each Lloyd iteration is ONE shuffle keyed
+  (sub, cell, dim) for every subspace together — not M sequential
+  fits. Assignment is a map over a broadcast codebook (M·K·8 int64s).
+- The ADC lookup table is queries × codebook — bounded by the query
+  batch, broadcast; the candidate scan reads only the int code table
+  (n·M rows of three small ints), groupBy (query, vector) sums M
+  lookups. At 100 TB the float embeddings are touched once at encode
+  time; every search after that scans bytes.
+
+Cross-engine exactness: the kmeans_ivf.py fixed-point discipline —
+micro-unit floor quantization up front, then pure int64 arithmetic
+(squared distances, argmin (d2, cid) tie-breaks, floor'd means), so
+the whole train→encode→search pipeline unrolls into DuckDB CTEs and
+hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import cached_scalar, load_table
+from .kmeans_ivf import SCALE
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+M_SUB = 8      # subspaces
+SUB_DIM = 8    # dims per subspace (M_SUB · SUB_DIM = embedding dim)
+K_SUB = 16     # codewords per subspace (4-bit codes)
+PQ_ITERS = 3   # Lloyd iterations
+N_QUERIES = 8  # ADC query batch: vec_id < 8
+ADC_TOPK = 5
+
+
+def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, sub, svec: array<bigint>) — micro-unit subvectors, cached
+    (the Lloyd loop scans them 2×iters times)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select(
+        F.col("vec_id").alias("id"),
+        F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+               f" x -> CAST(FLOOR(x * {SCALE}.0D) AS BIGINT))").alias("vec"))
+    return (vq.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {M_SUB - 1}),"
+            f" s -> struct(s AS sub, slice(vec, s * {SUB_DIM} + 1, {SUB_DIM})"
+            f" AS svec))")).alias("sv"))
+        .select("id", F.col("sv.sub").alias("sub"), F.col("sv.svec").alias("svec"))
+        .cache())
+
+
+Codebook = list[tuple[int, int, list[int]]]  # (sub, cid, centroid)
+
+
+def _codebook_df(spark: SparkSession, codebook: Codebook) -> DataFrame:
+    return spark.createDataFrame(
+        [([(int(s), int(c), [int(x) for x in v]) for s, c, v in codebook],)],
+        "__cents array<struct<sub:int,cid:int,cvec:array<bigint>>>")
+
+
+def _pq_assign(subv: DataFrame, codebook: Codebook) -> DataFrame:
+    """+ (cell, q_err): per (id, sub) argmin codeword — a pure map over
+    the broadcast codebook, tie-broken by (d2, cid)."""
+    cb = _codebook_df(subv.sparkSession, codebook)
+    best = F.expr(
+        "array_min(transform(filter(__cents, c -> c.sub = sub), c -> struct("
+        "aggregate(zip_with(svec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        " c.cid AS cid)))")
+    return (subv.crossJoin(F.broadcast(cb))
+            .withColumn("__best", best)
+            .select("id", "sub", "svec",
+                    F.col("__best.cid").alias("cell"),
+                    F.col("__best.d2").alias("q_err")))
+
+
+def _pq_update(assigned: DataFrame) -> Codebook:
+    """Per (sub, cell, dim) floor'd integer means — ONE shuffle updates
+    every subspace's codebook together."""
+    dims = assigned.select("sub", "cell", F.posexplode("svec").alias("dim", "val"))
+    means = (dims.groupBy("sub", "cell", "dim")
+             .agg(F.floor(F.sum("val").cast("double")
+                          / F.count(F.lit(1))).alias("m")))
+    by_key: dict[tuple[int, int], list[int]] = {}
+    for r in means.collect():
+        by_key.setdefault((r["sub"], r["cell"]), [0] * SUB_DIM)[r["dim"]] = r["m"]
+    return sorted((s, c, v) for (s, c), v in by_key.items())
+
+
+def pq_fit(subv: DataFrame) -> Codebook:
+    """Deterministic Lloyd per subspace: init = first K_SUB vectors'
+    subvectors (cid i ← vector i), then PQ_ITERS assign/update rounds."""
+    init = (subv.filter(F.col("id") < K_SUB).orderBy("id", "sub").collect())
+    ids = sorted({r["id"] for r in init})
+    cid_of = {v: i for i, v in enumerate(ids)}
+    codebook: Codebook = sorted(
+        (r["sub"], cid_of[r["id"]], [int(x) for x in r["svec"]]) for r in init)
+    for _ in range(PQ_ITERS):
+        codebook = _pq_update(_pq_assign(subv, codebook))
+    return codebook
+
+
+def fitted_pq_codebook(spark: SparkSession, sf_dir: str) -> Codebook:
+    """Memoized per (session, dataset) — the persisted training artifact
+    every encode/search call reuses (same lifecycle as the IVF
+    codebook)."""
+    return cached_scalar(
+        spark, sf_dir, f"pq_codebook_m{M_SUB}_k{K_SUB}_i{PQ_ITERS}",
+        lambda: pq_fit(_subvectors(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# oracle: the whole train→encode pipeline unrolled into DuckDB CTEs
+# --------------------------------------------------------------------------
+
+def _pq_ctes() -> str:
+    """Unrolled per-subspace Lloyd, ending at ``codes(vec_id, sub, code,
+    q_err)``. Init mirrors pq_fit: codeword cid of subspace s is vector
+    cid's s-th subvector (vec_ids 0..K-1 are dense in the testdata, and
+    the rank-based init below matches pq_fit's order exactly)."""
+    d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
+    parts = [f"""dims AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {SUB_DIM} AS sub,
+         (generate_subscripts(embedding, 1) - 1) % {SUB_DIM} AS sdim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {K_SUB})
+),
+cent0 AS (
+  SELECT d.sub, i.cid, d.sdim, d.val FROM init i JOIN dims d USING (vec_id)
+)"""]
+    for it in range(1, PQ_ITERS + 1):
+        parts.append(f"""d{it} AS (
+  SELECT v.vec_id, v.sub, c.cid, {d2} AS d2
+  FROM dims v JOIN cent{it - 1} c ON c.sub = v.sub AND c.sdim = v.sdim
+  GROUP BY 1, 2, 3
+),
+asg{it} AS (
+  SELECT vec_id, sub, cid AS cell FROM d{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
+),
+cent{it} AS (
+  SELECT s.sub, s.cell AS cid, d.sdim,
+         CAST(floor(CAST(sum(d.val) AS DOUBLE) / count(*)) AS BIGINT) AS val
+  FROM asg{it} s JOIN dims d ON d.vec_id = s.vec_id AND d.sub = s.sub
+  GROUP BY 1, 2, 3
+)""")
+    parts.append(f"""dfin AS (
+  SELECT v.vec_id, v.sub, c.cid, {d2} AS d2
+  FROM dims v JOIN cent{PQ_ITERS} c ON c.sub = v.sub AND c.sdim = v.sdim
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code, d2 AS q_err FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
+)""")
+    return ",\n".join(parts)
+
+
+@q("similarity_pq_codes", "WITH " + _pq_ctes() + """
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       q_err AS q_err_micro2
+FROM codes""")
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: train the per-subspace codebooks, then emit every
+    vector's M codes with per-subspace quantization error. The code
+    table (three small ints per row, 4-bit codes in production packing)
+    is what ANN serving scans instead of float vectors — 64× smaller.
+
+    Scale path: training shuffles (sub, cell, dim) partial aggregates
+    (one exchange per iteration for ALL subspaces); encoding is a
+    map over the broadcast codebook; nothing ever shuffles a float
+    vector."""
+    subv = _subvectors(spark, sf_dir)
+    codebook = fitted_pq_codebook(spark, sf_dir)
+    return (_pq_assign(subv, codebook)
+            .select(F.col("id").alias("vec_id"),
+                    F.col("sub").cast("long").alias("sub"),
+                    F.col("cell").cast("long").alias("code"),
+                    F.col("q_err").alias("q_err_micro2")))
+
+
+@q("similarity_pq_adc_topk", "WITH " + _pq_ctes() + f""",
+qdims AS (SELECT * FROM dims WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         sum((q.val - c.val) * (q.val - c.val))::BIGINT AS d2
+  FROM qdims q JOIN cent{PQ_ITERS} c ON c.sub = q.sub AND c.sdim = q.sdim
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.d2) AS adc_d2
+  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}""")
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by Asymmetric Distance Computation: each query builds a
+    (sub, code) → squared-distance lookup table against the trained
+    codebook (M·K ints per query — broadcast), then every candidate's
+    approximate distance is the sum of M lookups over its code row.
+    Top-k per query by (distance, neighbor_id) total order.
+
+    Scale path: the scan side touches ONLY the int code table; the LUT
+    is bounded by the query batch (M·K rows per query); one groupBy
+    (query, neighbor) sums the M lookup terms with map-side combine.
+    Integer end-to-end ⇒ hash-exact against the unrolled oracle."""
+    subv = _subvectors(spark, sf_dir)
+    codebook = fitted_pq_codebook(spark, sf_dir)
+    codes = (_pq_assign(subv, codebook)
+             .select(F.col("id").alias("neighbor_id"), "sub",
+                     F.col("cell").alias("code")))
+    # LUT: query subvectors × this sub's codewords (map over the same
+    # broadcast codebook, then explode the per-sub candidate structs)
+    cb = _codebook_df(spark, codebook)
+    lut = (subv.filter(F.col("id") < N_QUERIES)
+           .crossJoin(F.broadcast(cb))
+           .select(F.col("id").alias("query_id"), "sub",
+                   F.explode(F.expr(
+                       "transform(filter(__cents, c -> c.sub = sub),"
+                       " c -> struct(c.cid AS cid,"
+                       " aggregate(zip_with(svec, c.cvec,"
+                       " (x, y) -> (x - y) * (x - y)),"
+                       " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
+                   .alias("e"))
+           .select("query_id", F.col("sub").alias("lsub"),
+                   F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
+    adc = (codes.join(F.broadcast(lut),
+                      (F.col("sub") == F.col("lsub"))
+                      & (F.col("code") == F.col("cid"))
+                      & (F.col("neighbor_id") != F.col("query_id")))
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("d2").alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.select("query_id", "neighbor_id",
+                       F.col("adc_d2").cast("long").alias("adc_d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= ADC_TOPK)
+            .drop("__rn"))

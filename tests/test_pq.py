@@ -1,0 +1,54 @@
+"""Product-quantization invariants: codebook shape, code coverage,
+and ADC approximation quality vs exact distances."""
+
+import math
+
+from demo_cdc_users_airline_spark.operators.pq import (
+    ADC_TOPK,
+    K_SUB,
+    M_SUB,
+    N_QUERIES,
+    SUB_DIM,
+    fitted_pq_codebook,
+    similarity_pq_adc_topk,
+    similarity_pq_codes,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_codebook_shape_and_codes_cover_all_vectors(spark):
+    cb = fitted_pq_codebook(spark, SF)
+    assert all(len(v) == SUB_DIM for _, _, v in cb)
+    subs = {s for s, _, _ in cb}
+    assert subs == set(range(M_SUB))
+    # ≤ K codewords per subspace (cells can empty out, never grow)
+    for s in subs:
+        cids = [c for cs, c, _ in cb if cs == s]
+        assert len(cids) == len(set(cids)) <= K_SUB
+
+    rows = similarity_pq_codes(spark, SF).collect()
+    n_vec = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == n_vec * M_SUB
+    assert all(0 <= r["code"] < K_SUB and r["q_err_micro2"] >= 0 for r in rows)
+
+
+def test_adc_approximates_exact_l2_ranking(spark):
+    """ADC top-k must substantially overlap the exact L2 top-k — the
+    recall property PQ exists to provide (codes are lossy, so exact
+    equality is not expected)."""
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_table(spark, SF, "embeddings").collect()}
+    got = similarity_pq_adc_topk(spark, SF).collect()
+    assert len(got) == N_QUERIES * ADC_TOPK
+    hits = total = 0
+    for qid in range(N_QUERIES):
+        exact = sorted(
+            (math.dist(emb[qid], emb[v]), v) for v in emb if v != qid)
+        exact_top = {v for _, v in exact[:ADC_TOPK * 4]}
+        adc_top = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+        assert len(adc_top) == ADC_TOPK
+        hits += len(adc_top & exact_top)
+        total += ADC_TOPK
+    assert hits / total >= 0.5, f"ADC recall@4k {hits}/{total}"
