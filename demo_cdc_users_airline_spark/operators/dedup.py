@@ -326,17 +326,28 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_CTES = r"""toks AS (
+# 60-bit signature: the canonical web-dedup config is 64-bit fingerprints
+# with hamming ≤ 3 (Manku et al., WWW'07); 60 bits (15 hex nibbles) keeps
+# the per-token hash inside SIGNED int64 range on every engine while
+# preserving the banding math. The 32-bit original collided 8-bit band
+# keys so hard on this corpus that candidates approached all-pairs
+# (measured 2.5 M candidates / 83 k "near-dup" pairs at sf0.1; at 60 bits:
+# 272 k candidates, 512 pairs — banding selective again, pairs strict).
+_SH_TOTAL_BITS, _SH_HEX = 60, 15
+_SH_BANDS, _SH_BITS, _SH_MAX_HAMMING = 4, 15, 3
+_SH_MASK = (1 << _SH_BITS) - 1
+
+_SIMHASH_CTES = rf"""toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
   FROM documents
 ),
 th AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, {_SH_HEX}))::BIGINT AS th FROM toks
 ),
 votes AS (
   SELECT doc_id, bit,
          sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-  FROM th CROSS JOIN (SELECT unnest(range(32)) AS bit)
+  FROM th CROSS JOIN (SELECT unnest(range({_SH_TOTAL_BITS})) AS bit)
   GROUP BY doc_id, bit
 ),
 sig AS (
@@ -352,47 +363,48 @@ WITH {_SIMHASH_CTES}
 SELECT doc_id, simhash FROM sig
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 32-bit locality-sensitive signature from per-token hash
-    bit votes. Near-dups then cluster by small Hamming distance on the
-    signature (bucket on bit-slices at scale, same LSH layout as MinHash).
+    """SimHash: 60-bit locality-sensitive signature from per-token hash
+    bit votes (the Manku-style web-dedup fingerprint). Near-dups then
+    cluster by small Hamming distance on the signature (bucket on
+    bit-slices at scale, same LSH layout as MinHash).
 
     Dataflow: a single per-row higher-order-function fold — token hashes
-    accumulate a 32-counter vote array (``aggregate`` + ``zip_with``),
+    accumulate a 60-counter vote array (``aggregate`` + ``zip_with``),
     then the sign pattern packs into the signature. ZERO shuffle: the
-    whole operator is map-side whole-stage codegen, so at 100 TB it
-    scales as one pass over the documents (the naive explode×32-bits
-    formulation shuffles 32× the token count; the oracle uses it —
-    integer votes are exact, so both forms agree bit-for-bit)."""
+    whole operator is map-side, so at 100 TB it scales as one pass over
+    the documents (the naive explode×60-bits formulation shuffles 60×
+    the token count and measures 2× slower at sf0.1 despite codegen;
+    the oracle uses it — integer votes are exact, so both forms agree
+    bit-for-bit)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.expr("""
+        F.expr(f"""
           aggregate(
             zip_with(
               aggregate(
                 transform(split(lower(trim(text)), '\\\\s+'),
-                          t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
-                array_repeat(CAST(0 AS BIGINT), 32),
-                (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), 31),
+                          t -> CAST(conv(substring(md5(t), 1, {_SH_HEX}), 16, 10) AS BIGINT)),
+                array_repeat(CAST(0 AS BIGINT), {_SH_TOTAL_BITS}),
+                (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
                                       (a, b) -> a + CASE WHEN (th >> b) & 1 = 1
                                                     THEN 1 ELSE -1 END)),
-              sequence(CAST(0 AS BIGINT), 31),
+              sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
               (vote, bit) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
                                   ELSE CAST(0 AS BIGINT) END),
             CAST(0 AS BIGINT), (acc, v) -> acc + v)
         """).alias("simhash"))
 
 
-# 32-bit simhash → 4 bands of 8 bits; pigeonhole: hamming ≤ 3 flips at
+# 60-bit simhash → 4 bands of 15 bits; pigeonhole: hamming ≤ 3 flips at
 # most 3 bands, so near-dup pairs ALWAYS collide on ≥1 intact band —
 # band-bucketing is exhaustive for the threshold, never all-pairs.
-_SH_BANDS, _SH_BITS, _SH_MAX_HAMMING = 4, 8, 3
 
 
 @q("dedup_simhash_pairs", f"""
 WITH {_SIMHASH_CTES},
 bands AS (
-  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & 255 AS band_key
+  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & {_SH_MASK} AS band_key
   FROM sig CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS band) b
 ),
 cand AS (
@@ -422,7 +434,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.count()  # shared by bands + two verify joins
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.expr(f"(simhash >> ({_SH_BITS} * {b})) & 255").alias("band_key"))
+                 F.expr(f"(simhash >> ({_SH_BITS} * {b})) & {_SH_MASK}").alias("band_key"))
         for b in range(_SH_BANDS)])
     bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
              .select("doc_id", "bd.band", "bd.band_key"))
@@ -457,7 +469,7 @@ def _cluster_oracle_sql() -> str:
     near-dup edges."""
     parts = [f"""{_SIMHASH_CTES},
 bands AS (
-  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & 255 AS band_key
+  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & {_SH_MASK} AS band_key
   FROM sig CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS band) b
 ),
 cand AS (
