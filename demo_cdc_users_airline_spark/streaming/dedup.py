@@ -1,0 +1,62 @@
+"""Streaming exact dedup: first-writer-wins on a content fingerprint,
+continuously.
+
+The batch dedup family (operators/dedup.py) answers "which documents
+in this corpus are duplicates"; a training-data INGEST pipeline needs
+the streaming form — as documents arrive, keep the first occurrence of
+each content fingerprint and drop every later one, across micro-batch
+boundaries and restarts.
+
+Spark-first: the fingerprint is a map-side md5 (identical to
+dedup_exact's), and the cross-batch memory is Structured Streaming's
+own ``dropDuplicates`` state store — no hand-rolled state table. Per
+micro-batch this is one shuffle on the 16-byte fingerprint; the state
+store holds one entry per DISTINCT fingerprint ever seen (unbounded by
+design, like the CDC entity state — a corpus's identity set IS its
+state; use ``dropDuplicatesWithinWatermark`` instead when ingest-time
+re-sends are the only duplicate source and state must stay bounded).
+
+At 100 TB: state is hash-partitioned across executors with the same
+fingerprint shuffle the batch operator uses; RocksDB state backend
+keeps it off-heap; nothing ever shuffles document text — the
+fingerprint travels, the payload rides along only for kept rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import AppendTable
+
+
+@dataclass
+class StreamingExactDedup:
+    """documents stream → append-only table of first-seen documents.
+
+    Restart-safe: the checkpoint persists both source offsets and the
+    fingerprint state store, so a restarted query neither re-emits nor
+    re-admits a previously seen fingerprint (verified in
+    tests/test_streaming_dedup.py)."""
+
+    out_table: AppendTable
+
+    @staticmethod
+    def plan(docs: DataFrame) -> DataFrame:
+        """fingerprint + built-in stateful dedup (dedup_exact's map-side
+        hash; dropDuplicates supplies the cross-batch seen-set)."""
+        return (docs.withColumn(
+                    "fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
+                .dropDuplicates(["fingerprint"]))
+
+    def start(self, docs: DataFrame, checkpoint_dir: str,
+              trigger_once: bool = False):
+        writer = (self.plan(docs).writeStream
+                  .outputMode("append")
+                  .foreachBatch(lambda df, _id: self.out_table.append(df))
+                  .option("checkpointLocation", checkpoint_dir))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

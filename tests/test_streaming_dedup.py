@@ -1,0 +1,61 @@
+"""Streaming exact dedup: first-writer-wins across micro-batches and
+restarts, via the built-in dropDuplicates state store."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from demo_cdc_users_airline_spark.sources.tables import AppendTable
+from demo_cdc_users_airline_spark.streaming.dedup import StreamingExactDedup
+
+SCHEMA = T.StructType([T.StructField("doc_id", T.LongType()),
+                       T.StructField("text", T.StringType())])
+
+
+def write_docs(path, docs):
+    path.write_text("\n".join(json.dumps({"doc_id": i, "text": t})
+                              for i, t in docs) + "\n")
+
+
+def source(spark, directory):
+    return (spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(directory))
+            .select(F.from_json(F.col("value"), SCHEMA).alias("j"))
+            .select("j.doc_id", "j.text"))
+
+
+def run_once(spark, dedup, src_dir, ckpt):
+    q = dedup.start(source(spark, src_dir), str(ckpt), trigger_once=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_first_writer_wins_across_batches_and_restart(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out = AppendTable(spark, str(tmp_path / "kept"))
+    dedup = StreamingExactDedup(out_table=out)
+
+    # batch a: unique texts (one internal dup pair: docs 2+3 same text);
+    # batch b: re-sends doc 1's text (cross-batch dup) + one new text
+    write_docs(src / "a.json", [(1, "alpha beta"), (2, "gamma delta"),
+                                (3, "gamma delta"), (4, "epsilon")])
+    write_docs(src / "b.json", [(11, "alpha beta"), (12, "zeta eta")])
+    run_once(spark, dedup, src, tmp_path / "ckpt")
+
+    rows = {r["fingerprint"]: r for r in out.read().collect()}
+    assert len(rows) == 4  # alpha/gamma/epsilon/zeta — each exactly once
+    texts = {r["text"] for r in rows.values()}
+    assert texts == {"alpha beta", "gamma delta", "epsilon", "zeta eta"}
+    # cross-batch: batch a's writer won for "alpha beta"
+    alpha = next(r for r in rows.values() if r["text"] == "alpha beta")
+    assert alpha["doc_id"] == 1
+
+    # restart with a new file: the state store still remembers everything
+    write_docs(src / "c.json", [(21, "epsilon"), (22, "theta iota")])
+    run_once(spark, dedup, src, tmp_path / "ckpt")
+    rows2 = out.read().collect()
+    assert len(rows2) == 5  # only "theta iota" was admitted
+    assert sum(1 for r in rows2 if r["text"] == "epsilon") == 1
