@@ -142,6 +142,13 @@ def main() -> int:
     llm_probes = [
         ("dedup_ngram_jaccard", build_scaled_documents),
         ("similarity_neardup_cosine", build_scaled_embeddings),
+        # iterative BSP connected components: per-copy cluster structure
+        # constant, rounds bounded by (unchanged) component diameter —
+        # flat rows/s = the per-round shuffles scale linearly
+        ("dedup_cluster_labels", build_scaled_documents),
+        # PQ train+encode: one shuffle per Lloyd iteration regardless of
+        # row count; flat rows/s = training is scan-bound, not state-bound
+        ("similarity_pq_codes", build_scaled_embeddings),
     ]
     llm_rows = []
     for name, builder in llm_probes:
