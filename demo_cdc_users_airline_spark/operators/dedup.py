@@ -456,12 +456,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup clustering (pairs -> cluster labels -> canonical docs)
 # ---------------------------------------------------------------------------
 
-_LP_ROUNDS = 6  # propagate+jump rounds: reach grows geometrically (~2^r),
-# so 6 rounds converge any component of diameter ≲ 64 — measured max ≈ 10
-# on the testdata, but 4 rounds left unmerged roots on one sf0.001
-# component (branchy shapes slow the min's travel), so keep 2 rounds of
-# headroom. Web-scale graphs use the same alternation to log-diameter
-# depth, or large/small-star.
+_LP_ROUNDS = 9  # propagate+jump rounds. Reach is FIBONACCI, not 2^r:
+# propagate extends by one edge hop, the jump composes the label chain
+# built two rounds back, so reach_r ≈ reach_(r-1) + reach_(r-2)
+# (measured: 6 rounds left a diameter-23 component split at sf0.1 —
+# fib gives ~21 — while 9 rounds ≈ 89 cover it with headroom; the sf0.1
+# edge-uniformity test pins this). The early exit below makes unused
+# headroom rounds free on converged data; truly web-scale components
+# want large/small-star instead.
 
 
 def _cluster_oracle_sql() -> str:
@@ -518,10 +520,11 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks the rows a training pipeline retains).
 
     Semantics per round: label(d) ← min(label(d), min over neighbors),
-    then label(d) ← label(label(d)) (pointer jump). The jump chases
-    min-labels through chains, so reach grows geometrically — 6 rounds
-    converge components of diameter well past the measured max (~10)
-    on this data; exact integer mins ⇒ engine-identical.
+    then label(d) ← label(label(d)) (pointer jump). Reach grows
+    Fibonacci-fast in the round count; _LP_ROUNDS covers component
+    diameters ≈ 4× the largest measured locally (23 at sf0.1), and the
+    edge-uniformity test at sf0.1 pins actual convergence. Exact
+    integer mins ⇒ engine-identical.
 
     Scale path: each round is one shuffle of (doc, label) pairs joined
     against the symmetrized 8-byte edge list plus a self-join for the

@@ -56,3 +56,19 @@ def test_cluster_labels_are_valid_partition(spark):
     pairs = dedup_simhash_pairs(spark, SF).collect()
     for p in pairs:   # at convergence every edge lies within one cluster
         assert labels[p["doc1"]] == labels[p["doc2"]]
+
+
+def test_cluster_labels_converge_at_sf01(spark):
+    """Edge uniformity at the LARGEST local SF — guards the round budget
+    (6 rounds demonstrably split a diameter-23 component here; reach is
+    Fibonacci in rounds, not 2^r)."""
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        dedup_cluster_labels,
+        dedup_simhash_pairs,
+    )
+
+    big = "/root/testdata/sf0.1"
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_cluster_labels(spark, big).collect()}
+    for p in dedup_simhash_pairs(spark, big).collect():
+        assert labels[p["doc1"]] == labels[p["doc2"]]
