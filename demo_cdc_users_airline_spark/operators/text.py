@@ -303,10 +303,14 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-zero doc still classifies deterministically."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("s"))
+    # explode POSITIONS, slice in a codegen projection (keeps the
+    # per-trigram work out of interpreted lambda evaluation; measured
+    # ~even with the HOF form at sf0.1 — the downstream groupBy shuffle
+    # of 1.5M trigram rows dominates either way)
     tg = (base.filter(F.length("s") >= 3)
-          .select("doc_id", "lang", F.explode(F.expr(
-              "transform(sequence(1, length(s) - 2),"
-              " i -> substring(s, i, 3))")).alias("tri")))
+          .select("doc_id", "lang", "s",
+                  F.explode(F.expr("sequence(1, length(s) - 2)")).alias("i"))
+          .select("doc_id", "lang", F.expr("substring(s, i, 3)").alias("tri")))
     doc_tg = tg.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("cnt"))
     lang_tg = tg.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
     wk = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
