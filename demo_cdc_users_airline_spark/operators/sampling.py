@@ -77,20 +77,23 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: token counting is the canonical partial-aggregatable
     groupBy (map-side combine shrinks the shuffle to |vocab| per
-    partition); the top-k is a single-reducer sort over |vocab| rows,
-    not the corpus; the grand total folds in as a broadcast scalar.
-    Integer counts + one double division — engine-exact.
+    partition); the top-k is orderBy().limit(100), which Catalyst
+    compiles to TakeOrderedAndProject — a per-partition bounded heap
+    merged on the driver — NOT a global window, so no task ever holds
+    the whole vocabulary (at 100 TB the distinct-token vocab is
+    billions of rows; a partition-less row_number window would move
+    all of it to one straggler task). The (count DESC, token) order is
+    total, so the top-100 set is deterministic and oracle-identical;
+    the grand total folds in as a broadcast scalar. Integer counts +
+    one double division — engine-exact.
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
     total = freq.agg(F.sum("n_occurrences")).collect()[0][0]
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return (freq.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 100)
+    return (freq.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+            .limit(100)
             .select("token", "n_occurrences",
                     (F.col("n_occurrences").cast("double")
                      / F.lit(float(total))).alias("frequency")))

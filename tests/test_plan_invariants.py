@@ -38,6 +38,7 @@ MAX_SHUFFLES = {
     "pricing_summary": 1,
     "corpus_pack_chunks": 1,      # the shard exchange, then per-shard window
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
+    "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     # multi-stage compositions: budget = sum of the composed stages
     "corpus_curation_pipeline": 6,
     "text_lang_id_ngram": 7,
@@ -85,3 +86,32 @@ def test_filters_push_to_parquet(static_plans):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "IsNotNull" in pushed or "GreaterThan" in pushed, pushed
+
+
+def test_vocabulary_topk_is_take_ordered(static_plans):
+    # orderBy().limit() must compile to TakeOrderedAndProject (per-partition
+    # heap + driver merge), never a global sort or partition-less window
+    plan = static_plans["corpus_vocabulary"]
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_no_partitionless_window_anywhere(spark):
+    """No catalog query may use a global (partition-less) window: it moves
+    the node's ENTIRE input to one task. A partitioned logical Window node
+    prints `Window [exprs], [partSpec], [orderSpec]`; an unordered one drops
+    the orderSpec and a partition-less one drops the partSpec — so a node
+    with two bracket groups whose LAST group is an order spec (ASC/DESC
+    entries) has no partition."""
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ").strip()
+            if s.startswith("Window ["):
+                groups = s.count("], [") + 1
+                last = s.rsplit("], [", 1)[-1]
+                is_order_spec = (" ASC " in last or " DESC " in last
+                                 or last.endswith(" ASC]") or last.endswith(" DESC]")
+                                 or "NULLS FIRST" in last or "NULLS LAST" in last)
+                assert groups >= 3 or not is_order_spec, (
+                    f"{name}: partition-less window in optimized plan: {s}")
