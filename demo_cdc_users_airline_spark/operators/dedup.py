@@ -456,20 +456,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup clustering (pairs -> cluster labels -> canonical docs)
 # ---------------------------------------------------------------------------
 
-_LP_ROUNDS = 9  # propagate+jump rounds. Reach is FIBONACCI, not 2^r:
-# propagate extends by one edge hop, the jump composes the label chain
-# built two rounds back, so reach_r ≈ reach_(r-1) + reach_(r-2)
-# (measured: 6 rounds left a diameter-23 component split at sf0.1 —
-# fib gives ~21 — while 9 rounds ≈ 89 cover it with headroom; the sf0.1
-# edge-uniformity test pins this). The early exit below makes unused
-# headroom rounds free on converged data; truly web-scale components
-# want large/small-star instead.
+_CC_MAX_ROUNDS = 30  # safety cap only: large-star/small-star converges in
+# O(log² n) full rounds for ANY component diameter (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) — ~5 rounds on
+# this corpus, ≤ ~20 for trillion-node graphs. Hitting the cap raises
+# rather than returning silently-split clusters (the failure mode of the
+# fixed-round label-propagation this replaced: reach grew ~Fibonacci per
+# round, so a component of diameter > Fib(rounds+2) ≈ 89 got split labels
+# that BOTH engines agreed on — consistent but wrong at web scale).
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Min-label connected components via alternating large-star /
+    small-star (the standard MapReduce CC algorithm; Kiveris et al.,
+    SoCC'14). ``edges`` is (src, dst) undirected pairs, ``nodes`` the
+    (doc_id) label universe (singletons included). Returns
+    (doc_id, label) with label = min doc_id of the component — the true
+    fixpoint, independent of round budgets or component diameter.
+
+    Per full round, with every edge oriented (big, small):
+      large-star: every neighbor v > u re-links to m(u) = min(Γ(u) ∪ {u})
+      small-star: every neighbor v < u (and u itself) links to min(Γ(u))
+    Both are one partitioned-window min + a projection; the round ends
+    with one distinct. Converged when the edge set is unchanged — at the
+    fixpoint components are stars rooted at their minimum node.
+
+    Scale path: the iterating state is the EDGE list (near-dup pairs —
+    a tiny fraction of the corpus), never a per-document frame; each
+    round shuffles 16-byte edge rows on one key. localCheckpoint
+    truncates lineage so the per-round plan stays constant-size, and the
+    convergence probe is a count + left_anti on the checkpointed sets.
+    """
+    E = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    w = Window.partitionBy("u")
+    for _ in range(_CC_MAX_ROUNDS):
+        # large-star over the symmetrized neighborhood
+        sym = E.unionByName(E.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        ls = (sym.withColumn("mn", F.least(F.min("v").over(w), F.col("u")))
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("mn").alias("v")))
+        # small-star over the (big, small)-oriented output: min neighbor
+        # becomes the hub; emit (leaf, hub) for the other leaves + (u, hub)
+        ss = ls.withColumn("mn", F.min("v").over(w))
+        leaves = (ss.filter(F.col("v") != F.col("mn"))
+                  .select(F.col("v").alias("u"), F.col("mn").alias("v")))
+        hubs = ss.select("u", F.col("mn").alias("v"))
+        new_e = leaves.unionByName(hubs).distinct().localCheckpoint(eager=True)
+        converged = (new_e.count() == E.count()
+                     and new_e.join(E, ["u", "v"], "left_anti").isEmpty())
+        E = new_e
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {_CC_MAX_ROUNDS} rounds")
+    return (nodes.join(E.select(F.col("u").alias("doc_id"),
+                                F.col("v").alias("label")),
+                       "doc_id", "left")
+            .select("doc_id", F.coalesce("label", "doc_id").alias("label")))
 
 
 def _cluster_oracle_sql() -> str:
-    """Unrolled min-label propagation + pointer jumping over the simhash
-    near-dup edges."""
-    parts = [f"""{_SIMHASH_CTES},
+    """True min-label connected components over the simhash near-dup
+    edges: a recursive reachability CTE (UNION dedups, so it terminates),
+    then min over each node's reachable set. Matches the Spark side's
+    large-star/small-star fixpoint for ANY component diameter — neither
+    side depends on a round budget."""
+    return f"""WITH RECURSIVE {_SIMHASH_CTES},
 bands AS (
   SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & {_SH_MASK} AS band_key
   FROM sig CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS band) b
@@ -486,94 +543,40 @@ edges AS (
   WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {_SH_MAX_HAMMING}
 ),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-lab0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM sig)"""]
-    # MATERIALIZED is load-bearing: plain CTEs inline, and each round
-    # references the previous twice (neighbor min + pointer jump), so the
-    # expansion is 2^rounds copies of the whole chain — DuckDB runs out of
-    # file handles re-opening the parquet. Materializing each round keeps
-    # evaluation linear, the same discipline as the Spark-side checkpoint.
-    for r in range(1, _LP_ROUNDS + 1):
-        parts.append(f"""nb{r} AS (
-  SELECT s.src AS doc_id, min(l.label) AS mn
-  FROM sym s JOIN lab{r - 1} l ON l.doc_id = s.dst
-  GROUP BY s.src
-),
-labp{r} AS MATERIALIZED (
-  SELECT l.doc_id, least(l.label, coalesce(n.mn, l.label)) AS label
-  FROM lab{r - 1} l LEFT JOIN nb{r} n USING (doc_id)
-),
-lab{r} AS MATERIALIZED (
-  SELECT a.doc_id, b.label
-  FROM labp{r} a JOIN labp{r} b ON b.doc_id = a.label
-)""")
-    return ("WITH " + ",\n".join(parts) + f"""
-SELECT doc_id, label AS cluster_id,
-       CASE WHEN doc_id = label THEN 1 ELSE 0 END AS is_canonical
-FROM lab{_LP_ROUNDS}""")
+reach AS (
+  SELECT doc_id, doc_id AS r FROM sig
+  UNION
+  SELECT w.doc_id, s.dst AS r
+  FROM reach w JOIN sym s ON s.src = w.r
+)
+SELECT doc_id, min(r) AS cluster_id,
+       CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY doc_id"""
 
 
 @q("dedup_cluster_labels", _cluster_oracle_sql())
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final dedup stage: near-dup PAIRS (simhash banded Hamming)
-    become CLUSTERS via min-label propagation WITH pointer jumping; each
-    cluster keeps its min-doc_id member as canonical (is_canonical = 1
-    marks the rows a training pipeline retains).
+    become CLUSTERS via alternating large-star/small-star connected
+    components; each cluster keeps its min-doc_id member as canonical
+    (is_canonical = 1 marks the rows a training pipeline retains).
 
-    Semantics per round: label(d) ← min(label(d), min over neighbors),
-    then label(d) ← label(label(d)) (pointer jump). Reach grows
-    Fibonacci-fast in the round count; _LP_ROUNDS covers component
-    diameters ≈ 4× the largest measured locally (23 at sf0.1), and the
-    edge-uniformity test at sf0.1 pins actual convergence. Exact
-    integer mins ⇒ engine-identical.
-
-    Scale path: each round is one shuffle of (doc, label) pairs joined
-    against the symmetrized 8-byte edge list plus a self-join for the
-    jump — the standard BSP connected-components layout. The label
-    frontier is localCheckpoint'ed per round: the jump self-join refers
-    to the frontier twice, so without truncation the logical plan grows
-    2^rounds and Catalyst analysis dominates runtime (measured: 4
-    rounds analyzable, 6 rounds pathological). Checkpointing keeps the
-    per-round plan constant-size — the same discipline GraphFrames /
-    GraphX apply to iterative Pregel state. Rounds stop early at the
-    fixpoint (frontier unchanged): a full propagate+jump round that
-    changes nothing makes every later round a no-op, so the early exit
-    is exactly the unrolled fixed-round oracle — web-scale
-    graphs converge far below the worst-case round budget, and the
-    check is a join of two checkpointed (doc, label) frames.
+    The CC core (``connected_components``) converges to the true
+    min-label fixpoint in O(log² n) rounds for any component diameter —
+    no round budget to outgrow — and iterates over the EDGE list only
+    (near-dup pairs, a tiny fraction of the corpus), so the per-round
+    shuffles move 16-byte pair rows, never a per-document frame.
+    Singleton documents join in once at the end (label = themselves).
+    Exact integer mins ⇒ engine-identical to the oracle's recursive
+    reachability CTE.
     """
     edges = (dedup_simhash_pairs(spark, sf_dir)
              .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
-    # label universe = sig, as in the oracle's lab0; dedup_simhash builds
-    # the same analyzed plan dedup_simhash_pairs just cached, so the
+    # label universe = sig, as in the oracle; dedup_simhash builds the
+    # same analyzed plan dedup_simhash_pairs just cached, so the
     # CacheManager serves it from memory rather than recomputing
-    labels = (dedup_simhash(spark, sf_dir)
-              .select("doc_id", F.col("doc_id").alias("label"))
-              .localCheckpoint(eager=True))
-    for _ in range(_LP_ROUNDS):
-        nb = (sym.alias("s")
-              .join(labels.alias("l"), F.col("s.dst") == F.col("l.doc_id"))
-              .groupBy(F.col("s.src").alias("doc_id"))
-              .agg(F.min("l.label").alias("mn")))
-        propagated = (labels.join(nb, "doc_id", "left")
-                      .select("doc_id",
-                              F.least(F.col("label"),
-                                      F.coalesce("mn", "label")).alias("label")))
-        # pointer jump: label <- label(label) — chases min-labels through
-        # chains so reach doubles-ish per round
-        a, b2 = propagated.alias("pa"), propagated.alias("pb")
-        new_labels = (a.join(b2, F.col("pa.label") == F.col("pb.doc_id"))
-                      .select(F.col("pa.doc_id").alias("doc_id"),
-                              F.col("pb.label").alias("label"))
-                      .localCheckpoint(eager=True))
-        converged = (new_labels.alias("n")
-                     .join(labels.alias("o"), "doc_id")
-                     .filter(F.col("n.label") != F.col("o.label"))
-                     .isEmpty())
-        labels = new_labels
-        if converged:
-            break
+    nodes = dedup_simhash(spark, sf_dir).select("doc_id")
+    labels = connected_components(edges, nodes)
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)

@@ -40,7 +40,8 @@ MAX_SHUFFLES = {
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     # multi-stage compositions: budget = sum of the composed stages
-    "corpus_curation_pipeline": 6,
+    "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
+    # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
     "text_lang_id_ngram": 7,
 }
 

@@ -59,9 +59,8 @@ def test_cluster_labels_are_valid_partition(spark):
 
 
 def test_cluster_labels_converge_at_sf01(spark):
-    """Edge uniformity at the LARGEST local SF — guards the round budget
-    (6 rounds demonstrably split a diameter-23 component here; reach is
-    Fibonacci in rounds, not 2^r)."""
+    """Edge uniformity at the LARGEST local SF — every near-dup pair must
+    share a label at the large-star/small-star fixpoint."""
     from demo_cdc_users_airline_spark.operators.dedup import (
         dedup_cluster_labels,
         dedup_simhash_pairs,
@@ -72,3 +71,22 @@ def test_cluster_labels_converge_at_sf01(spark):
               for r in dedup_cluster_labels(spark, big).collect()}
     for p in dedup_simhash_pairs(spark, big).collect():
         assert labels[p["doc1"]] == labels[p["doc2"]]
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter-200 path graph: the exact shape that silently split under
+    the old fixed-9-round propagation (reach ≈ Fib(11) ≈ 89). Large-star/
+    small-star must converge to a single min-rooted component, plus keep
+    singletons self-labeled."""
+    from demo_cdc_users_airline_spark.operators.dedup import connected_components
+
+    n = 201  # nodes 0..200 in a path; 300/301 isolated; 400-401-402 a V
+    edges = ([(i, i + 1) for i in range(n - 1)] + [(401, 400), (401, 402)])
+    edf = spark.createDataFrame(edges, "src: long, dst: long")
+    ndf = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(300,), (301,), (400,), (401,), (402,)],
+        "doc_id: long")
+    got = {r["doc_id"]: r["label"] for r in connected_components(edf, ndf).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert got[300] == 300 and got[301] == 301
+    assert got[400] == got[401] == got[402] == 400
