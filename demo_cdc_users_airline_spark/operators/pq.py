@@ -34,7 +34,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import cached_scalar, load_table
-from .kmeans_ivf import SCALE
+from .kmeans_ivf import (
+    SCALE,
+    _kmeans_ctes,
+    _quantized_vectors,
+    assign_cells,
+    fitted_codebook,
+    probe_cells,
+)
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -139,48 +146,50 @@ def fitted_pq_codebook(spark: SparkSession, sf_dir: str) -> Codebook:
 # oracle: the whole train→encode pipeline unrolled into DuckDB CTEs
 # --------------------------------------------------------------------------
 
-def _pq_ctes() -> str:
-    """Unrolled per-subspace Lloyd, ending at ``codes(vec_id, sub, code,
-    q_err)``. Init mirrors pq_fit: codeword cid of subspace s is vector
-    cid's s-th subvector (vec_ids 0..K-1 are dense in the testdata, and
-    the rank-based init below matches pq_fit's order exactly)."""
+def _pq_ctes(p: str = "") -> str:
+    """Unrolled per-subspace Lloyd, ending at ``{p}codes(vec_id, sub,
+    code, q_err)``. Init mirrors pq_fit: codeword cid of subspace s is
+    vector cid's s-th subvector (vec_ids 0..K-1 are dense in the
+    testdata, and the rank-based init below matches pq_fit's order
+    exactly). ``p`` prefixes every CTE name so these CTEs can share a
+    WITH clause with the k-means IVF CTEs (both define dims/init/cent*)."""
     d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
-    parts = [f"""dims AS (
+    parts = [f"""{p}dims AS (
   SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {SUB_DIM} AS sub,
          (generate_subscripts(embedding, 1) - 1) % {SUB_DIM} AS sdim,
          CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
   FROM embeddings
 ),
-init AS (
+{p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
   FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {K_SUB})
 ),
-cent0 AS (
-  SELECT d.sub, i.cid, d.sdim, d.val FROM init i JOIN dims d USING (vec_id)
+{p}cent0 AS (
+  SELECT d.sub, i.cid, d.sdim, d.val FROM {p}init i JOIN {p}dims d USING (vec_id)
 )"""]
     for it in range(1, PQ_ITERS + 1):
-        parts.append(f"""d{it} AS (
+        parts.append(f"""{p}d{it} AS (
   SELECT v.vec_id, v.sub, c.cid, {d2} AS d2
-  FROM dims v JOIN cent{it - 1} c ON c.sub = v.sub AND c.sdim = v.sdim
+  FROM {p}dims v JOIN {p}cent{it - 1} c ON c.sub = v.sub AND c.sdim = v.sdim
   GROUP BY 1, 2, 3
 ),
-asg{it} AS (
-  SELECT vec_id, sub, cid AS cell FROM d{it}
+{p}asg{it} AS (
+  SELECT vec_id, sub, cid AS cell FROM {p}d{it}
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
 ),
-cent{it} AS (
+{p}cent{it} AS (
   SELECT s.sub, s.cell AS cid, d.sdim,
          CAST(floor(CAST(sum(d.val) AS DOUBLE) / count(*)) AS BIGINT) AS val
-  FROM asg{it} s JOIN dims d ON d.vec_id = s.vec_id AND d.sub = s.sub
+  FROM {p}asg{it} s JOIN {p}dims d ON d.vec_id = s.vec_id AND d.sub = s.sub
   GROUP BY 1, 2, 3
 )""")
-    parts.append(f"""dfin AS (
+    parts.append(f"""{p}dfin AS (
   SELECT v.vec_id, v.sub, c.cid, {d2} AS d2
-  FROM dims v JOIN cent{PQ_ITERS} c ON c.sub = v.sub AND c.sdim = v.sdim
+  FROM {p}dims v JOIN {p}cent{PQ_ITERS} c ON c.sub = v.sub AND c.sdim = v.sdim
   GROUP BY 1, 2, 3
 ),
-codes AS (
-  SELECT vec_id, sub, cid AS code, d2 AS q_err FROM dfin
+{p}codes AS (
+  SELECT vec_id, sub, cid AS code, d2 AS q_err FROM {p}dfin
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
 )""")
     return ",\n".join(parts)
@@ -207,6 +216,27 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("sub").cast("long").alias("sub"),
                     F.col("cell").cast("long").alias("code"),
                     F.col("q_err").alias("q_err_micro2")))
+
+
+def _adc_lut(subv: DataFrame, codebook: Codebook) -> DataFrame:
+    """(query_id, lsub, cid, d2): each query subvector's squared distance
+    to every codeword of its subspace — M·K rows per query (bounded by
+    the query batch, always broadcast). A map over the same broadcast
+    codebook used for assignment, then an explode of the per-sub
+    candidate structs."""
+    cb = _codebook_df(subv.sparkSession, codebook)
+    return (subv.filter(F.col("id") < N_QUERIES)
+            .crossJoin(F.broadcast(cb))
+            .select(F.col("id").alias("query_id"), "sub",
+                    F.explode(F.expr(
+                        "transform(filter(__cents, c -> c.sub = sub),"
+                        " c -> struct(c.cid AS cid,"
+                        " aggregate(zip_with(svec, c.cvec,"
+                        " (x, y) -> (x - y) * (x - y)),"
+                        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
+                    .alias("e"))
+            .select("query_id", F.col("sub").alias("lsub"),
+                    F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
 
 
 @q("similarity_pq_adc_topk", "WITH " + _pq_ctes() + f""",
@@ -243,25 +273,110 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = (_pq_assign(subv, codebook)
              .select(F.col("id").alias("neighbor_id"), "sub",
                      F.col("cell").alias("code")))
-    # LUT: query subvectors × this sub's codewords (map over the same
-    # broadcast codebook, then explode the per-sub candidate structs)
-    cb = _codebook_df(spark, codebook)
-    lut = (subv.filter(F.col("id") < N_QUERIES)
-           .crossJoin(F.broadcast(cb))
-           .select(F.col("id").alias("query_id"), "sub",
-                   F.explode(F.expr(
-                       "transform(filter(__cents, c -> c.sub = sub),"
-                       " c -> struct(c.cid AS cid,"
-                       " aggregate(zip_with(svec, c.cvec,"
-                       " (x, y) -> (x - y) * (x - y)),"
-                       " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
-                   .alias("e"))
-           .select("query_id", F.col("sub").alias("lsub"),
-                   F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
+    lut = _adc_lut(subv, codebook)
     adc = (codes.join(F.broadcast(lut),
                       (F.col("sub") == F.col("lsub"))
                       & (F.col("code") == F.col("cid"))
                       & (F.col("neighbor_id") != F.col("query_id")))
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("d2").alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.select("query_id", "neighbor_id",
+                       F.col("adc_d2").cast("long").alias("adc_d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= ADC_TOPK)
+            .drop("__rn"))
+
+
+# --------------------------------------------------------------------------
+# IVF × PQ: the full web-scale ANN stack (coarse cells prune, codes scan)
+# --------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Compose the k-means IVF CTEs (coarse cells; unprefixed) with the
+    PQ CTEs (codes/LUT; ``pq_``-prefixed) — each query ADC-scans ONLY
+    vectors assigned to its nprobe nearest cells."""
+    return ("WITH " + _kmeans_ctes(k=8, iters=3) + ",\n"
+            + _pq_ctes("pq_") + f""",
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {IVFPQ_NPROBE}
+),
+qdims AS (SELECT * FROM pq_dims WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         sum((q.val - c.val) * (q.val - c.val))::BIGINT AS d2
+  FROM qdims q JOIN pq_cent{PQ_ITERS} c ON c.sub = q.sub AND c.sdim = q.sdim
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, k.sub, k.code
+  FROM probe p
+  JOIN asgfin a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+  JOIN pq_codes k ON k.vec_id = a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
+  FROM cand c
+  JOIN lut l ON l.query_id = c.query_id AND l.sub = c.sub AND l.cid = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}""")
+
+
+@q("similarity_ivfpq_topk", _ivfpq_oracle_sql())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ ANN — the production web-scale stack: the learned k-means
+    coarse quantizer selects each query's nprobe=2 nearest cells, and the
+    ADC scan reads ONLY the PQ code rows of vectors assigned to those
+    cells (nprobe/nlist of the code table; similarity_pq_adc_topk scans
+    all of it). Top-k per query by (adc_d2, neighbor_id) total order.
+
+    Scale path: the probed-cell set is a bounded driver-side scalar
+    (N_QUERIES × nprobe ids — the J5 scalar-subquery pattern), so the
+    candidate side carries a static `cell IN (...)` filter: with the
+    code table written partitioned by cell (as the IVF module's encode
+    stage does at scale), that filter is partition PRUNING, not a scan.
+    The LUT and the probe map are broadcast; the only shuffle is the
+    (query, neighbor) ADC sum with map-side combine, over nprobe/nlist
+    of the codes. Integer end-to-end ⇒ hash-exact vs the composed
+    oracle."""
+    vq = _quantized_vectors(spark, sf_dir)
+    ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=3)
+    assigned = (assign_cells(vq, ivf_cb)
+                .select(F.col("id").alias("neighbor_id"), "cell"))
+    subv = _subvectors(spark, sf_dir)
+    pq_cb = fitted_pq_codebook(spark, sf_dir)
+    codes = (_pq_assign(subv, pq_cb)
+             .select(F.col("id").alias("neighbor_id"), "sub",
+                     F.col("cell").alias("code")))
+    probes = (probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
+                          nprobe=IVFPQ_NPROBE)
+              .select(F.col("id").alias("query_id"), "probe_cell"))
+    probe_rows = probes.collect()   # bounded: N_QUERIES × nprobe rows
+    probed_cells = sorted({int(r["probe_cell"]) for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["probe_cell"])) for r in probe_rows],
+        "query_id: long, probe_cell: int")
+    # static IN filter on the candidate side — partition pruning when the
+    # code/cell tables are cell-partitioned at scale
+    cand = (assigned.filter(F.col("cell").isin(probed_cells))
+            .join(codes, "neighbor_id"))
+    lut = _adc_lut(subv, pq_cb)
+    adc = (cand.join(F.broadcast(probe_df),
+                     (F.col("cell") == F.col("probe_cell"))
+                     & (F.col("neighbor_id") != F.col("query_id")))
+           .join(F.broadcast(lut),
+                 ["query_id"], "inner")
+           .filter((F.col("sub") == F.col("lsub"))
+                   & (F.col("code") == F.col("cid")))
            .groupBy("query_id", "neighbor_id")
            .agg(F.sum("d2").alias("adc_d2")))
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")

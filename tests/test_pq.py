@@ -52,3 +52,41 @@ def test_adc_approximates_exact_l2_ranking(spark):
         hits += len(adc_top & exact_top)
         total += ADC_TOPK
     assert hits / total >= 0.5, f"ADC recall@4k {hits}/{total}"
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark):
+    """IVF×PQ: every reported neighbor must live in one of its query's
+    nprobe probed cells, and its ADC distance must equal the full-scan
+    ADC distance for the same (query, neighbor) pair — the composition
+    changes the candidate SET, never a distance."""
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _quantized_vectors,
+        assign_cells,
+        fitted_codebook,
+        probe_cells,
+    )
+    from demo_cdc_users_airline_spark.operators.pq import (
+        IVFPQ_NPROBE,
+        similarity_ivfpq_topk,
+    )
+
+    got = similarity_ivfpq_topk(spark, SF).collect()
+    assert {r["query_id"] for r in got} == set(range(N_QUERIES))
+    vq = _quantized_vectors(spark, SF)
+    ivf_cb = fitted_codebook(spark, SF, k=8, iters=3)
+    cell_of = {r["id"]: r["cell"] for r in assign_cells(vq, ivf_cb).collect()}
+    probed = {}
+    for r in probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
+                         nprobe=IVFPQ_NPROBE).collect():
+        probed.setdefault(r["id"], set()).add(r["probe_cell"])
+    for r in got:
+        assert cell_of[r["neighbor_id"]] in probed[r["query_id"]]
+    # distances agree with the full ADC scan on shared pairs
+    full = {(r["query_id"], r["neighbor_id"]): r["adc_d2"]
+            for r in similarity_pq_adc_topk(spark, SF).collect()}
+    shared = [r for r in got if (r["query_id"], r["neighbor_id"]) in full]
+    assert shared, "no overlap between IVF×PQ and full-scan ADC top-k"
+    for r in shared:
+        assert r["adc_d2"] == full[(r["query_id"], r["neighbor_id"])]
