@@ -68,7 +68,8 @@ ranked AS (
                             ORDER BY p.pts DESC NULLS LAST,
                                      p.pid DESC NULLS LAST) AS rn
   FROM events e
-  LEFT JOIN p ON p.user_id = e.user_id AND p.pts <= e.ts
+  LEFT JOIN p ON p.user_id = e.user_id
+             AND (p.pts < e.ts OR (p.pts = e.ts AND p.pid <= e.event_id))
 )
 SELECT event_id, user_id, ts,
        pid AS last_purchase_id, pts AS last_purchase_ts,
@@ -96,7 +97,7 @@ SESSION_GAP_MICROS = 6 * 3600 * 1_000_000  # 6 h inactivity ends a session
 
 @q("events_sessionization", f"""
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                       > {SESSION_GAP_MICROS}
@@ -106,7 +107,7 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM g
 )

@@ -54,8 +54,31 @@ class AppendTable:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(self.path)
 
+    def append_idempotent(self, df: DataFrame, batch_id: int) -> None:
+        """Exactly-once append under foreachBatch retries.
+
+        foreachBatch sinks are at-least-once: a crash after the sink
+        write but before the checkpoint commit re-runs the batch on
+        restart. Here each micro-batch writes its own
+        ``ingest_batch_id=<id>`` partition with DYNAMIC partition
+        overwrite, so the re-run REPLACES its own rows instead of
+        appending duplicates — idempotence by batch id, which upgrades
+        the pipeline to effectively-exactly-once. ``read()`` hides the
+        bookkeeping column. (The name has no leading underscore because
+        Spark's file listing skips ``_``/``.``-prefixed paths.)
+
+        A table written through this path should not also take plain
+        ``append()`` writes (partition layouts would differ)."""
+        if self.sort_cols:
+            df = df.sortWithinPartitions(*self.sort_cols)
+        (df.withColumn("ingest_batch_id", F.lit(int(batch_id)))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(*(self.partition_cols + ["ingest_batch_id"]))
+           .parquet(self.path))
+
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self.path).drop("ingest_batch_id")
 
     # -- management ops (SURVEY §2 S8: truncate/delete/create wrappers,
     #    tb_functions.py:137-168) ------------------------------------------

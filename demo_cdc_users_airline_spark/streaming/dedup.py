@@ -37,9 +37,14 @@ class StreamingExactDedup:
     """documents stream → append-only table of first-seen documents.
 
     Restart-safe: the checkpoint persists both source offsets and the
-    fingerprint state store, so a restarted query neither re-emits nor
-    re-admits a previously seen fingerprint (verified in
-    tests/test_streaming_dedup.py)."""
+    fingerprint state store, so a restarted query never re-ADMITS a
+    previously committed fingerprint; and because the sink writes each
+    micro-batch to its own batch-id partition with dynamic overwrite
+    (``append_idempotent``), a batch re-run after a crash between the
+    sink write and the checkpoint commit replaces its own rows rather
+    than re-emitting duplicates (graceful stop/restart verified in
+    tests/test_streaming_dedup.py; the mid-commit case is covered by the
+    sink's partition-overwrite idempotence)."""
 
     out_table: AppendTable
 
@@ -55,7 +60,9 @@ class StreamingExactDedup:
               trigger_once: bool = False):
         writer = (self.plan(docs).writeStream
                   .outputMode("append")
-                  .foreachBatch(lambda df, _id: self.out_table.append(df))
+                  # idempotent by batchId (see class docstring)
+                  .foreachBatch(lambda df, bid:
+                                self.out_table.append_idempotent(df, bid))
                   .option("checkpointLocation", checkpoint_dir))
         if trigger_once:
             writer = writer.trigger(availableNow=True)

@@ -14,9 +14,12 @@ Semantics:
 - event-time tumbling windows (1 min) with a late-data allowance (the
   watermark delay): events later than the allowance are dropped from
   their window — the documented trade for bounded state;
-- append output mode: a window row is emitted exactly once, when the
-  watermark passes its end — the sink table is append-only and needs
-  no upsert logic (idempotent via checkpointed progress);
+- append output mode: a window row is finalized once, when the
+  watermark passes its end; the sink writes each micro-batch to its own
+  batch-id partition with dynamic overwrite
+  (``AppendTable.append_idempotent``), so a batch re-run after a
+  crash-before-checkpoint-commit replaces its rows instead of
+  duplicating them — end-to-end effectively-exactly-once;
 - aggregate values go through DECIMAL sums, so the materialized rollup
   is bit-identical to a batch re-aggregation of the same (on-time)
   events — verified in tests/test_streaming_rollup.py.
@@ -57,8 +60,12 @@ class StreamingMinuteRollup:
     def start(self, events: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):
         writer = (self.plan(events).writeStream
-                  .outputMode("append")   # emit each window exactly once
-                  .foreachBatch(lambda df, _id: self.out_table.append(df))
+                  .outputMode("append")   # finalize each window once
+                  # idempotent by batchId: foreachBatch alone is
+                  # at-least-once (crash between sink write and
+                  # checkpoint commit re-runs the batch)
+                  .foreachBatch(lambda df, bid:
+                                self.out_table.append_idempotent(df, bid))
                   .option("checkpointLocation", checkpoint_dir))
         if trigger_once:
             writer = writer.trigger(availableNow=True)

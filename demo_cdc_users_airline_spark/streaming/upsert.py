@@ -102,9 +102,12 @@ class CdcPipeline:
             self.raw_table.append(good)
             block = self.mv_transform(good) if self.mv_transform else good
             self.latest_table.merge(block)
-        qt.truncate()
-        if n_bad:
-            qt.append(still_bad)
+        # atomic swap, never truncate-then-append: the parked raw
+        # payloads are the ONLY copy of the unrecoverable rows, and a
+        # crash between a truncate and the re-append would lose them —
+        # the rename-aside swap leaves either the old or the new row set
+        # on disk at every instant
+        qt._swap_rewrite(still_bad, ".replay")
         return n_good, n_bad
 
     def start(self, source_stream: DataFrame, checkpoint_dir: str,

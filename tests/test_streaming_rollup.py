@@ -76,3 +76,23 @@ def test_windows_finalize_once_and_match_batch_replay(spark, tmp_path):
            for r in out.read().collect()}
     for minute, agg in got.items():     # every emitted window is exact
         assert replay[minute] == agg
+
+
+def test_append_idempotent_batch_rerun(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate the crash-between-sink-
+    write-and-checkpoint-commit case by re-running a batch id — the sink
+    must REPLACE the batch's rows, not duplicate them (ADVICE r2)."""
+    from demo_cdc_users_airline_spark.sources.tables import AppendTable
+
+    t = AppendTable(spark, str(tmp_path / "idem"))
+    b0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    t.append_idempotent(b0, 0)
+    t.append_idempotent(b0, 0)                    # the retry
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, 10.0), (2, 20.0)]
+    b1 = spark.createDataFrame([(3, 30.0)], "k int, v double")
+    t.append_idempotent(b1, 1)                    # later batch appends
+    assert t.read().count() == 3
+    t.append_idempotent(b1, 1)                    # its retry is absorbed too
+    assert t.read().count() == 3
+    assert "ingest_batch_id" not in t.read().columns

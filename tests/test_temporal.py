@@ -62,3 +62,46 @@ def test_sessionization_invariants(spark):
         for s in ss:
             assert s["session_start"] <= s["session_end"]
             assert s["duration_micros"] >= 0
+
+
+def test_asof_tie_semantics_lexicographic(spark):
+    """Same-timestamp ties resolve by the (ts, event_id) lexicographic
+    order on BOTH engines: a same-ts purchase is visible to an event only
+    if its event_id sorts at-or-before the event's. The testdata has no
+    per-user ts ties, so the oracle gate can't pin this — this synthetic
+    case cross-checks the Spark window against the DuckDB oracle
+    (ADVICE r2)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = t0 + dt.timedelta(minutes=5)
+    rows = [  # (event_id, user_id, ts, event_type)
+        (10, 1, t0, "view"),      # tie with purchases 5 (before) and 20 (after)
+        (5, 1, t0, "purchase"),
+        (20, 1, t0, "purchase"),
+        (30, 1, t1, "view"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    withm = temporal.asof_last_marker(
+        sdf, key="user_id", time="ts", uid="event_id",
+        marker=F.col("event_type") == "purchase")
+    got = {r["event_id"]: (r["__last_marker"]["mid"]
+                           if r["__last_marker"] else None)
+           for r in withm.collect()}
+    assert got == {10: 5, 5: 5, 20: 20, 30: 20}
+
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]))
+    oracle = {int(eid): (None if pd.isna(pid) else int(pid))
+              for eid, pid in con.execute(
+                  temporal.ORACLE["events_asof_last_purchase"]
+              ).df()[["event_id", "last_purchase_id"]].itertuples(index=False)}
+    assert oracle == got
