@@ -48,6 +48,20 @@ _SHINGLE_SQL = r"""
 """
 
 
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, toks) — the ONE tokenization pass every
+    text-derived stage builds on, cached so the CacheManager serves
+    shingling, simhash votes, and fingerprinting from a single scan +
+    split when they compose (the curation pipeline runs three of them
+    over the same corpus). At 100 TB this is 'write the tokenized
+    column once, derive everything from it' — the standard staged-
+    corpus layout."""
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+            .cache())
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct 3-word shingles per document.
 
@@ -57,9 +71,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Documents with fewer than 3 tokens produce NO shingles (matching the
     oracle's empty range — a truncated 2-token shingle would diverge)."""
-    toks = (load_table(spark, sf_dir, "documents")
-            .select("doc_id",
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")))
+    toks = _tokenized(spark, sf_dir).select("doc_id", "toks")
     sh = F.when(
         F.size("toks") >= 3,
         F.array_distinct(F.expr(
@@ -99,7 +111,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: one shuffle on the 128-bit hash; at 100 TB hash first,
     never shuffle the text itself (the fingerprint is computed map-side
     and the shuffle moves 16-byte keys)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _tokenized(spark, sf_dir)  # shares the cached corpus scan
     fp = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return fp.select(
@@ -376,14 +388,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token count and measures 2× slower at sf0.1 despite codegen;
     the oracle uses it — integer votes are exact, so both forms agree
     bit-for-bit)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _tokenized(spark, sf_dir)  # bound toks array from the shared scan
     return d.select(
         "doc_id",
         F.expr(f"""
           aggregate(
             zip_with(
               aggregate(
-                transform(split(lower(trim(text)), '\\\\s+'),
+                transform(toks,
                           t -> CAST(conv(substring(md5(t), 1, {_SH_HEX}), 16, 10) AS BIGINT)),
                 array_repeat(CAST(0 AS BIGINT), {_SH_TOTAL_BITS}),
                 (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
