@@ -389,13 +389,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses it — integer votes are exact, so both forms agree
     bit-for-bit)."""
     d = _tokenized(spark, sf_dir)  # bound toks array from the shared scan
-    return d.select(
-        "doc_id",
-        F.expr(f"""
+    return d.select("doc_id", F.expr(simhash_expr("toks")).alias("simhash"))
+
+
+def simhash_expr(toks_col: str) -> str:
+    """The 60-bit simhash as a SQL expression over a BOUND token-array
+    column (bind the split() in a prior projection — inlining it here
+    would re-tokenize per lambda element). Shared by the batch operator
+    and the streaming near-dup dedup so both compute identical
+    signatures."""
+    return f"""
           aggregate(
             zip_with(
               aggregate(
-                transform(toks,
+                transform({toks_col},
                           t -> CAST(conv(substring(md5(t), 1, {_SH_HEX}), 16, 10) AS BIGINT)),
                 array_repeat(CAST(0 AS BIGINT), {_SH_TOTAL_BITS}),
                 (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
@@ -405,7 +412,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               (vote, bit) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
                                   ELSE CAST(0 AS BIGINT) END),
             CAST(0 AS BIGINT), (acc, v) -> acc + v)
-        """).alias("simhash"))
+        """
+
+
+def band_key_structs() -> F.Column:
+    """The 4×15-bit LSH band (band, band_key) structs of a ``simhash``
+    column — pigeonhole-complete for hamming ≤ {_SH_MAX_HAMMING}."""
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(f"(simhash >> ({_SH_BITS} * {b})) & {_SH_MASK}").alias("band_key"))
+        for b in range(_SH_BANDS)])
 
 
 # 60-bit simhash → 4 bands of 15 bits; pigeonhole: hamming ≤ 3 flips at
@@ -444,11 +460,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = dedup_simhash(spark, sf_dir).cache()
     sig.count()  # shared by bands + two verify joins
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.expr(f"(simhash >> ({_SH_BITS} * {b})) & {_SH_MASK}").alias("band_key"))
-        for b in range(_SH_BANDS)])
-    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+    bands = (sig.select("doc_id", F.explode(band_key_structs()).alias("bd"))
              .select("doc_id", "bd.band", "bd.band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
