@@ -149,14 +149,25 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("n2", F.sqrt(dot("e2", "e2")))
     cosine = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
     # the cell key alone has few distinct values, so a plain shuffle join
-    # would collapse to |cells| tasks. Salt it: side a takes a deterministic
-    # salt from its id, side b is replicated K ways — the join key becomes
-    # (cell, salt) with |cells|·K partitions, restoring full parallelism
-    # through an ordinary shuffle join with NO unbounded broadcast (the
-    # round-1 F.broadcast(b) of the whole embedding side OOMs at scale).
-    K = 16
-    a = a.withColumn("__salt", F.pmod(F.col("vec1"), F.lit(K)))
-    b = b.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+    # would collapse to |cells| tasks. Salt it SKEW-AWARE: each cell gets
+    # its own salt factor kc = min(16, ceil(n_cell / target)) from a tiny
+    # broadcast per-cell census, so only populous cells replicate (a
+    # blanket K=16 amplified the b-side shuffle 16× even for cells with
+    # no skew); the join key becomes (cell, salt) with Σ kc partitions,
+    # restoring full parallelism through an ordinary shuffle join with NO
+    # unbounded broadcast (the round-1 F.broadcast(b) of the whole
+    # embedding side OOMs at scale). Replicated volume is Σ n_c·kc_c
+    # ≈ Σ n_c²/target — proportional to the pair work itself.
+    K_MAX, TARGET = 16, 512
+    cell_k = (e.groupBy(F.col("label").alias("cell"))
+              .agg(F.least(F.lit(K_MAX),
+                           F.ceil(F.count(F.lit(1)) / TARGET)).cast("int")
+                   .alias("__kc")))
+    a = (a.join(F.broadcast(cell_k), "cell")
+         .withColumn("__salt", F.pmod(F.col("vec1"), F.col("__kc"))))
+    b = (b.join(F.broadcast(cell_k.withColumnRenamed("cell", "c2")), "c2")
+         .withColumn("__rep", F.explode(F.sequence(F.lit(0), F.col("__kc") - 1)))
+         .drop("__kc"))
     return (a.join(b, (F.col("cell") == F.col("c2"))
                    & (F.col("__salt") == F.col("__rep"))
                    & (F.col("vec1") < F.col("vec2")))

@@ -55,6 +55,34 @@ class TokenRegistry:
         t = self._by_secret.get(secret or "")
         return t is not None and t.allows(pipe_name)
 
+    def revoke_for_pipe(self, pipe_name: str) -> int:
+        """Token lifecycle parity with the reference's delete-pipe flow
+        (modules/tb_functions.py:321-354: removing a pipe deletes its
+        endpoint-read tokens): tokens scoped ONLY to this pipe are
+        deleted outright; wider scoped tokens just lose the pipe from
+        their scope. Wildcard tokens are untouched (the reference's
+        admin/dashboard tokens outlive any one pipe). Returns the number
+        of tokens fully deleted."""
+        deleted = 0
+        for secret, t in list(self._by_secret.items()):
+            if "*" in t.scopes:
+                continue
+            t.scopes.discard(pipe_name)
+            if not t.scopes:
+                del self._by_secret[secret]
+                deleted += 1
+        return deleted
+
+
+def unpublish_pipe(registry: Registry, tokens: TokenRegistry,
+                   pipe_name: str) -> int:
+    """Unpublish an endpoint: remove the pipe from the registry AND
+    revoke its tokens — after this, requests for the pipe 404 and a
+    token that only granted this pipe 403s everywhere (both paths
+    exercised in tests/test_http_api.py)."""
+    registry._pipes.pop(pipe_name, None)
+    return tokens.revoke_for_pipe(pipe_name)
+
 
 class PipeApiServer:
     """``GET /v0/pipes/<name>.json?param=…`` over a Registry.

@@ -158,3 +158,46 @@ def test_airport_registry_over_http(spark):
                 assert row["flights_missed_pct"] == 0.0
     finally:
         srv.stop()
+
+
+def test_unpublish_revokes_pipe_and_tokens(spark):
+    """Delete-with-pipe token lifecycle (tb_functions.py:321-354 parity):
+    unpublishing a pipe 404s the endpoint, its single-scope token 403s
+    everywhere, a multi-scope token merely loses the pipe, and wildcard
+    tokens survive."""
+    from demo_cdc_users_airline_spark.plans.http_api import unpublish_pipe
+
+    reg = Registry(spark)
+    reg.add_datasource("t", spark.createDataFrame([(1,)], "id INT"))
+
+    def node_a(ctx):
+        return ctx.ref("t")
+
+    reg.add_pipe(Pipe("pipe_a", [Node("a0", node_a)]))
+    reg.add_pipe(Pipe("pipe_b", [Node("b0", node_a)]))
+    tokens = TokenRegistry([
+        Token("a_read", "secret-a", {"pipe_a"}),
+        Token("ab_read", "secret-ab", {"pipe_a", "pipe_b"}),
+        Token("Dashboard_Read", "secret-dash", {"*"}),
+    ])
+    srv = PipeApiServer(reg, tokens, clock=Clock.fixed(NOW)).start()
+    try:
+        status, _ = fetch(f"{srv.base_url}/v0/pipes/pipe_a.json", token="secret-a")
+        assert status == 200
+
+        assert unpublish_pipe(reg, tokens, "pipe_a") == 1  # a_read deleted
+
+        with pytest.raises(urllib.error.HTTPError) as e:   # pipe gone: 404
+            fetch(f"{srv.base_url}/v0/pipes/pipe_a.json", token="secret-dash")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:   # token gone: 403
+            fetch(f"{srv.base_url}/v0/pipes/pipe_b.json", token="secret-a")
+        assert e.value.code == 403
+        # the multi-scope token lost pipe_a but keeps pipe_b
+        status, _ = fetch(f"{srv.base_url}/v0/pipes/pipe_b.json", token="secret-ab")
+        assert status == 200
+        # wildcard untouched
+        status, _ = fetch(f"{srv.base_url}/v0/pipes/pipe_b.json", token="secret-dash")
+        assert status == 200
+    finally:
+        srv.stop()

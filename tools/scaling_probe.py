@@ -96,7 +96,7 @@ def build_scaled_embeddings(spark, base_dir: str, mult: int, out_dir: str) -> in
 
 
 def main() -> int:
-    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
+    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16, 64]
     from pyspark.sql import functions as F
 
     from demo_cdc_users_airline_spark.core.session import get_spark
@@ -149,6 +149,10 @@ def main() -> int:
         # PQ train+encode: one shuffle per Lloyd iteration regardless of
         # row count; flat rows/s = training is scan-bound, not state-bound
         ("similarity_pq_codes", build_scaled_embeddings),
+        # learned-profile language ID: profile learning is a bounded
+        # (langs×top-K) agg, scoring a single corpus scan — flat rows/s =
+        # the candidate grid join stays proportional to the corpus
+        ("text_lang_id_ngram", build_scaled_documents),
     ]
     llm_rows = []
     for name, builder in llm_probes:
