@@ -163,27 +163,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: the df cap bounds every posting list, so the self-join
     blowup is ≤ Σ min(df, cap)² — linear in corpus size instead of
-    quadratic in the hottest shingle. The window, the self-join, and the
-    hash groupBy all partition on the same key (one shuffle, reused).
-    Same-doc hash collisions are not re-deduped (both engines hash with
-    the same md5, so any collision is mirrored exactly).
+    quadratic in the hottest shingle. The cap is applied ON the posting
+    lists themselves (one groupBy(hsh) builds them; lists longer than
+    the cap drop), so the exploded (doc, hsh) stream is shuffled exactly
+    ONCE and only the compacted per-shingle lists are cached — r2's
+    row-level window + row-level cache held the full exploded stream in
+    memory and paid a second same-key pass, which showed up as the 64×
+    probe's only dip. Same-doc hash collisions are not re-deduped (both
+    engines hash with the same md5, so any collision is mirrored
+    exactly).
     """
     hh = _shingles(spark, sf_dir).select("doc_id", _hash_col().alias("hsh"))
-    kept = (hh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("hsh")))
-            .filter(F.col("__df") <= _DF_CAP)
-            .drop("__df")
-            .cache())
-    kept.count()  # materialize eagerly: the downstream subtrees share it —
+    # posting lists with the df cap folded in: |docs| = the oracle's
+    # window count over (hsh), so the filter is the QUALIFY twin
+    posts = (hh.groupBy("hsh")
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+             .filter(F.size("docs") <= _DF_CAP)
+             .cache())
+    posts.count()  # materialize eagerly: sizes + pairs share it —
     # concurrent lazy-cache population would recompute the explode per use
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # posting-list pair generation: group the (already df-capped, so
-    # bounded ≤ _DF_CAP elements) postings per shingle hash and emit each
-    # ordered pair map-side — no self-join probe; the groupBy reuses the
-    # window's hsh partitioning, so this costs no extra shuffle. The
-    # strict doc1 < doc2 filter keeps it pair-for-pair identical to the
-    # oracle's self-join even if a same-doc hash collision duplicated an
-    # entry in a posting list.
-    posts = kept.groupBy("hsh").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    sizes = (posts.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    # pair generation stays map-side over the bounded (≤ _DF_CAP) lists —
+    # no self-join probe. The strict doc1 < doc2 filter keeps it
+    # pair-for-pair identical to the oracle's self-join even if a
+    # same-doc hash collision duplicated an entry in a posting list.
     pairs = (posts.select(F.explode(F.expr(
         "flatten(transform(docs, (x, i) ->"
         " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
