@@ -146,19 +146,23 @@ def fitted_pq_codebook(spark: SparkSession, sf_dir: str) -> Codebook:
 # oracle: the whole train→encode pipeline unrolled into DuckDB CTEs
 # --------------------------------------------------------------------------
 
-def _pq_ctes(p: str = "") -> str:
+def _pq_ctes(p: str = "", dims_body: str | None = None) -> str:
     """Unrolled per-subspace Lloyd, ending at ``{p}codes(vec_id, sub,
     code, q_err)``. Init mirrors pq_fit: codeword cid of subspace s is
     vector cid's s-th subvector (vec_ids 0..K-1 are dense in the
     testdata, and the rank-based init below matches pq_fit's order
     exactly). ``p`` prefixes every CTE name so these CTEs can share a
-    WITH clause with the k-means IVF CTEs (both define dims/init/cent*)."""
+    WITH clause with the k-means IVF CTEs (both define dims/init/cent*).
+    ``dims_body`` overrides the source of the (vec_id, sub, sdim, val)
+    dimension stream — the residual-PQ oracle feeds centroid-subtracted
+    values instead of the raw embeddings."""
     d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
-    parts = [f"""{p}dims AS (
+    default_dims = f"""
   SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {SUB_DIM} AS sub,
          (generate_subscripts(embedding, 1) - 1) % {SUB_DIM} AS sdim,
          CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
-  FROM embeddings
+  FROM embeddings"""
+    parts = [f"""{p}dims AS ({dims_body if dims_body is not None else default_dims}
 ),
 {p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
@@ -375,6 +379,196 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("neighbor_id") != F.col("query_id")))
            .join(F.broadcast(lut),
                  ["query_id"], "inner")
+           .filter((F.col("sub") == F.col("lsub"))
+                   & (F.col("code") == F.col("cid")))
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("d2").alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.select("query_id", "neighbor_id",
+                       F.col("adc_d2").cast("long").alias("adc_d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= ADC_TOPK)
+            .drop("__rn"))
+
+
+# --------------------------------------------------------------------------
+# Residual IVF×PQ: PQ over x − centroid(cell(x)) — the FAISS IVFPQ layout
+# --------------------------------------------------------------------------
+
+_KM_ITERS = 3  # the coarse quantizer's Lloyd iterations (kmeans_ivf default)
+
+
+def _ivf_codebook_df(spark: SparkSession,
+                     centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [([(int(cid), [int(x) for x in v]) for cid, v in centroids],)],
+        "__icents array<struct<cid:int,cvec:array<bigint>>>")
+
+
+def _residual_vectors(vq: DataFrame,
+                      centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """(id, cell, rvec): assign each quantized vector its coarse cell and
+    subtract that cell's centroid — int64 arithmetic, so the residual is
+    bit-identical across engines. One map over the broadcast codebook."""
+    cb = _ivf_codebook_df(vq.sparkSession, centroids)
+    best = F.expr(
+        "array_min(transform(__icents, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        " c.cid AS cid)))")
+    rvec = F.expr(
+        "zip_with(vec, element_at(filter(__icents, c -> c.cid = cell), 1).cvec,"
+        " (x, y) -> x - y)")
+    return (vq.crossJoin(F.broadcast(cb))
+            .withColumn("cell", best["cid"])
+            .withColumn("rvec", rvec)
+            .select("id", "cell", "rvec"))
+
+
+def _split_subs(df: DataFrame, vec_col: str, keep: list[str]) -> DataFrame:
+    """Split an int64 vector column into (sub, svec) rows — the residual
+    twin of _subvectors (no re-quantization: inputs are already
+    micro-unit integers)."""
+    return (df.select(
+        *keep,
+        F.explode(F.expr(
+            f"transform(sequence(0, {M_SUB - 1}),"
+            f" s -> struct(s AS sub, slice({vec_col}, s * {SUB_DIM} + 1, {SUB_DIM})"
+            f" AS svec))")).alias("sv"))
+        .select(*keep, F.col("sv.sub").alias("sub"), F.col("sv.svec").alias("svec")))
+
+
+def fitted_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> Codebook:
+    """PQ codebooks trained on the coarse-quantizer residuals — memoized
+    like every other training artifact."""
+    def fit():
+        from .kmeans_ivf import _quantized_vectors, fitted_codebook
+
+        vq = _quantized_vectors(spark, sf_dir)
+        ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=_KM_ITERS)
+        subv = _split_subs(_residual_vectors(vq, ivf_cb), "rvec", ["id"]).cache()
+        return pq_fit(subv)
+
+    return cached_scalar(
+        spark, sf_dir,
+        f"pq_residual_codebook_m{M_SUB}_k{K_SUB}_i{PQ_ITERS}", fit)
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """k-means CTEs (unprefixed) → residual dims (dims − assigned cell's
+    centroid) → PQ CTEs over the residuals (``pqr_``) → per-(query,
+    probe-cell) residual LUT → cell-restricted ADC."""
+    rdims = f"""
+  SELECT d.vec_id, (d.dim - 1) // {SUB_DIM} AS sub,
+         (d.dim - 1) % {SUB_DIM} AS sdim, d.val - c.val AS val
+  FROM dims d
+  JOIN asgfin a USING (vec_id)
+  JOIN cent{_KM_ITERS} c ON c.cid = a.cell AND c.dim = d.dim"""
+    return ("WITH " + _kmeans_ctes(k=8, iters=_KM_ITERS) + ",\n"
+            + _pq_ctes("pqr_", rdims) + f""",
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {IVFPQ_NPROBE}
+),
+qr AS (
+  SELECT p.query_id, p.probe_cell, (d.dim - 1) // {SUB_DIM} AS sub,
+         (d.dim - 1) % {SUB_DIM} AS sdim, d.val - c.val AS val
+  FROM probe p
+  JOIN dims d ON d.vec_id = p.query_id
+  JOIN cent{_KM_ITERS} c ON c.cid = p.probe_cell AND c.dim = d.dim
+),
+lut AS (
+  SELECT q.query_id, q.probe_cell, c.sub, c.cid,
+         sum((q.val - c.val) * (q.val - c.val))::BIGINT AS d2
+  FROM qr q JOIN pqr_cent{PQ_ITERS} c ON c.sub = q.sub AND c.sdim = q.sdim
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT p.query_id, p.probe_cell, a.vec_id AS neighbor_id, k.sub, k.code
+  FROM probe p
+  JOIN asgfin a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+  JOIN pqr_codes k ON k.vec_id = a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
+  FROM cand c
+  JOIN lut l ON l.query_id = c.query_id AND l.probe_cell = c.probe_cell
+            AND l.sub = c.sub AND l.cid = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}""")
+
+
+@q("similarity_ivfpq_residual_topk", _ivfpq_residual_oracle_sql())
+def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF×PQ — the canonical FAISS IVFPQ layout: PQ encodes
+    x − centroid(cell(x)) instead of x, so the codebooks spend their 4
+    bits on WITHIN-cell variation (the coarse quantizer already removed
+    the between-cell variation), and each query builds a separate
+    residual LUT per probed cell (q − centroid(probe_cell) vs the
+    residual codewords). Everything else matches similarity_ivfpq_topk:
+    nprobe=2 learned cells, static cell IN filter on the candidate side,
+    broadcast LUT, one ADC-sum shuffle.
+
+    The fixed-point discipline carries through unchanged: residuals are
+    int64 SUBTRACTIONS of already-quantized values, so train → encode →
+    search stays integer-exact and the composed oracle hash-matches.
+
+    Scale path: identical to similarity_ivfpq_topk (the residual map is
+    one extra broadcast-codebook projection); LUT grows ×nprobe (still
+    bounded by the query batch)."""
+    from .kmeans_ivf import _quantized_vectors, fitted_codebook, probe_cells
+
+    vq = _quantized_vectors(spark, sf_dir)
+    ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=_KM_ITERS)
+    res = _residual_vectors(vq, ivf_cb)
+    res_subv = _split_subs(res, "rvec", ["id"])
+    rcb = fitted_residual_pq_codebook(spark, sf_dir)
+    codes = (_pq_assign(res_subv, rcb)
+             .select(F.col("id").alias("neighbor_id"), "sub",
+                     F.col("cell").alias("code")))
+    assigned = res.select(F.col("id").alias("neighbor_id"), "cell")
+    probes = (probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
+                          nprobe=IVFPQ_NPROBE)
+              .select(F.col("id").alias("query_id"), "probe_cell"))
+    probe_rows = probes.collect()   # bounded: N_QUERIES × nprobe rows
+    probed_cells = sorted({int(r["probe_cell"]) for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["probe_cell"])) for r in probe_rows],
+        "query_id: long, probe_cell: int")
+    # per-(query, probe_cell) residual: q − centroid(probe_cell)
+    icb = _ivf_codebook_df(spark, ivf_cb)
+    qr = (vq.filter(F.col("id") < N_QUERIES)
+          .withColumnRenamed("id", "query_id")
+          .join(F.broadcast(probe_df), "query_id")
+          .crossJoin(F.broadcast(icb))
+          .select("query_id", "probe_cell",
+                  F.expr("zip_with(vec, element_at(filter(__icents,"
+                         " c -> c.cid = probe_cell), 1).cvec,"
+                         " (x, y) -> x - y)").alias("rvec")))
+    qsub = _split_subs(qr, "rvec", ["query_id", "probe_cell"])
+    pcb = _codebook_df(spark, rcb)
+    lut = (qsub.crossJoin(F.broadcast(pcb))
+           .select("query_id", "probe_cell", F.col("sub").alias("lsub"),
+                   F.explode(F.expr(
+                       "transform(filter(__cents, c -> c.sub = sub),"
+                       " c -> struct(c.cid AS cid,"
+                       " aggregate(zip_with(svec, c.cvec,"
+                       " (x, y) -> (x - y) * (x - y)),"
+                       " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
+                   .alias("e"))
+           .select("query_id", "probe_cell", "lsub",
+                   F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
+    cand = (assigned.filter(F.col("cell").isin(probed_cells))
+            .join(codes, "neighbor_id"))
+    adc = (cand.join(F.broadcast(probe_df),
+                     (F.col("cell") == F.col("probe_cell"))
+                     & (F.col("neighbor_id") != F.col("query_id")))
+           .join(F.broadcast(lut), ["query_id", "probe_cell"])
            .filter((F.col("sub") == F.col("lsub"))
                    & (F.col("code") == F.col("cid")))
            .groupBy("query_id", "neighbor_id")

@@ -40,6 +40,7 @@ MAX_SHUFFLES = {
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     "similarity_ivfpq_topk": 3,   # probe-pruned codes ⋈ cells, ADC sum, top-k
+    "similarity_ivfpq_residual_topk": 3,  # same layout, residual encode/LUT
     # multi-stage compositions: budget = sum of the composed stages
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)

@@ -90,3 +90,50 @@ def test_ivfpq_candidates_respect_probed_cells(spark):
     assert shared, "no overlap between IVF×PQ and full-scan ADC top-k"
     for r in shared:
         assert r["adc_d2"] == full[(r["query_id"], r["neighbor_id"])]
+
+
+def test_ivfpq_residual_candidates_and_recall(spark):
+    """Residual IVF×PQ: neighbors respect probed cells, and residual
+    encoding's quantization error is no worse than plain PQ's on the
+    same vectors (the point of encoding x − centroid: codewords spend
+    their bits on within-cell variation)."""
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _quantized_vectors,
+        fitted_codebook,
+        probe_cells,
+    )
+    from demo_cdc_users_airline_spark.operators.pq import (
+        IVFPQ_NPROBE,
+        _pq_assign,
+        _residual_vectors,
+        _split_subs,
+        _subvectors,
+        fitted_pq_codebook,
+        fitted_residual_pq_codebook,
+        similarity_ivfpq_residual_topk,
+    )
+
+    got = similarity_ivfpq_residual_topk(spark, SF).collect()
+    assert {r["query_id"] for r in got} == set(range(N_QUERIES))
+    assert all(r["adc_d2"] >= 0 for r in got)
+    vq = _quantized_vectors(spark, SF)
+    ivf_cb = fitted_codebook(spark, SF, k=8, iters=3)
+    res = _residual_vectors(vq, ivf_cb)
+    cell_of = {r["id"]: r["cell"] for r in res.select("id", "cell").collect()}
+    probed = {}
+    for r in probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
+                         nprobe=IVFPQ_NPROBE).collect():
+        probed.setdefault(r["id"], set()).add(r["probe_cell"])
+    for r in got:
+        assert cell_of[r["neighbor_id"]] in probed[r["query_id"]]
+
+    # total quantization error: residual PQ ≤ plain PQ (strictly better
+    # in practice; equality would mean the coarse quantizer is useless)
+    plain = _pq_assign(_subvectors(spark, SF), fitted_pq_codebook(spark, SF))
+    resid = _pq_assign(_split_subs(res, "rvec", ["id"]),
+                       fitted_residual_pq_codebook(spark, SF))
+    plain_err = plain.agg(F.sum("q_err")).first()[0]
+    resid_err = resid.agg(F.sum("q_err")).first()[0]
+    assert resid_err <= plain_err
