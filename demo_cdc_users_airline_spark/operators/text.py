@@ -334,3 +334,121 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "actual_lang",
                     F.col("cand_lang").alias("pred_lang"),
                     F.col("score").cast("long").alias("best_score")))
+
+
+# Gopher-style repetition filters (Rae et al. 2021, table A1): a
+# document dominated by repeated n-grams is boilerplate/spam. The corpus
+# has no line structure, so the line/paragraph rules map to their
+# token-n-gram forms: fraction of n-gram OCCURRENCES belonging to
+# duplicated n-grams, and the top n-gram's share.
+_REP_THRESHOLDS = {"top_token": 0.30, "dup_2gram": 0.20, "dup_3gram": 0.18}
+
+
+def _rep_gram_sql(n: int, tag: str) -> str:
+    """Per-doc n-gram occurrence stats via unnest + two-level group."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""g{tag} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                       i -> {gram})) AS g
+  FROM t
+),
+c{tag} AS (SELECT doc_id, g, count(*) AS c FROM g{tag} GROUP BY 1, 2),
+s{tag} AS (
+  SELECT doc_id, sum(c) AS n{tag},
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup{tag},
+         max(c) AS top{tag}
+  FROM c{tag} GROUP BY 1
+)"""
+
+
+@q("text_repetition_stats", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+{_rep_gram_sql(1, "1")},
+{_rep_gram_sql(2, "2")},
+{_rep_gram_sql(3, "3")}
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(s1.top1 AS DOUBLE) / len(t.toks) AS top_token_frac,
+       CAST(s2.dup2 AS DOUBLE) / s2.n2 AS dup_2gram_frac,
+       CAST(s2.top2 AS DOUBLE) / s2.n2 AS top_2gram_frac,
+       CAST(s3.dup3 AS DOUBLE) / s3.n3 AS dup_3gram_frac,
+       CAST(s3.top3 AS DOUBLE) / s3.n3 AS top_3gram_frac,
+       (CAST(s1.top1 AS DOUBLE) / len(t.toks) > {_REP_THRESHOLDS["top_token"]}
+        OR CAST(s2.dup2 AS DOUBLE) / s2.n2 > {_REP_THRESHOLDS["dup_2gram"]}
+        OR CAST(s3.dup3 AS DOUBLE) / s3.n3 > {_REP_THRESHOLDS["dup_3gram"]})
+         AS is_repetitive
+FROM t
+LEFT JOIN s1 USING (doc_id)
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+""")
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (Gopher's duplicate-n-gram
+    family): per document, the fraction of 2-/3-gram occurrences that
+    belong to n-grams appearing more than once, the top n-gram's and top
+    token's occurrence share, and the resulting keep/drop flag.
+
+    Scale path: every n-gram of a document lives inside that document's
+    row, so the whole computation is a per-row map — ZERO shuffle (the
+    explode + groupBy(doc_id, ngram) formulation would shuffle one row
+    per n-gram occurrence, ~n_tokens× the corpus row count, and per-doc
+    keys get no map-side combine). Within the row: sort the n-gram
+    array, then duplicated-occurrence count = positions with an equal
+    sorted neighbor, and the top count = longest equal run — O(d log d)
+    per doc. Interpreted-HOF cost is bounded by doc length, and the
+    shuffle it deletes is the one that matters at 100 TB. All outputs
+    are ratios of exact int64 counts → engine-identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("__toks"))
+    # bind each derived array in its own projection (an inlined HOF
+    # re-evaluates its input per element)
+    grams = base.select(
+        "doc_id", F.size("__toks").alias("n1"),
+        F.sort_array(F.col("__toks")).alias("__s1"),
+        *[F.expr(
+            f"IF(size(__toks) < {n}, array(), sort_array(transform("
+            f"sequence(0, size(__toks) - {n}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))))"
+          ).alias(f"__s{n}") for n in (2, 3)],
+    )
+
+    def run_stats(col: str, tag: str):
+        # positions with an equal sorted neighbor = occurrences of
+        # duplicated n-grams; longest equal run = the top n-gram's count
+        dup = F.expr(
+            f"size(filter(sequence(0, size({col}) - 1), i -> "
+            f"(i > 0 AND {col}[i] = {col}[i - 1]) OR "
+            f"(i < size({col}) - 1 AND {col}[i] = {col}[i + 1])))")
+        top = F.expr(
+            f"IF(size({col}) < 2, size({col}), aggregate("
+            f"zip_with(slice({col}, 1, size({col}) - 1), "
+            f"slice({col}, 2, size({col}) - 1), (a, b) -> a = b), "
+            f"named_struct('cur', 1, 'mx', 1), "
+            f"(acc, x) -> IF(x, named_struct('cur', acc.cur + 1, "
+            f"'mx', greatest(acc.mx, acc.cur + 1)), "
+            f"named_struct('cur', 1, 'mx', acc.mx)), acc -> acc.mx))")
+        return [F.size(col).alias(f"n{tag}") if tag != "1" else None,
+                dup.alias(f"dup{tag}"), top.alias(f"top{tag}")]
+
+    stats = grams.select(
+        "doc_id", "n1",
+        *[c for tag in ("1", "2", "3")
+          for c in run_stats(f"__s{tag}", tag) if c is not None])
+    frac = lambda num, den: (F.col(num).cast("double")
+                             / F.nullif(F.col(den), F.lit(0)).cast("double"))
+    out = stats.select(
+        "doc_id", F.col("n1").cast("long").alias("n_tokens"),
+        frac("top1", "n1").alias("top_token_frac"),
+        frac("dup2", "n2").alias("dup_2gram_frac"),
+        frac("top2", "n2").alias("top_2gram_frac"),
+        frac("dup3", "n3").alias("dup_3gram_frac"),
+        frac("top3", "n3").alias("top_3gram_frac"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_token_frac") > _REP_THRESHOLDS["top_token"])
+        | (F.col("dup_2gram_frac") > _REP_THRESHOLDS["dup_2gram"])
+        | (F.col("dup_3gram_frac") > _REP_THRESHOLDS["dup_3gram"]))
