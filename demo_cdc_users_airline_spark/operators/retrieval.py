@@ -1,0 +1,128 @@
+"""Full-text retrieval over the documents corpus: Okapi BM25 top-k.
+
+The training-data use case is query-driven corpus exploration ("show me
+the docs that look like this benchmark prompt") and lightweight quality
+probes — the same ranked-retrieval primitive a search sidecar provides,
+expressed as a pure Spark dataflow:
+
+- per-document term frequencies for the (tiny, fixed) query term set
+  are in-row ``filter()`` counts — the big side is scanned, never
+  shuffled (a generic inverted-index build would shuffle one row per
+  token OCCURRENCE; for a bounded query vocabulary that is pure waste);
+- corpus statistics (N, Σdl, per-term document frequencies) are ONE
+  partial-aggregatable global aggregate reduced to a single broadcast
+  row (the J5 scalar-subquery pattern);
+- scoring is a map over documents; the top-k is ``orderBy().limit()``
+  → TakeOrderedAndProject (per-partition bounded heap, no global sort).
+
+Cross-engine exactness: the BM25 term formula is rendered from ONE
+shared SQL template into both engines, so the IEEE expression trees are
+identical (``ln`` is bit-exact between the JVM and DuckDB — verified
+empirically); per-term scores are quantized to int64 micros BEFORE the
+cross-term sum, so the only cross-row/cross-term addition is exact
+integer arithmetic (the repo's fixed-point oracle rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .text import tokens
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# Okapi BM25 (Robertson et al.): k1=1.2, b=0.75. Literals below are the
+# SAME source text on both sides, so both engines parse the same doubles
+# (1 + k1 = 2.2 as a LITERAL, not computed — computing it from 1.2 gives
+# a different double than parsing "2.2").
+QUERY_TERMS = ("spark", "merge", "vector", "the")
+TOP_K = 20
+
+
+def _bm25_term_sql(t: str) -> str:
+    """One query term's BM25 partial score in int64 micros — rendered
+    into BOTH engines verbatim (identifiers tf_<t>, dl, df_<t>, n_docs,
+    avgdl must be in scope)."""
+    return (
+        f"CAST(floor(1000000.0 * ("
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+        f"(CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)")
+
+
+_SCORE_SQL = " + ".join(_bm25_term_sql(t) for t in QUERY_TERMS)
+
+
+@q("retrieval_bm25_topk", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}"
+                    for t in QUERY_TERMS)}
+  FROM t
+),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                    for t in QUERY_TERMS)}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         {_SCORE_SQL} AS score_micro
+  FROM d CROSS JOIN st
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {TOP_K}
+""")
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} for a fixed query term set.
+
+    Scale path: the corpus is scanned twice (stats, then scoring) and
+    never shuffled — per-term tf is an in-row ``filter()`` count, the
+    corpus stats collapse to one broadcast row, and the final top-k is
+    TakeOrderedAndProject. At 100 TB the only data movement is the
+    map-side-combined 1-row aggregate and k rows to the driver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", F.size("__toks").alias("dl"),
+        *[F.expr(f"size(filter(__toks, w -> w = '{t}'))").alias(f"tf_{t}")
+          for t in QUERY_TERMS])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE)")
+         .alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+          for t in QUERY_TERMS])
+    scored = (base.crossJoin(F.broadcast(stats))
+              .select("doc_id", F.col("dl").cast("long").alias("n_tokens"),
+                      F.expr(_SCORE_SQL).alias("score_micro")))
+    return (scored
+            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            .limit(TOP_K)
+            .select("doc_id", "n_tokens", "score_micro",
+                    (F.col("score_micro").cast("double") / F.lit(1000000.0))
+                    .alias("score")))
