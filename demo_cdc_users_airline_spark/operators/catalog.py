@@ -2,13 +2,13 @@
 
 from __future__ import annotations
 
-from . import (curation, dedup, kmeans_ivf, multimodal, pq, retrieval,
-               sampling, similarity, temporal, text)
+from . import (curation, dedup, importance, kmeans_ivf, multimodal, pq,
+               retrieval, sampling, similarity, temporal, text)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
 for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling, temporal,
-            curation, pq, retrieval):
+            curation, pq, retrieval, importance):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

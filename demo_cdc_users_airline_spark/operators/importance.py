@@ -1,0 +1,200 @@
+"""Data-selection scoring for training pipelines: unigram-LM log
+probability (a perplexity proxy) and DSIR hashed-n-gram importance
+weights (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling").
+
+Both learn their model FROM the corpus in one partial-aggregatable
+pass, reduce it to a bounded broadcast artifact (256 hash buckets for
+DSIR; corpus scalars for the LM — the per-token count table in the LM
+case stays distributed and joins co-partitioned on token), then score
+documents with integer-exact arithmetic:
+
+cross-engine exactness — ``ln`` of a ratio of int64 counts is
+bit-identical between the JVM and DuckDB (verified empirically), and
+every per-token/per-bucket log value is quantized to int64 micros
+BEFORE any cross-row sum, so aggregation order can never perturb the
+result (the repo's fixed-point rule; double sums are order-sensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .sampling import _salted_hash, _salted_hash_sql
+from .text import tokens
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+@q("score_unigram_logprob", """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+cnt AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+corp AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+term AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(1000000.0 * ln(
+           CAST(cnt.c + 1 AS DOUBLE) / CAST(corp.total + corp.vocab AS DOUBLE)
+         )) AS BIGINT) AS lp_micro
+  FROM tf JOIN cnt USING (w) CROSS JOIN corp
+),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * lp_micro) AS BIGINT) AS logprob_micro_sum
+  FROM term GROUP BY 1
+)
+SELECT doc_id, n_tokens, logprob_micro_sum,
+       CAST(logprob_micro_sum AS DOUBLE)
+         / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS avg_logprob
+FROM agg
+""")
+def score_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: learn add-one-smoothed token
+    probabilities from the corpus itself, then score every document by
+    its average token log-probability — the classic perplexity-filter
+    proxy (documents far below the corpus average are noise; far above
+    are degenerate repetition).
+
+    Scale path: one exploded-token frame feeds BOTH the per-(doc, token)
+    tf aggregate and the global count table (cached — at 100 TB it is a
+    persisted artifact); the tf⋈counts join is co-partitioned on token
+    (both sides arrive from a token-keyed shuffle, so AQE plans it
+    without an extra exchange); corpus totals ride a broadcast scalar.
+    Per-token log-probs are floored to int64 micros before the per-doc
+    sum, so the reduce is exact integer arithmetic at any parallelism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(tokens("text")).alias("w")))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    corp = cnt.agg(F.sum("c").alias("total"),
+                   F.count(F.lit(1)).alias("vocab"))
+    term = (tf.join(cnt, "w")
+            .crossJoin(F.broadcast(corp))
+            .select("doc_id", "tf", F.expr(
+                "CAST(floor(1000000.0 * ln("
+                "CAST(c + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)"
+                ")) AS BIGINT)").alias("lp_micro")))
+    agg = (term.groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
+                 .alias("logprob_micro_sum")))
+    return agg.select(
+        "doc_id", "n_tokens", "logprob_micro_sum",
+        (F.col("logprob_micro_sum").cast("double")
+         / (F.lit(1000000.0) * F.col("n_tokens").cast("double")))
+        .alias("avg_logprob"))
+
+
+# DSIR: hashed-unigram importance weights. Feature space = 256 hash
+# buckets; target distribution = the English slice of the corpus (stand
+# -in for "high-quality target domain"), raw = the whole corpus. A
+# document's importance weight is Σ_tokens [ln p_target(bucket) −
+# ln p_raw(bucket)] — documents whose feature profile looks more like
+# the target than the raw pool get positive weights and win resampling.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+@q("score_dsir_importance", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         {_salted_hash_sql("dsir_", "w")} % {DSIR_BUCKETS} AS b
+  FROM t
+),
+btf AS (SELECT doc_id, lang, b, count(*) AS tf FROM feat GROUP BY 1, 2, 3),
+raw AS (SELECT b, count(*) AS c FROM feat GROUP BY 1),
+tgt AS (SELECT b, count(*) AS c FROM feat WHERE lang = '{DSIR_TARGET_LANG}'
+        GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c) FROM raw) AS raw_tot,
+         (SELECT coalesce(sum(c), 0) FROM tgt) AS tgt_tot
+),
+ratio AS (
+  SELECT r.b,
+         CAST(floor(1000000.0 * (
+           ln(CAST(coalesce(g.c, 0) + 1 AS DOUBLE)
+              / CAST(t.tgt_tot + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(r.c + 1 AS DOUBLE)
+                / CAST(t.raw_tot + {DSIR_BUCKETS} AS DOUBLE))
+         )) AS BIGINT) AS lr_micro
+  FROM raw r LEFT JOIN tgt g ON g.b = r.b CROSS JOIN tot t
+),
+agg AS (
+  SELECT f.doc_id, f.lang,
+         CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(f.tf * r.lr_micro) AS BIGINT) AS weight_micro
+  FROM btf f JOIN ratio r ON r.b = f.b
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens, weight_micro,
+       CAST(weight_micro AS DOUBLE) / 1000000.0 AS importance_weight,
+       (weight_micro > 0) AS prefer_for_target
+FROM agg
+""")
+def score_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed unigram features: learn the
+    target ('{DSIR_TARGET_LANG}' docs) and raw (all docs) bucket
+    distributions, score every document by the summed per-bucket
+    log-likelihood ratio. Resampling by these weights shifts the corpus
+    mixture toward the target domain (Xie et al. 2023).
+
+    Scale path: ONE exploded pass computes per-doc bucket tfs plus both
+    bucket distributions ({DSIR_BUCKETS} rows each — broadcast); the
+    scoring join is per-doc-bucket rows against the broadcast ratio
+    table, then an integer per-doc reduce. Raw text never shuffles; the
+    feature hash is the engine-portable md5 bucket (same salted-hash
+    primitive as dataset_sample_split, so features are reproducible
+    across engines, partitionings, and cluster sizes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feat = (d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+            .select("doc_id", "lang",
+                    (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)
+                    .alias("b")))
+    btf = (feat.groupBy("doc_id", "lang", "b")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    # both distributions in ONE pass over the bucketed frame
+    dist = (feat.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+                       .otherwise(0)).alias("tc")))
+    tot = dist.agg(F.sum("c").alias("raw_tot"), F.sum("tc").alias("tgt_tot"))
+    ratio = (dist.crossJoin(F.broadcast(tot))
+             .select("b", F.expr(
+                 f"CAST(floor(1000000.0 * ("
+                 f"ln(CAST(tc + 1 AS DOUBLE)"
+                 f" / CAST(tgt_tot + {DSIR_BUCKETS} AS DOUBLE))"
+                 f" - ln(CAST(c + 1 AS DOUBLE)"
+                 f" / CAST(raw_tot + {DSIR_BUCKETS} AS DOUBLE))"
+                 f")) AS BIGINT)").alias("lr_micro")))
+    agg = (btf.join(F.broadcast(ratio), "b")
+           .groupBy("doc_id", "lang")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("lr_micro")).cast("long")
+                 .alias("weight_micro")))
+    return agg.select(
+        "doc_id", "lang", "n_tokens", "weight_micro",
+        (F.col("weight_micro").cast("double") / F.lit(1000000.0))
+        .alias("importance_weight"),
+        (F.col("weight_micro") > 0).alias("prefer_for_target"))
