@@ -178,7 +178,7 @@ asgfin AS (
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     return ("WITH " + _kmeans_ctes(k, iters) + """
 SELECT cell, count(*) AS n_vectors,
-       CAST(sum(q_err) AS BIGINT) AS total_sq_err_micro
+       CAST(sum(q_err) AS DOUBLE) AS total_sq_err_micro
 FROM asgfin GROUP BY cell ORDER BY cell""")
 
 
@@ -270,7 +270,12 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_cells(vectors, centroids)
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 F.sum("q_err").alias("total_sq_err_micro"))
+                 # DECIMAL(38,0) sum: exact past int64 (per-vector q_err
+                 # is int64-safe, the per-cell TOTAL overflows around
+                 # sf10 — DuckDB's hugeint sum is already 128-bit); both
+                 # engines then cast the same exact integer to double
+                 F.sum(F.col("q_err").cast("decimal(38,0)")).cast("double")
+                 .alias("total_sq_err_micro"))
             .select(F.col("cell").cast("long").alias("cell"),
                     "n_vectors", "total_sq_err_micro")
             .orderBy("cell"))
