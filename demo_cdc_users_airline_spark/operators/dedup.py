@@ -475,9 +475,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1"))
     s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"))
     hamming = F.bit_count(F.expr("sh1 ^ sh2")).cast("long")
+    # cache the verified EDGE TABLE: cluster labels, the curation
+    # pipeline, and any standalone pairs consumer build this same
+    # analyzed plan in one session, so the CacheManager serves all of
+    # them from one banding+verify run (pairs are 24-byte rows — a tiny
+    # fraction of the corpus; at 100 TB this is the persisted edge
+    # table every downstream dedup stage reads instead of re-deriving)
     return (cand.join(s1, "doc1").join(s2, "doc2")
             .select("doc1", "doc2", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= _SH_MAX_HAMMING))
+            .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+            .cache())
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,8 @@ MAX_SHUFFLES = {
     "dataset_sample_split": 0,
     "lineitem_ship_minute_projection": 0,
     "embedding_quantize_int8": 0,
+    "text_repetition_stats": 0,   # in-row sorted-run counting, no explode
+    "retrieval_bm25_topk": 1,     # the 1-row stats agg; scoring is a map
     # single-shuffle keyed operators
     "cdc_latest_row_per_key": 1,
     "cdc_latest_state_argmax": 1,
@@ -41,6 +43,9 @@ MAX_SHUFFLES = {
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     "similarity_ivfpq_topk": 3,   # probe-pruned codes ⋈ cells, ADC sum, top-k
     "similarity_ivfpq_residual_topk": 3,  # same layout, residual encode/LUT
+    "score_unigram_logprob": 5,   # tf + counts + corpus scalar + co-part join + doc reduce
+    "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
+    "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
@@ -118,3 +123,16 @@ def test_no_partitionless_window_anywhere(spark):
                                  or "NULLS FIRST" in last or "NULLS LAST" in last)
                 assert groups >= 3 or not is_order_spec, (
                     f"{name}: partition-less window in optimized plan: {s}")
+
+
+def test_simhash_edge_table_shared_across_consumers(spark):
+    """The verified near-dup edge table is cached: once any consumer has
+    materialized it, cluster labels (and the curation pipeline) read the
+    InMemoryRelation instead of re-running banding + verify."""
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        dedup_cluster_labels, dedup_simhash_pairs)
+
+    dedup_simhash_pairs(spark, SF).count()
+    plan = (dedup_cluster_labels(spark, SF)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "InMemoryRelation" in plan
