@@ -129,22 +129,29 @@ def fitted_codebook(spark: SparkSession, sf_dir: str,
         lambda: kmeans_fit(_quantized_vectors(spark, sf_dir), k=k, iters=iters))
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, dims_sql: str | None = None,
+                 ids_sql: str = "SELECT vec_id FROM embeddings") -> str:
     """The deterministic Lloyd run unrolled into DuckDB CTEs, ending at
     ``asgfin(vec_id, cell, q_err)``. Mirrors the Spark operator step for
     step in integer micro-units: quantize = floor(x·1e6),
     d2 = Σ(xq−cq)², argmin tie-broken by (d2, cid), centroid
     mean = floor(sum/count) — hash-exact.
+
+    ``dims_sql``/``ids_sql`` parametrize the feature source: the default
+    is the quantized embeddings table; corpus_topic_clusters feeds
+    hashed token-frequency vectors instead (same Lloyd core).
     """
     d2 = "sum((v.val - c.val) * (v.val - c.val))::BIGINT"
-    parts = [f"""dims AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    if dims_sql is None:
+        dims_sql = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
-  FROM embeddings
+  FROM embeddings"""
+    parts = [f"""dims AS (
+  {dims_sql}
 ),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM ({ids_sql}) ORDER BY vec_id LIMIT {k})
 ),
 cent0 AS (SELECT i.cid, d.dim, d.val FROM init i JOIN dims d USING (vec_id))"""]
     for it in range(1, iters + 1):
@@ -444,3 +451,111 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.join(dup, "vec_id", "left")
             .select("vec_id", F.col("cell").cast("long").alias("cell"),
                     F.col("__dup").isNull().alias("is_kept")))
+
+
+# -- corpus topic clustering: the SAME Lloyd core over hashed token-
+# frequency features instead of embeddings. This is the data-mixing
+# stage of a training pipeline (cluster the corpus into topical slices,
+# then rebalance the mixture per cluster); it also demonstrates that the
+# kmeans operator is feature-source-agnostic.
+TOPIC_BUCKETS = 64
+TOPIC_K = 8
+
+
+def _topic_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id=doc_id, vec) — dense hashed-unigram tf vectors, integer-exact
+    (raw counts need no micro quantization). One exploded pass + two
+    keyed reduces; the dense array is built by map lookup, so bucket
+    order never depends on collect_list ordering."""
+    from .sampling import _salted_hash
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = (d.select("doc_id", F.explode(_tokens("text")).alias("w"))
+            .select("doc_id",
+                    (_salted_hash("clust_", F.col("w")) % TOPIC_BUCKETS)
+                    .alias("b")))
+    btf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    return (btf.groupBy("doc_id")
+            .agg(F.map_from_arrays(F.collect_list("b"),
+                                   F.collect_list("tf")).alias("m"))
+            .select(F.col("doc_id").alias("id"),
+                    F.expr(
+                        f"transform(sequence(0, {TOPIC_BUCKETS - 1}), "
+                        f"i -> coalesce(element_at(m, CAST(i AS BIGINT)), "
+                        f"CAST(0 AS BIGINT)))").alias("vec"))
+            .cache())
+
+
+def _topic_oracle_sql(k: int = TOPIC_K, iters: int = 3) -> str:
+    from .sampling import _salted_hash_sql
+    dims_sql = f"""SELECT d.doc_id AS vec_id, r.range AS dim,
+         CAST(coalesce(t.tf, 0) AS BIGINT) AS val
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range({TOPIC_BUCKETS}) r
+  LEFT JOIN (
+    SELECT doc_id, {_salted_hash_sql("clust_", "w")} % {TOPIC_BUCKETS} AS b,
+           count(*) AS tf
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+  ) t ON t.doc_id = d.doc_id AND t.b = r.range"""
+    ctes = _kmeans_ctes(k, iters, dims_sql=dims_sql,
+                        ids_sql="SELECT DISTINCT doc_id AS vec_id FROM documents")
+    return ("WITH " + ctes + """,
+src AS (
+  SELECT a.cell, d.source, count(*) AS c
+  FROM asgfin a JOIN documents d ON d.doc_id = a.vec_id
+  GROUP BY 1, 2
+),
+top_src AS (
+  SELECT cell, source AS top_source FROM src
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY c DESC, source) = 1
+)
+SELECT s.cluster_id, s.n_docs, s.total_sq_err, t.top_source
+FROM (SELECT cell AS cluster_id, count(*) AS n_docs,
+             CAST(sum(q_err) AS DOUBLE) AS total_sq_err
+      FROM asgfin GROUP BY 1) s
+JOIN top_src t ON t.cell = s.cluster_id
+ORDER BY s.cluster_id""")
+
+
+@q("corpus_topic_clusters", _topic_oracle_sql())
+def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering of the corpus: k-means over hashed unigram
+    tf vectors (TOPIC_BUCKETS=64 hash buckets, k=8), reporting per-
+    cluster size, inertia, and the dominant source — the slice table a
+    mixture-rebalancing job consumes.
+
+    Scale path: feature extraction is the one exploded pass + keyed
+    reduce (hashed features bound the dimensionality, so the dense
+    vector is a fixed 64-int payload per doc, NOT vocabulary-sized);
+    Lloyd iterations reuse the cached feature frame with a broadcast
+    codebook (one shuffle per iteration, same core as the IVF
+    codebook); the summary is a tiny per-cell aggregate. The codebook
+    is memoized per (session, dataset) like the IVF artifact.
+    """
+    from pyspark.sql import Window
+
+    vectors = _topic_vectors(spark, sf_dir)
+    centroids = cached_scalar(
+        spark, sf_dir, f"topic_codebook_k{TOPIC_K}_b{TOPIC_BUCKETS}",
+        lambda: kmeans_fit(vectors, k=TOPIC_K, iters=3))
+    assigned = assign_cells(vectors, centroids)
+    stats = (assigned.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("q_err").cast("decimal(38,0)")).cast("double")
+                  .alias("total_sq_err")))
+    d = load_table(spark, sf_dir, "documents")
+    srcc = (assigned.select(F.col("id").alias("doc_id"), "cell")
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("cell", "source").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("cell").orderBy(F.col("c").desc(), F.col("source"))
+    top = (srcc.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1)
+           .select("cell", F.col("source").alias("top_source")))
+    return (stats.join(top, "cell")
+            .select(F.col("cell").cast("long").alias("cluster_id"),
+                    "n_docs", "total_sq_err", "top_source")
+            .orderBy("cluster_id"))
