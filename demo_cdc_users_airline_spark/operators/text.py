@@ -73,6 +73,37 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 
+def with_quality_score(d: DataFrame) -> DataFrame:
+    """Append ``n_chars, n_tokens, stopword_ratio, distinct_ratio,
+    quality_score`` to ANY documents-shaped frame (needs a ``text``
+    column) — the map-only transform shared by the batch operator and
+    the streaming quality gate (streaming/quality.py)."""
+    for c in ("n_chars", "n_tokens", "stopword_ratio", "distinct_ratio",
+              "quality_score"):
+        if c in d.columns:     # REPLACE any same-named input column
+            d = d.drop(c)      # (documents carries its own n_chars)
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = d.select(
+        "*",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("__n_stop"),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
+    )
+    stop_ratio = F.col("__n_stop").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("__n_distinct").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(distinct_ratio > 0.3, 1).otherwise(0)
+    ).cast("double") / 3
+    return (base.withColumn("stopword_ratio", stop_ratio)
+            .withColumn("distinct_ratio", distinct_ratio)
+            .withColumn("quality_score", score)
+            .drop("__n_stop", "__n_distinct"))
+
+
 @q("text_quality_score", f"""
 WITH t AS (
   SELECT doc_id, lang,
@@ -101,28 +132,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics (Gopher-style document filters). Integer-derived ratios →
     deterministic doubles; single map pass, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    base = d.select(
-        "doc_id", "lang",
-        F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    score = (
-        F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
-        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
-        + F.when(distinct_ratio > 0.3, 1).otherwise(0)
-    ).cast("double") / 3
-    return base.select(
+    return with_quality_score(d).select(
         "doc_id", "lang", "n_chars", "n_tokens",
-        stop_ratio.alias("stopword_ratio"),
-        distinct_ratio.alias("distinct_ratio"),
-        score.alias("quality_score"),
-    )
+        "stopword_ratio", "distinct_ratio", "quality_score")
 
 
 # n-gram language-ID: score each language by marker-token frequency and
@@ -402,11 +414,27 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ratios of exact int64 counts → engine-identical doubles.
     """
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens("text").alias("__toks"))
+    return with_repetition_flags(d).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_2gram_frac",
+        "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac",
+        "is_repetitive")
+
+
+def with_repetition_flags(d: DataFrame) -> DataFrame:
+    """Append ``n_tokens, top_token_frac, dup_{2,3}gram_frac,
+    top_{2,3}gram_frac, is_repetitive`` to ANY documents-shaped frame —
+    the map-only transform shared by text_repetition_stats and the
+    streaming quality gate (streaming/quality.py)."""
+    for c in ("n_tokens", "top_token_frac", "dup_2gram_frac",
+              "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac",
+              "is_repetitive"):
+        if c in d.columns:     # REPLACE any same-named input column
+            d = d.drop(c)
+    base = d.select("*", tokens("text").alias("__toks"))
     # bind each derived array in its own projection (an inlined HOF
     # re-evaluates its input per element)
     grams = base.select(
-        "doc_id", F.size("__toks").alias("n1"),
+        "*", F.size("__toks").alias("__n1"),
         F.sort_array(F.col("__toks")).alias("__s1"),
         *[F.expr(
             f"IF(size(__toks) < {n}, array(), sort_array(transform("
@@ -430,23 +458,24 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(acc, x) -> IF(x, named_struct('cur', acc.cur + 1, "
             f"'mx', greatest(acc.mx, acc.cur + 1)), "
             f"named_struct('cur', 1, 'mx', acc.mx)), acc -> acc.mx))")
-        return [F.size(col).alias(f"n{tag}") if tag != "1" else None,
-                dup.alias(f"dup{tag}"), top.alias(f"top{tag}")]
+        return [F.size(col).alias(f"__n{tag}") if tag != "1" else None,
+                dup.alias(f"__dup{tag}"), top.alias(f"__top{tag}")]
 
     stats = grams.select(
-        "doc_id", "n1",
+        "*",
         *[c for tag in ("1", "2", "3")
           for c in run_stats(f"__s{tag}", tag) if c is not None])
     frac = lambda num, den: (F.col(num).cast("double")
                              / F.nullif(F.col(den), F.lit(0)).cast("double"))
     out = stats.select(
-        "doc_id", F.col("n1").cast("long").alias("n_tokens"),
-        frac("top1", "n1").alias("top_token_frac"),
-        frac("dup2", "n2").alias("dup_2gram_frac"),
-        frac("top2", "n2").alias("top_2gram_frac"),
-        frac("dup3", "n3").alias("dup_3gram_frac"),
-        frac("top3", "n3").alias("top_3gram_frac"),
-    )
+        "*", F.col("__n1").cast("long").alias("n_tokens"),
+        frac("__top1", "__n1").alias("top_token_frac"),
+        frac("__dup2", "__n2").alias("dup_2gram_frac"),
+        frac("__top2", "__n2").alias("top_2gram_frac"),
+        frac("__dup3", "__n3").alias("dup_3gram_frac"),
+        frac("__top3", "__n3").alias("top_3gram_frac"),
+    ).drop("__toks", "__s1", "__s2", "__s3", "__n1", "__n2", "__n3",
+           "__dup1", "__dup2", "__dup3", "__top1", "__top2", "__top3")
     return out.withColumn(
         "is_repetitive",
         (F.col("top_token_frac") > _REP_THRESHOLDS["top_token"])
