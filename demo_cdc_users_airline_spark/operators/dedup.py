@@ -616,3 +616,106 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("label").alias("cluster_id"),
         F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
         .cast("long").alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the exact-substring
+# family, expressed over bounded n-gram keys instead of a suffix array)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5  # 5-token grams: long enough to not fire on common phrases
+
+
+@q("dedup_duplicate_spans", f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')),
+          1, 15))::BIGINT AS h
+  FROM toksrc, unnest(range(1, greatest(len(toks) - {_SPAN_N - 2}, 1)))
+       AS u(i)
+),
+df AS (SELECT h, count(DISTINCT doc_id) AS df FROM ng GROUP BY 1),
+flagged AS (
+  SELECT n.doc_id, n.pos, (d.df >= 2) AS is_dup
+  FROM ng n JOIN df d USING (h)
+),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged WHERE is_dup
+),
+runlen AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+per AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+  FROM flagged GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+       CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_dup_run,
+       CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+         / nullif(coalesce(p.n_ngrams, 0), 0) AS dup_frac
+FROM documents d
+LEFT JOIN per p USING (doc_id)
+LEFT JOIN (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY 1) m
+  USING (doc_id)
+""")
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile: for every document, how many
+    of its {_SPAN_N}-token grams also appear in ANOTHER document, and
+    the longest consecutive run of such cross-duplicated grams — the
+    bounded-n-gram re-expression of Lee et al.'s exact-substring dedup
+    (a max_dup_run of r means an exactly-shared span of r+{_SPAN_N}-1
+    tokens; a downstream pass can then cut or drop those spans).
+
+    Scale path: grams reduce to 60-bit hashes map-side, so the df
+    aggregate and the df-probe join both shuffle 8-byte keys (never
+    text); df uses a partial-aggregatable distinct-count, so a hot
+    boilerplate gram costs one combine tree, not a straggler posting
+    list; the run-length pass is a per-document window over positions
+    (unique within a doc → totally ordered). Three keyed shuffles total
+    (hash df, df probe, per-doc window+rollup), each carrying fixed
+    ~24-byte rows.
+    """
+    toks = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    grams = F.when(
+        F.size("toks") >= _SPAN_N,
+        F.expr(f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+               f" i -> struct(CAST(i AS BIGINT) AS pos,"
+               f" CAST(conv(substring(md5(concat_ws(' ',"
+               f" slice(toks, i, {_SPAN_N}))), 1, 15), 16, 10) AS BIGINT)"
+               f" AS h))")
+    ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))
+    ng = (toks.select("doc_id", F.explode(grams).alias("g"))
+          .select("doc_id", "g.pos", "g.h"))
+    df = ng.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = (ng.join(df, "h")
+               .select("doc_id", "pos", (F.col("df") >= 2).alias("is_dup"))
+               .cache())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged.filter("is_dup")
+            .select("doc_id", (F.col("pos") - F.row_number().over(w))
+                    .alias("grp")))
+    max_run = (runs.groupBy("doc_id", "grp")
+               .agg(F.count(F.lit(1)).alias("rl"))
+               .groupBy("doc_id").agg(F.max("rl").alias("max_run")))
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"))
+    docs = _tokenized(spark, sf_dir).select("doc_id")
+    return (docs.join(per, "doc_id", "left")
+            .join(max_run, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+                F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+                F.coalesce("max_run", F.lit(0)).cast("long").alias("max_dup_run"),
+                (F.coalesce("n_dup", F.lit(0)).cast("double")
+                 / F.nullif(F.coalesce("n_ngrams", F.lit(0)), F.lit(0)))
+                .alias("dup_frac")))

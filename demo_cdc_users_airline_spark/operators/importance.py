@@ -198,3 +198,71 @@ def score_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("weight_micro").cast("double") / F.lit(1000000.0))
         .alias("importance_weight"),
         (F.col("weight_micro") > 0).alias("prefer_for_target"))
+
+
+# Multinomial temperature resampling (the multilingual-corpus mixture
+# balancer): sampled share p_tau(l) ∝ p(l)^tau with tau = 0.5 — the
+# sqrt flattening used to upweight low-resource slices.
+MIXTURE_TAU_SQRT = True  # tau = 0.5 == sqrt; the only engine-portable
+# power (IEEE-754 sqrt is correctly rounded on both engines; pow() is
+# not guaranteed bit-identical across libm implementations).
+
+
+@q("corpus_mixture_weights", """
+WITH c AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)))
+              AS BIGINT) AS s_micro
+  FROM c
+),
+t AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_tot,
+         CAST(sum(s_micro) AS BIGINT) AS s_tot
+  FROM s
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / tok_tot AS natural_share,
+       CAST(s_micro AS DOUBLE) / s_tot AS sampled_share,
+       (CAST(s_micro AS DOUBLE) / s_tot)
+         / (CAST(n_tokens AS DOUBLE) / tok_tot) AS repeat_factor
+FROM s CROSS JOIN t
+""")
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting via temperature sampling (tau = 0.5):
+    per-language token masses become sampled shares ∝ sqrt(mass),
+    flattening the mixture toward low-resource languages — the standard
+    multilingual pre-training rebalance (and the static special case of
+    DoReMi-style mixture optimization). ``repeat_factor`` > 1 means the
+    slice is upsampled (epochs repeat) under the new mixture.
+
+    Scale path: one partial-aggregatable groupBy(lang) pass over the
+    corpus (token counting is map work inside the aggregate), then all
+    arithmetic happens on an n_langs-row frame with a broadcast 2-scalar
+    total — nothing after the first reduce touches corpus-sized data.
+    Exactness: sqrt is the one libm-free power (correctly rounded in
+    IEEE-754, verified identical), floored to int64 micros before the
+    normalizing sum, so shares are ratios of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"))
+    s = c.select(
+        "lang", "n_docs", "n_tokens",
+        F.floor(F.lit(1000000.0)
+                * F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long").alias("s_micro"))
+    t = s.agg(F.sum("n_tokens").cast("long").alias("tok_tot"),
+              F.sum("s_micro").cast("long").alias("s_tot"))
+    natural = F.col("n_tokens").cast("double") / F.col("tok_tot")
+    sampled = F.col("s_micro").cast("double") / F.col("s_tot")
+    return (s.crossJoin(F.broadcast(t))
+            .select("lang", "n_docs", "n_tokens",
+                    natural.alias("natural_share"),
+                    sampled.alias("sampled_share"),
+                    (sampled / natural).alias("repeat_factor")))

@@ -1,5 +1,6 @@
-"""Temporal operators Spark lacks as built-ins: as-of join and
-sessionization, in their one-shuffle scalable formulations.
+"""Temporal operators Spark lacks as built-ins: as-of join,
+sessionization, and funnel analysis, in their one-shuffle scalable
+formulations.
 
 - **as-of join** (`events_asof_last_purchase`): attach to every event
   the user's most recent purchase at-or-before its timestamp. Spark has
@@ -19,6 +20,15 @@ sessionization, in their one-shuffle scalable formulations.
   lag → boundary-flag → running-sum pattern; both windows share one
   (partition, order), so Spark plans a single shuffle + sort. Gap
   compares use integer epoch-micros (exact on both engines).
+
+- **funnel** (`events_funnel_conversion`): ordered multi-step funnel
+  (signup → view → click → purchase) with strictly-later stage
+  matching. The naive formulation chains one self-join per stage
+  (k joins, k shuffles of the full event table); here ALL stage
+  timestamps come from one window pass — running-min columns chained
+  over the same (user, time) sort, so Spark plans ONE shuffle + sort
+  + k stacked Window operators. The oracle is the independent
+  join-chain formulation, cross-checking two algorithms.
 
 At 100 TB both operators shuffle each event row exactly once, carry
 no per-key state beyond the window frame, and need no driver round
@@ -135,3 +145,103 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events"),
                  (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
                  .alias("duration_micros")))
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+# Stage k matches the user's earliest stage-k event STRICTLY after their
+# stage-(k-1) timestamp. Strict `<` on ts only: a same-timestamp pair
+# never advances the funnel, so the result is value-determined and
+# independent of any within-timestamp ordering (no tiebreak needed —
+# the lesson from the as-of/sessionization tie advisories applied from
+# the start).
+
+
+def _funnel_oracle_sql() -> str:
+    prev = None
+    ctes = []
+    for k, stage in enumerate(FUNNEL_STAGES, start=1):
+        if prev is None:
+            ctes.append(f"""u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{stage}' GROUP BY 1
+)""")
+        else:
+            ctes.append(f"""u{k} AS (
+  SELECT e.user_id, min(e.ts) AS t{k}
+  FROM events e JOIN u{prev} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{stage}' AND e.ts > p.t{prev}
+  GROUP BY 1
+)""")
+        prev = k
+    counts = ", ".join(
+        f"(SELECT count(*) FROM u{k}) AS n{k}"
+        for k in range(1, len(FUNNEL_STAGES) + 1))
+    rows = []
+    for k, stage in enumerate(FUNNEL_STAGES, start=1):
+        prev_ratio = ("CAST(NULL AS DOUBLE)" if k == 1
+                      else f"CAST(n{k} AS DOUBLE) / nullif(n{k - 1}, 0)")
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS stage_idx, '{stage}' AS stage,"
+            f" CAST(n{k} AS BIGINT) AS n_users,"
+            f" {prev_ratio} AS conv_from_prev,"
+            f" CAST(n{k} AS DOUBLE) / nullif(n1, 0) AS conv_from_first FROM c")
+    return ("WITH " + ",\n".join(ctes)
+            + f",\nc AS (SELECT {counts})\n"
+            + "\nUNION ALL ".join(rows))
+
+
+@q("events_funnel_conversion", _funnel_oracle_sql())
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per-user earliest signup, earliest view strictly
+    after it, earliest click strictly after that, earliest purchase
+    strictly after that; then per-stage user counts and conversion
+    rates (one row per stage).
+
+    Dataflow: chained running-min window columns over ONE
+    (user_id, ts, event_id) sort — t1r carries the earliest signup seen
+    so far; a view row qualifies iff t1r < its ts (value-equivalent to
+    "earliest signup < ts" since any earlier-ts row sorts first), and
+    its ts becomes a candidate for t2r; likewise for clicks and
+    purchases. One shuffle + one sort + 4 stacked Window operators —
+    vs the oracle's k-join chain (4 shuffles of the event table), the
+    cross-checked independent algorithm.
+
+    Scale path: events shuffle exactly once on user_id; per-stage
+    counts are a partial-aggregatable count over the per-user frame;
+    the 4-row stage table with conversion ratios derives from one
+    global-agg row (broadcast-sized). Conversion ratios are divisions
+    of exact int64 counts — engine-identical doubles.
+    """
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "ts", "event_id", "event_type"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lvl = e.withColumn(
+        "c1", F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts")))
+    for k, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        lvl = (lvl.withColumn(f"t{k - 1}r", F.min(f"c{k - 1}").over(w))
+               .withColumn(f"c{k}", F.when(
+                   (F.col("event_type") == stage)
+                   & (F.col(f"t{k - 1}r") < F.col("ts")), F.col("ts"))))
+    per_user = lvl.groupBy("user_id").agg(
+        *[F.min(f"c{k}").alias(f"t{k}")
+          for k in range(1, len(FUNNEL_STAGES) + 1)])
+    counts = per_user.agg(
+        *[F.count(f"t{k}").alias(f"n{k}")
+          for k in range(1, len(FUNNEL_STAGES) + 1)])
+    stage_rows = []
+    for k, stage in enumerate(FUNNEL_STAGES, start=1):
+        prev_ratio = ("CAST(NULL AS DOUBLE)" if k == 1
+                      else f"CAST(n{k} AS DOUBLE) / nullif(n{k - 1}, 0)")
+        stage_rows.append(F.expr(
+            f"struct(CAST({k} AS BIGINT) AS stage_idx, '{stage}' AS stage,"
+            f" n{k} AS n_users, {prev_ratio} AS conv_from_prev,"
+            f" CAST(n{k} AS DOUBLE) / nullif(n1, 0) AS conv_from_first)"))
+    return (counts.select(F.explode(F.array(*stage_rows)).alias("s"))
+            .select("s.stage_idx", "s.stage", "s.n_users",
+                    "s.conv_from_prev", "s.conv_from_first"))

@@ -481,3 +481,79 @@ def with_repetition_flags(d: DataFrame) -> DataFrame:
         (F.col("top_token_frac") > _REP_THRESHOLDS["top_token"])
         | (F.col("dup_2gram_frac") > _REP_THRESHOLDS["dup_2gram"])
         | (F.col("dup_3gram_frac") > _REP_THRESHOLDS["dup_3gram"]))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Conservative character-class-only patterns: identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no flags, no
+# engine-specific shorthand beyond the ASCII word boundary \b, which
+# both engines implement identically. Matching runs over lower(text)
+# so neither engine needs a case-insensitivity flag.
+PII_PATTERNS = {
+    # (tag, regex, replacement) — REDACTION ORDER MATTERS (a later
+    # pattern must never match inside an earlier replacement token);
+    # both engines apply them in this exact order.
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\b[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b", "<PHONE>"),
+}
+
+
+def with_pii_redaction(d: DataFrame) -> DataFrame:
+    """Append per-class PII match counts, a ``has_pii`` flag, and the
+    fully-redacted text to any documents-shaped frame (needs ``text``).
+    Map-only (regex scans in whole-stage codegen) — the shared transform
+    for the batch operator and any streaming admission gate."""
+    low = F.lower(F.col("text"))
+    counts = {tag: F.size(F.regexp_extract_all(low, F.lit(rx), F.lit(0)))
+              .cast("long").alias(f"n_{tag}s")
+              for tag, (rx, _) in PII_PATTERNS.items()}
+    red = low
+    for rx, repl in PII_PATTERNS.values():
+        red = F.regexp_replace(red, rx, repl)
+    out = d.select("*", *counts.values(), red.alias("redacted_text"))
+    total = sum((F.col(f"n_{tag}s") for tag in PII_PATTERNS),
+                F.lit(0).cast("long"))
+    return (out.withColumn("n_pii", total)
+            .withColumn("has_pii", F.col("n_pii") > 0))
+
+
+def _pii_oracle_body() -> str:
+    counts = ",\n       ".join(
+        f"length(regexp_extract_all(lower(text), '{rx}')) AS n_{tag}s"
+        for tag, (rx, _) in PII_PATTERNS.items())
+    red = "lower(text)"
+    for rx, repl in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{rx}', '{repl}', 'g')"
+    total = " + ".join(f"n_{tag}s" for tag in PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+       {counts},
+       {red} AS redacted_text
+  FROM documents
+)
+SELECT doc_id, n_emails, n_ips, n_phones, redacted_text,
+       CAST({total} AS BIGINT) AS n_pii,
+       ({total}) > 0 AS has_pii
+FROM c
+"""
+
+
+@q("text_pii_redact", _pii_oracle_body())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-class match counts (emails, IPv4
+    addresses, phone-shaped digit runs) and the redacted text — the
+    standard pre-training scrub pass. Pure map, zero shuffle; at 100 TB
+    this runs as one codegen'd pass over the corpus, and the redacted
+    column replaces text in downstream stages so raw PII never leaves
+    the first scan. (The synthetic corpus contains no PII by
+    construction — the gate row proves engine parity of the plumbing;
+    tests/test_pii.py proves the semantics on a doctored corpus.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return with_pii_redaction(d.select("doc_id", "text")).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted_text",
+        "n_pii", "has_pii")

@@ -55,3 +55,37 @@ def test_dsir_weight_scales_with_tokens(spark):
     length; the per-token NORMALIZED ratio stays bounded."""
     rows = score_dsir_importance(spark, SF).collect()
     assert all(abs(r["importance_weight"]) / r["n_tokens"] < 10 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# mixture weights
+# ---------------------------------------------------------------------------
+
+def test_mixture_shares_are_distributions(spark):
+    from demo_cdc_users_airline_spark.operators.importance import (
+        corpus_mixture_weights,
+    )
+
+    rows = corpus_mixture_weights(spark, SF).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["sampled_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["repeat_factor"] > 0
+
+
+def test_mixture_temperature_flattens(spark):
+    """tau = 0.5 must upweight low-resource slices and downweight the
+    dominant one, with repeat factors monotone DECREASING in mass."""
+    from demo_cdc_users_airline_spark.operators.importance import (
+        corpus_mixture_weights,
+    )
+
+    rows = sorted(corpus_mixture_weights(spark, SF).collect(),
+                  key=lambda r: r["n_tokens"])
+    factors = [r["repeat_factor"] for r in rows]
+    assert factors == sorted(factors, reverse=True)
+    assert factors[0] > 1.0        # smallest slice upsampled
+    assert factors[-1] < 1.0       # biggest slice downsampled
+    # flattening, not inversion: sampled ORDER still follows natural order
+    sampled = [r["sampled_share"] for r in rows]
+    assert sampled == sorted(sampled)

@@ -28,6 +28,7 @@ MAX_SHUFFLES = {
     "lineitem_ship_minute_projection": 0,
     "embedding_quantize_int8": 0,
     "text_repetition_stats": 0,   # in-row sorted-run counting, no explode
+    "text_pii_redact": 0,         # regex scans + replace, pure map
     "retrieval_bm25_topk": 1,     # the 1-row stats agg; scoring is a map
     # single-shuffle keyed operators
     "cdc_latest_row_per_key": 1,
@@ -37,6 +38,13 @@ MAX_SHUFFLES = {
     "dedup_simhash_pairs": 1,     # band exchange; verify joins broadcast
     "events_asof_last_purchase": 1,
     "events_sessionization": 2,   # window + final rollup
+    "events_funnel_conversion": 2,  # one user window; stage counts fold into
+    # a single global agg (the oracle's formulation would cost 4 joins)
+    "corpus_mixture_weights": 3,  # lang groupBy (twice in the static tree:
+    # the totals agg re-derives it) + the 2-scalar global agg; everything
+    # after the first reduce is n_langs rows
+    "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
+    # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,
     "corpus_pack_chunks": 1,      # the shard exchange, then per-shard window
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join

@@ -105,3 +105,72 @@ def test_asof_tie_semantics_lexicographic(spark):
                   temporal.ORACLE["events_asof_last_purchase"]
               ).df()[["event_id", "last_purchase_id"]].itertuples(index=False)}
     assert oracle == got
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_semantics(spark, tmp_path_factory):
+    """Doctored event log with known funnel outcomes (strictly-later
+    stage matching, per-user earliest qualification)."""
+    import datetime as dt
+
+    from demo_cdc_users_airline_spark.operators.temporal import (
+        events_funnel_conversion,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows, eid = [], 0
+
+    def ev(user, typ, at):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, at, user, typ, 1.0, "{}"))
+
+    # user 1: full ordered funnel
+    for i, typ in enumerate(("signup", "view", "click", "purchase")):
+        ev(1, typ, t0 + i * sec)
+    # user 2: signup, view, purchase but NO click → stops at view
+    ev(2, "signup", t0)
+    ev(2, "view", t0 + sec)
+    ev(2, "purchase", t0 + 2 * sec)
+    # user 3: only view BEFORE signup → signup never converts
+    ev(3, "view", t0)
+    ev(3, "signup", t0 + sec)
+    # user 4: signup and view at the SAME timestamp → strict `<` rejects
+    ev(4, "signup", t0)
+    ev(4, "view", t0)
+    # user 5: full chain but never signed up → not in the funnel at all
+    ev(5, "view", t0)
+    ev(5, "click", t0 + sec)
+    ev(5, "purchase", t0 + 2 * sec)
+
+    d = tmp_path_factory.mktemp("funnelevents")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    out = {r["stage"]: r
+           for r in events_funnel_conversion(spark, str(d)).collect()}
+    assert [out[s]["n_users"] for s in ("signup", "view", "click", "purchase")] \
+        == [4, 2, 1, 1]
+    assert out["signup"]["conv_from_prev"] is None
+    assert out["view"]["conv_from_prev"] == 0.5
+    assert out["click"]["conv_from_prev"] == 0.5
+    assert out["purchase"]["conv_from_prev"] == 1.0
+    assert out["purchase"]["conv_from_first"] == 0.25
+
+
+def test_funnel_is_monotone_on_gate_data(spark):
+    from demo_cdc_users_airline_spark.operators.temporal import (
+        events_funnel_conversion,
+    )
+
+    rows = sorted(events_funnel_conversion(spark, SF).collect(),
+                  key=lambda r: r["stage_idx"])
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # funnels only narrow
+    assert rows[0]["conv_from_first"] == 1.0

@@ -153,6 +153,22 @@ def main() -> int:
         # (langs×top-K) agg, scoring a single corpus scan — flat rows/s =
         # the candidate grid join stays proportional to the corpus
         ("text_lang_id_ngram", build_scaled_documents),
+        # in-row repetition stats: pure map, the zero-shuffle baseline
+        ("text_repetition_stats", build_scaled_documents),
+        # BM25: two scans + a broadcast scalar + TakeOrdered — flat
+        # rows/s = scoring is scan-bound (the suffixed probe tokens miss
+        # the query terms, which exercises the worst case: every doc
+        # scored, nothing pruned early)
+        ("retrieval_bm25_topk", build_scaled_documents),
+        # unigram LM: vocab grows linearly (disjoint token spaces), the
+        # tf⋈counts join stays co-partitioned on token
+        ("score_unigram_logprob", build_scaled_documents),
+        # DSIR: feature space fixed at 256 buckets — the model is a
+        # broadcast constant at every scale; scoring is one keyed reduce
+        ("score_dsir_importance", build_scaled_documents),
+        # hashed-tf kmeans: one shuffle per Lloyd iteration, 64-int
+        # payload per doc regardless of vocab size
+        ("corpus_topic_clusters", build_scaled_documents),
     ]
     llm_rows = []
     for name, builder in llm_probes:
@@ -190,6 +206,13 @@ def main() -> int:
               "|---|---|---|---|---|"]
     for name, mult, n, dt, rps in llm_rows:
         lines.append(f"| {name} | {mult}× | {n:,} | {dt:.2f} | {rps / 1e3:.1f} |")
+    lines += ["",
+              "similarity_semdedup is deliberately NOT probed with fixed",
+              "k=8: its within-cell pair work is O(Σ n_cell²), so holding k",
+              "constant while the corpus grows is the wrong operating point",
+              "by design — production scales nlist ∝ corpus size so cell",
+              "population (and per-cell pair work) stays bounded, exactly",
+              "like the IVF index it shares the codebook machinery with."]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     shutil.rmtree(SCRATCH, ignore_errors=True)
