@@ -22,6 +22,11 @@ from pyspark.sql import SparkSession
 # - nanosAsLong: the driver-generated events table stores TIMESTAMP(NANOS)
 #   which the vectorized reader otherwise rejects; sources.loader converts
 #   the long back to a proper microsecond timestamp.
+# - inferTimestampNTZ disabled: naive (isAdjustedToUTC=false) parquet
+#   timestamps read as TIMESTAMP instants in the session tz (UTC) instead of
+#   TIMESTAMP_NTZ — the loader contract is "all timestamps are UTC instants"
+#   so instant-only functions (unix_micros, watermarks) work uniformly and
+#   match the DuckDB oracle's naive reading byte-for-byte.
 _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -30,6 +35,7 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

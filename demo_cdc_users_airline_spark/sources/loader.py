@@ -66,6 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # long nanos -> µs via integer division (no double round-trip:
             # epoch-nanos exceed 2^53 and would lose precision as float64).
             df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    # Fallback when inferTimestampNTZ couldn't be disabled on this session:
+    # normalize any remaining TIMESTAMP_NTZ to a UTC instant (session tz is
+    # UTC, so the cast is an exact reinterpretation, zero data movement).
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     _df_cache[key] = df
     return df
 
