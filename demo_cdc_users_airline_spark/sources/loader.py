@@ -66,15 +66,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # long nanos -> µs via integer division (no double round-trip:
             # epoch-nanos exceed 2^53 and would lose precision as float64).
             df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
-    # Fallback when inferTimestampNTZ couldn't be disabled on this session:
-    # normalize any remaining TIMESTAMP_NTZ to a UTC instant (session tz is
-    # UTC, so the cast is an exact reinterpretation, zero data movement).
+    df = normalize_ntz(spark, df)
+    _df_cache[key] = df
+    return df
+
+
+def normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to UTC instants (fallback for host
+    sessions where ``inferTimestampNTZ`` couldn't be disabled).
+
+    NTZ->instant casting reinterprets wall-clock values in the SESSION
+    timezone, so it is only lossless when that tz is UTC; ``configure()``
+    may have silently failed to set it, so detect the tz and shift
+    explicitly when it isn't UTC.
+    """
     from pyspark.sql.types import TimestampNTZType
 
-    for f in df.schema.fields:
-        if isinstance(f.dataType, TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
-    _df_cache[key] = df
+    ntz_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz_cols:
+        return df
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    for c in ntz_cols:
+        # Backtick-quote so dotted names stay literal (df[c] parses dots on
+        # this Spark build); embedded backticks escape by doubling.
+        col = F.col("`" + c.replace("`", "``") + "`")
+        if session_tz == "UTC":
+            df = df.withColumn(c, col.cast("timestamp"))
+        else:
+            # Interpret the naive value as UTC regardless of session tz:
+            # cast-in-session-tz yields w - offset(tz); from_utc_timestamp
+            # adds offset(tz) back, restoring the UTC instant w exactly.
+            df = df.withColumn(
+                c, F.from_utc_timestamp(col.cast("timestamp"), session_tz))
     return df
 
 

@@ -70,6 +70,11 @@ def plan_text(df) -> str:
 
 @pytest.fixture(scope="module")
 def static_plans(spark):
+    # Materialized caches left by earlier test modules change how cached
+    # subtrees print (InMemoryTableScan vs the raw tree), which shifts the
+    # Exchange counts; clear so the plan state is deterministic regardless
+    # of module ordering.
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield {name: plan_text(QUERIES[name](spark, SF))
