@@ -222,25 +222,77 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("q_err").alias("q_err_micro2")))
 
 
-def _adc_lut(subv: DataFrame, codebook: Codebook) -> DataFrame:
-    """(query_id, lsub, cid, d2): each query subvector's squared distance
-    to every codeword of its subspace — M·K rows per query (bounded by
-    the query batch, always broadcast). A map over the same broadcast
-    codebook used for assignment, then an explode of the per-sub
-    candidate structs."""
-    cb = _codebook_df(subv.sparkSession, codebook)
-    return (subv.filter(F.col("id") < N_QUERIES)
-            .crossJoin(F.broadcast(cb))
-            .select(F.col("id").alias("query_id"), "sub",
-                    F.explode(F.expr(
-                        "transform(filter(__cents, c -> c.sub = sub),"
-                        " c -> struct(c.cid AS cid,"
-                        " aggregate(zip_with(svec, c.cvec,"
-                        " (x, y) -> (x - y) * (x - y)),"
-                        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
-                    .alias("e"))
-            .select("query_id", F.col("sub").alias("lsub"),
-                    F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
+def _by_sub_codebook_df(spark: SparkSession, codebook: Codebook) -> DataFrame:
+    """``__cbs[s+1]`` = that subspace's codewords as (cid, cvec) structs —
+    2-level layout so per-sub access is a direct element_at instead of a
+    filter() scan over all M·K entries per evaluation."""
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for s, c, v in codebook:
+        by_sub.setdefault(int(s), []).append((int(c), [int(x) for x in v]))
+    arr = [sorted(by_sub[s]) for s in sorted(by_sub)]
+    return spark.createDataFrame(
+        [(arr,)], "__cbs array<array<struct<cid:int,cvec:array<bigint>>>>")
+
+
+def _encode_packed(df: DataFrame, vec_col: str, codebook: Codebook,
+                   keep: list[str]) -> DataFrame:
+    """+ ``codes: array<int>`` (length M): per-vector PQ codes packed into
+    ONE array column by a pure map — no explode, no re-grouping. The
+    argmin tie-break (d2, cid) matches ``_pq_assign`` exactly.
+
+    Subvectors are bound in a prior projection so each slice() evaluates
+    once, not once per codeword candidate."""
+    cb = _by_sub_codebook_df(df.sparkSession, codebook)
+    subvecs = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}),"
+        f" s -> slice({vec_col}, s * {SUB_DIM} + 1, {SUB_DIM}))")
+    codes = F.expr(
+        "transform(__subvecs, (sv, s) -> array_min("
+        "transform(element_at(__cbs, s + 1), c -> struct("
+        "aggregate(zip_with(sv, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        " c.cid AS cid))).cid)")
+    return (df.crossJoin(F.broadcast(cb))
+            .withColumn("__subvecs", subvecs)
+            .select(*keep, codes.alias("codes")))
+
+
+def _collect_query_vecs(vq: DataFrame) -> list[tuple[int, list[int]]]:
+    """The bounded query batch as driver-side int vectors (J5 pattern)."""
+    rows = vq.filter(F.col("id") < N_QUERIES).select("id", "vec").collect()
+    return sorted((int(r["id"]), [int(x) for x in r["vec"]]) for r in rows)
+
+
+def _python_lut(qvec: list[int], codebook: Codebook) -> list[list[int]]:
+    """``lut[sub][cid]`` = squared distance from the query's subvector to
+    that codeword — pure int arithmetic, identical to the SQL fold (Python
+    ints are exact; magnitudes fit int64 by the same micro-unit bound).
+    Dense K_SUB slots per sub; a cid whose cell emptied during training
+    keeps a 0 slot that no code row can reference."""
+    lut = [[0] * K_SUB for _ in range(M_SUB)]
+    for s, cid, cvec in codebook:
+        sv = qvec[s * SUB_DIM:(s + 1) * SUB_DIM]
+        lut[s][cid] = sum((x - y) * (x - y) for x, y in zip(sv, cvec))
+    return lut
+
+
+_ADC_SUM_SQL = (
+    f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT),"
+    f" (acc, s) -> acc + element_at(element_at(lut, s + 1),"
+    f" element_at(codes, s + 1) + 1))")
+
+
+def _adc_sum():
+    return F.expr(_ADC_SUM_SQL)
+
+
+def _topk_per_query(adc: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.select("query_id", "neighbor_id",
+                       F.col("adc_d2").cast("long").alias("adc_d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= ADC_TOPK)
+            .drop("__rn"))
 
 
 @q("similarity_pq_adc_topk", "WITH " + _pq_ctes() + f""",
@@ -268,28 +320,25 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate distance is the sum of M lookups over its code row.
     Top-k per query by (distance, neighbor_id) total order.
 
-    Scale path: the scan side touches ONLY the int code table; the LUT
-    is bounded by the query batch (M·K rows per query); one groupBy
-    (query, neighbor) sums the M lookup terms with map-side combine.
-    Integer end-to-end ⇒ hash-exact against the unrolled oracle."""
-    subv = _subvectors(spark, sf_dir)
+    Scale path: the scan side touches ONLY packed int code arrays (one
+    row per vector, M codes in-row); the LUT is computed driver-side
+    from the bounded query batch (J5 scalar pattern — N_QUERIES · M · K
+    ints) and broadcast, so each candidate's distance is an in-row fold
+    of M lookups — no per-sub row blowup, no (query, neighbor) shuffle;
+    the only exchange is the final per-query top-k. Integer end-to-end
+    ⇒ hash-exact against the unrolled oracle."""
+    vq = _quantized_vectors(spark, sf_dir)
     codebook = fitted_pq_codebook(spark, sf_dir)
-    codes = (_pq_assign(subv, codebook)
-             .select(F.col("id").alias("neighbor_id"), "sub",
-                     F.col("cell").alias("code")))
-    lut = _adc_lut(subv, codebook)
-    adc = (codes.join(F.broadcast(lut),
-                      (F.col("sub") == F.col("lsub"))
-                      & (F.col("code") == F.col("cid"))
-                      & (F.col("neighbor_id") != F.col("query_id")))
-           .groupBy("query_id", "neighbor_id")
-           .agg(F.sum("d2").alias("adc_d2")))
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (adc.select("query_id", "neighbor_id",
-                       F.col("adc_d2").cast("long").alias("adc_d2"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= ADC_TOPK)
-            .drop("__rn"))
+    enc = _encode_packed(vq, "vec", codebook, ["id"])
+    lut_df = spark.createDataFrame(
+        [(qid, _python_lut(qvec, codebook))
+         for qid, qvec in _collect_query_vecs(vq)],
+        "query_id: long, lut: array<array<bigint>>")
+    adc = (enc.join(F.broadcast(lut_df),
+                    F.col("id") != F.col("query_id"))
+           .select("query_id", F.col("id").alias("neighbor_id"),
+                   _adc_sum().alias("adc_d2")))
+    return _topk_per_query(adc)
 
 
 # --------------------------------------------------------------------------
@@ -354,41 +403,32 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     vq = _quantized_vectors(spark, sf_dir)
     ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=3)
-    assigned = (assign_cells(vq, ivf_cb)
-                .select(F.col("id").alias("neighbor_id"), "cell"))
-    subv = _subvectors(spark, sf_dir)
     pq_cb = fitted_pq_codebook(spark, sf_dir)
-    codes = (_pq_assign(subv, pq_cb)
-             .select(F.col("id").alias("neighbor_id"), "sub",
-                     F.col("cell").alias("code")))
+    # one pass over the corpus produces (id, cell, packed codes)
+    enc = _encode_packed(assign_cells(vq, ivf_cb), "vec", pq_cb,
+                         ["id", "cell"])
     probes = (probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
                           nprobe=IVFPQ_NPROBE)
               .select(F.col("id").alias("query_id"), "probe_cell"))
     probe_rows = probes.collect()   # bounded: N_QUERIES × nprobe rows
     probed_cells = sorted({int(r["probe_cell"]) for r in probe_rows})
+    qvecs = dict(_collect_query_vecs(vq))
+    # (query, probe_cell, LUT) — driver-built, broadcast (J5 pattern);
+    # the absolute-code LUT is cell-independent, repeated per probe row
     probe_df = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["probe_cell"])) for r in probe_rows],
-        "query_id: long, probe_cell: int")
+        [(int(r["query_id"]), int(r["probe_cell"]),
+          _python_lut(qvecs[int(r["query_id"])], pq_cb))
+         for r in probe_rows],
+        "query_id: long, probe_cell: int, lut: array<array<bigint>>")
     # static IN filter on the candidate side — partition pruning when the
     # code/cell tables are cell-partitioned at scale
-    cand = (assigned.filter(F.col("cell").isin(probed_cells))
-            .join(codes, "neighbor_id"))
-    lut = _adc_lut(subv, pq_cb)
-    adc = (cand.join(F.broadcast(probe_df),
-                     (F.col("cell") == F.col("probe_cell"))
-                     & (F.col("neighbor_id") != F.col("query_id")))
-           .join(F.broadcast(lut),
-                 ["query_id"], "inner")
-           .filter((F.col("sub") == F.col("lsub"))
-                   & (F.col("code") == F.col("cid")))
-           .groupBy("query_id", "neighbor_id")
-           .agg(F.sum("d2").alias("adc_d2")))
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (adc.select("query_id", "neighbor_id",
-                       F.col("adc_d2").cast("long").alias("adc_d2"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= ADC_TOPK)
-            .drop("__rn"))
+    adc = (enc.filter(F.col("cell").isin(probed_cells))
+           .join(F.broadcast(probe_df),
+                 (F.col("cell") == F.col("probe_cell"))
+                 & (F.col("id") != F.col("query_id")))
+           .select("query_id", F.col("id").alias("neighbor_id"),
+                   _adc_sum().alias("adc_d2")))
+    return _topk_per_query(adc)
 
 
 # --------------------------------------------------------------------------
@@ -525,57 +565,29 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
 
     vq = _quantized_vectors(spark, sf_dir)
     ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=_KM_ITERS)
-    res = _residual_vectors(vq, ivf_cb)
-    res_subv = _split_subs(res, "rvec", ["id"])
     rcb = fitted_residual_pq_codebook(spark, sf_dir)
-    codes = (_pq_assign(res_subv, rcb)
-             .select(F.col("id").alias("neighbor_id"), "sub",
-                     F.col("cell").alias("code")))
-    assigned = res.select(F.col("id").alias("neighbor_id"), "cell")
+    # one pass: coarse-assign, subtract centroid, pack residual codes
+    enc = _encode_packed(_residual_vectors(vq, ivf_cb), "rvec", rcb,
+                         ["id", "cell"])
     probes = (probe_cells(vq.filter(F.col("id") < N_QUERIES), ivf_cb,
                           nprobe=IVFPQ_NPROBE)
               .select(F.col("id").alias("query_id"), "probe_cell"))
     probe_rows = probes.collect()   # bounded: N_QUERIES × nprobe rows
     probed_cells = sorted({int(r["probe_cell"]) for r in probe_rows})
+    qvecs = dict(_collect_query_vecs(vq))
+    cents = {int(cid): [int(x) for x in v] for cid, v in ivf_cb}
+    # per-(query, probe_cell) RESIDUAL LUT: q − centroid(probe_cell) vs
+    # the residual codewords — driver-built int arithmetic, broadcast
     probe_df = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["probe_cell"])) for r in probe_rows],
-        "query_id: long, probe_cell: int")
-    # per-(query, probe_cell) residual: q − centroid(probe_cell)
-    icb = _ivf_codebook_df(spark, ivf_cb)
-    qr = (vq.filter(F.col("id") < N_QUERIES)
-          .withColumnRenamed("id", "query_id")
-          .join(F.broadcast(probe_df), "query_id")
-          .crossJoin(F.broadcast(icb))
-          .select("query_id", "probe_cell",
-                  F.expr("zip_with(vec, element_at(filter(__icents,"
-                         " c -> c.cid = probe_cell), 1).cvec,"
-                         " (x, y) -> x - y)").alias("rvec")))
-    qsub = _split_subs(qr, "rvec", ["query_id", "probe_cell"])
-    pcb = _codebook_df(spark, rcb)
-    lut = (qsub.crossJoin(F.broadcast(pcb))
-           .select("query_id", "probe_cell", F.col("sub").alias("lsub"),
-                   F.explode(F.expr(
-                       "transform(filter(__cents, c -> c.sub = sub),"
-                       " c -> struct(c.cid AS cid,"
-                       " aggregate(zip_with(svec, c.cvec,"
-                       " (x, y) -> (x - y) * (x - y)),"
-                       " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2))"))
-                   .alias("e"))
-           .select("query_id", "probe_cell", "lsub",
-                   F.col("e.cid").alias("cid"), F.col("e.d2").alias("d2")))
-    cand = (assigned.filter(F.col("cell").isin(probed_cells))
-            .join(codes, "neighbor_id"))
-    adc = (cand.join(F.broadcast(probe_df),
-                     (F.col("cell") == F.col("probe_cell"))
-                     & (F.col("neighbor_id") != F.col("query_id")))
-           .join(F.broadcast(lut), ["query_id", "probe_cell"])
-           .filter((F.col("sub") == F.col("lsub"))
-                   & (F.col("code") == F.col("cid")))
-           .groupBy("query_id", "neighbor_id")
-           .agg(F.sum("d2").alias("adc_d2")))
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (adc.select("query_id", "neighbor_id",
-                       F.col("adc_d2").cast("long").alias("adc_d2"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= ADC_TOPK)
-            .drop("__rn"))
+        [(qid, pc, _python_lut(
+            [x - y for x, y in zip(qvecs[qid], cents[pc])], rcb))
+         for qid, pc in sorted((int(r["query_id"]), int(r["probe_cell"]))
+                               for r in probe_rows)],
+        "query_id: long, probe_cell: int, lut: array<array<bigint>>")
+    adc = (enc.filter(F.col("cell").isin(probed_cells))
+           .join(F.broadcast(probe_df),
+                 (F.col("cell") == F.col("probe_cell"))
+                 & (F.col("id") != F.col("query_id")))
+           .select("query_id", F.col("id").alias("neighbor_id"),
+                   _adc_sum().alias("adc_d2")))
+    return _topk_per_query(adc)
