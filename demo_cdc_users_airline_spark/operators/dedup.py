@@ -522,10 +522,27 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     truncates lineage so the per-round plan stays constant-size, and the
     convergence probe is a count + left_anti on the checkpointed sets.
     """
-    E = (edges.select(F.greatest("src", "dst").alias("u"),
-                      F.least("src", "dst").alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .distinct().localCheckpoint(eager=True))
+    def _stats(df):
+        # ONE job: edge count + order-independent content hash. The sum
+        # goes through DECIMAL so ANSI mode can't overflow-throw.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), r["h"]
+
+    def _mat(df, n_hint):
+        # checkpoint at a partition count proportional to the edge set:
+        # per-round jobs over a shrinking frontier must not keep paying
+        # 32-task scheduling for a few hundred rows (coalesce = no shuffle)
+        parts = max(2, min(n_hint // 100_000 + 1, 2048))
+        return df.coalesce(parts).localCheckpoint(eager=True)
+
+    E0 = (edges.select(F.greatest("src", "dst").alias("u"),
+                       F.least("src", "dst").alias("v"))
+          .filter(F.col("u") != F.col("v")).distinct())
+    E = _mat(E0, edges.sparkSession.sparkContext.defaultParallelism * 100_000)
+    n, h = _stats(E)
     w = Window.partitionBy("u")
     for _ in range(_CC_MAX_ROUNDS):
         # large-star over the symmetrized neighborhood
@@ -540,10 +557,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         leaves = (ss.filter(F.col("v") != F.col("mn"))
                   .select(F.col("v").alias("u"), F.col("mn").alias("v")))
         hubs = ss.select("u", F.col("mn").alias("v"))
-        new_e = leaves.unionByName(hubs).distinct().localCheckpoint(eager=True)
-        converged = (new_e.count() == E.count()
+        new_e = _mat(leaves.unionByName(hubs).distinct(), n)
+        new_n, new_h = _stats(new_e)
+        # (count, hash-sum) equality is the cheap signal; the anti-join
+        # is the EXACT confirmation and runs only when the signal fires
+        # (at most twice per call: a false positive would re-loop)
+        converged = (new_n == n and new_h == h
                      and new_e.join(E, ["u", "v"], "left_anti").isEmpty())
-        E = new_e
+        E, n, h = new_e, new_n, new_h
         if converged:
             break
     else:

@@ -323,8 +323,14 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", "lang", "s",
                   F.explode(F.expr("sequence(1, length(s) - 2)")).alias("i"))
           .select("doc_id", "lang", F.expr("substring(s, i, 3)").alias("tri")))
-    doc_tg = tg.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("cnt"))
-    lang_tg = tg.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE shuffle of the raw trigram stream: aggregate per (doc, tri)
+    # first (lang rides along — doc determines lang), then derive the
+    # language profiles from the compacted per-doc counts. The second
+    # exchange carries distinct (doc, tri) rows, not raw occurrences.
+    tgc = (tg.groupBy("doc_id", "lang", "tri")
+           .agg(F.count(F.lit(1)).alias("cnt")).cache())
+    doc_tg = tgc.select("doc_id", "tri", "cnt")
+    lang_tg = tgc.groupBy("lang", "tri").agg(F.sum("cnt").alias("cnt"))
     wk = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
     prof = (lang_tg.withColumn("__rk", F.row_number().over(wk))
             .filter(F.col("__rk") <= _PROFILE_K)

@@ -84,6 +84,14 @@ def static_plans(spark):
 
 
 def shuffles_in(plan: str) -> int:
+    # count DISTINCT Exchange operators via the formatted node-detail
+    # section — a shared subtree (e.g. a cached frame feeding two
+    # consumers) prints its Exchange twice in the tree but executes once
+    import re
+
+    ids = set(re.findall(r"^\((\d+)\) Exchange\b", plan, re.M))
+    if ids or "Exchange" not in plan:
+        return len(ids)
     return plan.count("+- Exchange") + plan.count(":- Exchange")
 
 
