@@ -3,12 +3,12 @@
 from __future__ import annotations
 
 from . import (curation, dedup, importance, kmeans_ivf, multimodal, pq,
-               retrieval, sampling, similarity, temporal, text)
+               retrieval, sampling, similarity, temporal, text, tokenizer)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
 for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling, temporal,
-            curation, pq, retrieval, importance):
+            curation, pq, retrieval, importance, tokenizer):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

@@ -106,6 +106,17 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100 TB the only data movement is the
     map-side-combined 1-row aggregate and k rows to the driver.
     """
+    return (_bm25_scored(spark, sf_dir)
+            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            .limit(TOP_K)
+            .select("doc_id", "n_tokens", "score_micro",
+                    (F.col("score_micro").cast("double") / F.lit(1000000.0))
+                    .alias("score")))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, score_micro) for the fixed query term set —
+    shared by the plain BM25 top-k and the hybrid RRF fusion."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", tokens("text").alias("__toks")).select(
         "doc_id", F.size("__toks").alias("dl"),
@@ -117,12 +128,124 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("avgdl"),
         *[F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
           for t in QUERY_TERMS])
-    scored = (base.crossJoin(F.broadcast(stats))
-              .select("doc_id", F.col("dl").cast("long").alias("n_tokens"),
-                      F.expr(_SCORE_SQL).alias("score_micro")))
-    return (scored
-            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
-            .limit(TOP_K)
-            .select("doc_id", "n_tokens", "score_micro",
-                    (F.col("score_micro").cast("double") / F.lit(1000000.0))
-                    .alias("score")))
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id", F.col("dl").cast("long").alias("n_tokens"),
+                    F.expr(_SCORE_SQL).alias("score_micro")))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 ∪ embedding-cosine, fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 50     # per-modality candidate pool depth
+HYBRID_TOPK = 20
+_HYBRID_QVEC = 0  # the exemplar document whose embedding is the dense query
+
+# documents.doc_id and embeddings.vec_id are the same id space in the
+# testdata (one embedding per document), so the two rank lists fuse on it.
+
+_COS_Q_SQL = f"""
+  list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[])
+  / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+     * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+"""
+
+
+@q("retrieval_hybrid_rrf", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}"
+                    for t in QUERY_TERMS)}
+  FROM t
+),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                    for t in QUERY_TERMS)}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, {_SCORE_SQL} AS score_micro FROM d CROSS JOIN st
+),
+br AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS bm25_rank
+  FROM scored
+  QUALIFY bm25_rank <= {RRF_POOL}
+),
+cr AS (
+  SELECT b.vec_id AS doc_id,
+         row_number() OVER (ORDER BY {_COS_Q_SQL} DESC, b.vec_id) AS cos_rank
+  FROM embeddings b
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_HYBRID_QVEC}) q
+  WHERE b.vec_id <> {_HYBRID_QVEC}
+  QUALIFY cos_rank <= {RRF_POOL}
+)
+SELECT doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cos_rank AS BIGINT) AS cos_rank,
+       CAST(coalesce(1000000 // ({RRF_K} + bm25_rank), 0)
+            + coalesce(1000000 // ({RRF_K} + cos_rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM br FULL OUTER JOIN cr USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {HYBRID_TOPK}
+""")
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: the BM25 rank list and the
+    embedding-cosine rank list (query = an exemplar document's vector)
+    fused by Reciprocal Rank Fusion — score(d) = Σ 1/(60 + rank_m(d))
+    over the modalities that retrieved d, in exact micro-unit integer
+    division, so fusion is engine-exact even though the underlying
+    scores live on incomparable scales (the reason RRF is the standard
+    fusion for hybrid search).
+
+    Dataflow: each modality reduces to a top-{RRF_POOL} list via
+    TakeOrderedAndProject (per-partition heap — never a global window);
+    rank assignment happens driver-side on those bounded lists (the J5
+    scalar pattern: k rows by construction), and the fusion is a tiny
+    full-outer join + TakeOrdered — no shuffle touches corpus-sized
+    data at any point.
+
+    Scale path: one documents scan (BM25 scoring is map-only after the
+    1-row stats broadcast), one embeddings scan (query vector
+    broadcast), two bounded top-k reductions; at 100 TB per-modality
+    serving would page through IVF/ANN instead of brute cosine, but
+    the fusion stage is unchanged."""
+    bm25_top = (_bm25_scored(spark, sf_dir)
+                .orderBy(F.col("score_micro").desc(), "doc_id")
+                .limit(RRF_POOL).select("doc_id").collect())
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = (e.filter(F.col("vec_id") == _HYBRID_QVEC)
+          .select(F.col("embedding").alias("q_emb")))
+    from .similarity import dot
+
+    cos = (F.expr("aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+                  " CAST(q_emb AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+                  " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+           / (F.sqrt(dot("embedding", "embedding"))
+              * F.sqrt(dot("q_emb", "q_emb"))))
+    cos_top = (e.filter(F.col("vec_id") != _HYBRID_QVEC)
+               .crossJoin(F.broadcast(qv))
+               .select("vec_id", cos.alias("cosine"))
+               .orderBy(F.col("cosine").desc(), "vec_id")
+               .limit(RRF_POOL).select("vec_id").collect())
+    b_df = spark.createDataFrame(
+        [(int(r["doc_id"]), i + 1) for i, r in enumerate(bm25_top)],
+        "doc_id: long, bm25_rank: long")
+    c_df = spark.createDataFrame(
+        [(int(r["vec_id"]), i + 1) for i, r in enumerate(cos_top)],
+        "doc_id: long, cos_rank: long")
+    rrf = (F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + bm25_rank)"), F.lit(0))
+           + F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + cos_rank)"), F.lit(0)))
+    return (b_df.join(c_df, "doc_id", "full")
+            .select("doc_id", "bm25_rank", "cos_rank",
+                    rrf.cast("long").alias("rrf_micro"))
+            .orderBy(F.col("rrf_micro").desc(), "doc_id")
+            .limit(HYBRID_TOPK))

@@ -245,3 +245,66 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.select(F.explode(F.array(*stage_rows)).alias("s"))
             .select("s.stage_idx", "s.stage", "s.n_users",
                     "s.conv_from_prev", "s.conv_from_first"))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@q("events_retention_cohorts", f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+coh AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
+siz AS (SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1),
+act AS (
+  SELECT c.cohort_week,
+         (epoch_us(u.wk) - epoch_us(c.cohort_week)) // {_WEEK_US} AS week_offset,
+         count(*) AS n_active
+  FROM uw u JOIN coh c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT)
+         AS retained_pct_micro
+FROM act a JOIN siz s USING (cohort_week)
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by their first
+    active week; each (cohort, week-offset) cell counts how many of the
+    cohort's users were active that week, with retention as a micro-unit
+    integer share (floor(1e6 · active/size) — exact on both engines).
+
+    Dataflow: the corpus compacts to distinct (user, week) pairs FIRST
+    (the only pass over raw events, map-side combinable); the cohort
+    week is min(week) over that compact frame (min commutes with the
+    monotone date_trunc), and the matrix is a join + groupBy over
+    per-user-week rows. Mirrors the reference's dashboard-rollup style
+    over the events stream (kits/users: activity endpoints).
+
+    Scale path: raw events reduce to |users|×|weeks| rows in the first
+    exchange; everything after operates on the compacted frame. The
+    per-cohort sizes are a tiny second aggregate joined broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+          .distinct())
+    coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    siz = coh.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (uw.join(coh, "user_id")
+           .select("cohort_week",
+                   ((F.unix_micros("wk") - F.unix_micros("cohort_week"))
+                    / F.lit(_WEEK_US)).cast("long").alias("week_offset"))
+           .groupBy("cohort_week", "week_offset")
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    return (act.join(F.broadcast(siz), "cohort_week")
+            .select("cohort_week",
+                    F.col("week_offset").cast("long").alias("week_offset"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    F.expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)")
+                    .alias("retained_pct_micro")))

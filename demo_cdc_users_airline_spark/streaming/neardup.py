@@ -4,14 +4,20 @@ with exact Hamming verification — the streaming twin of
 core already has (every batch dedup family member whose state is a
 per-key identity set gets a streaming form).
 
-Semantics: an arriving document is REJECTED iff its 60-bit simhash is
-within Hamming ≤ 3 of (a) any previously ADMITTED document, or (b) any
-lower-doc_id document in the same micro-batch. (b) is deliberately
-greedy: a within-batch rejected doc can still shadow a later doc of the
-same batch — a conservative, order-free policy that keeps the batch
-computation one joins-pass instead of a sequential scan; across batches
-the guarantee is exact first-writer-wins, because only admitted docs
-enter the state. Rejected docs never shadow future batches.
+Semantics (two within-batch policies; across batches both are exact
+first-writer-wins because only admitted docs enter the state):
+
+- ``greedy`` (default): a doc is REJECTED iff within Hamming ≤ 3 of any
+  previously admitted doc OR any lower-doc_id doc of the same batch —
+  order-free, one joins-pass; a within-batch REJECTED doc can still
+  shadow a later same-batch doc (conservative).
+- ``sequential``: exactly what a serial one-doc-at-a-time writer would
+  produce — docs resolve in doc_id order and a REJECTED doc shadows
+  nobody. Along a within-batch chain a~b~c (c near b but not a): greedy
+  rejects b and c; sequential rejects b, admits c. Resolved by a
+  bounded fixpoint over the batch's candidate edges (rounds = chain
+  depth, batch-sized data — the same BSP discipline as
+  ``operators.dedup.connected_components``).
 
 State = the admitted table ITSELF: each batch probes the admitted docs'
 band index (4×15-bit bands — pigeonhole-complete for Hamming ≤ 3, the
@@ -50,6 +56,7 @@ class StreamingNearDupDedup:
 
     out_table: AppendTable
     max_hamming: int = _SH_MAX_HAMMING
+    policy: str = "greedy"  # "greedy" | "sequential" (see module docstring)
 
     def _with_sig(self, docs: DataFrame) -> DataFrame:
         # bind toks in a prior projection (see simhash_expr)
@@ -83,18 +90,67 @@ class StreamingNearDupDedup:
             rejected = (new_bands.join(prior_bands, ["band", "band_key"])
                         .filter(ham <= self.max_hamming)
                         .select(F.col("new_id").alias("doc_id")))
-        # within-batch greedy: a doc is shadowed by any LOWER-id batch doc
-        # within the Hamming radius (see module docstring for the policy)
+        # within-batch candidate edges: (lo, hi) batch pairs in the radius
         lower = (new_bands.select(F.col("new_id").alias("old_id"),
                                   F.col("new_id_sh").alias("old_sh"),
                                   "band", "band_key"))
-        in_batch = (new_bands.join(lower, ["band", "band_key"])
-                    .filter((F.col("old_id") < F.col("new_id"))
-                            & (ham <= self.max_hamming))
-                    .select(F.col("new_id").alias("doc_id")))
-        rejected = in_batch if rejected is None else rejected.unionByName(in_batch)
-        admitted = sig.join(rejected.distinct(), "doc_id", "left_anti")
+        edges = (new_bands.join(lower, ["band", "band_key"])
+                 .filter((F.col("old_id") < F.col("new_id"))
+                         & (ham <= self.max_hamming))
+                 .select(F.col("old_id").alias("lo"),
+                         F.col("new_id").alias("hi"))
+                 .distinct())
+        if self.policy == "sequential":
+            admitted_ids = self._sequential_admit(
+                sig.select("doc_id"),
+                None if rejected is None else rejected.distinct(), edges)
+            admitted = sig.join(admitted_ids, "doc_id", "left_semi")
+        else:
+            in_batch = edges.select(F.col("hi").alias("doc_id"))
+            rejected = (in_batch if rejected is None
+                        else rejected.unionByName(in_batch))
+            admitted = sig.join(rejected.distinct(), "doc_id", "left_anti")
         self.out_table.append_idempotent(admitted, batch_id)
+
+    @staticmethod
+    def _sequential_admit(doc_ids: DataFrame, prior_rejected: DataFrame | None,
+                          edges: DataFrame) -> DataFrame:
+        """Serial-writer admission over the batch's candidate edges:
+        resolve docs in id order; a doc is rejected iff some ADMITTED
+        lower-id neighbor shadows it (rejected docs shadow nobody).
+
+        BSP fixpoint: status ∈ {unknown 0, admitted 1, rejected -1};
+        each round settles every unknown doc whose lower neighbors are
+        all settled. Rounds = the longest within-batch near-dup CHAIN
+        (almost always ≤ 2); data is micro-batch-sized throughout."""
+        st = doc_ids.select("doc_id", F.lit(0).alias("st"))
+        if prior_rejected is not None:
+            st = st.join(prior_rejected.select("doc_id")
+                         .withColumn("__rej", F.lit(1)), "doc_id", "left")
+            st = st.select(
+                "doc_id",
+                F.when(F.col("__rej") == 1, F.lit(-1)).otherwise(0).alias("st"))
+        st = st.coalesce(2).localCheckpoint(eager=True)
+        e = edges.coalesce(2).localCheckpoint(eager=True)
+        for _ in range(10_000):  # bounded by the longest chain ≤ batch size
+            if st.filter(F.col("st") == 0).isEmpty():
+                break
+            nbr = (e.join(st.select(F.col("doc_id").alias("lo"),
+                                    F.col("st").alias("lo_st")), "lo")
+                   .groupBy(F.col("hi").alias("doc_id"))
+                   .agg(F.max(F.when(F.col("lo_st") == 1, 1).otherwise(0))
+                        .alias("any_adm"),
+                        F.max(F.when(F.col("lo_st") == 0, 1).otherwise(0))
+                        .alias("any_unk")))
+            st = (st.join(nbr, "doc_id", "left")
+                  .select("doc_id", F.when(F.col("st") != 0, F.col("st"))
+                          .when(F.coalesce("any_adm", F.lit(0)) == 1, -1)
+                          .when(F.coalesce("any_unk", F.lit(0)) == 1, 0)
+                          .otherwise(1).alias("st"))
+                  .coalesce(2).localCheckpoint(eager=True))
+        else:
+            raise RuntimeError("sequential_admit: no fixpoint (cycle?)")
+        return st.filter(F.col("st") == 1).select("doc_id")
 
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):

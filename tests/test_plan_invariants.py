@@ -55,6 +55,12 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "events_retention_cohorts": 5,  # uw distinct + cohort agg + join + matrix
+    # agg + sizes; every shuffle after the first carries (user, week) rows
+    "retrieval_hybrid_rrf": 2,      # the two bounded-pool rank joins; corpus
+    # scans reduce via TakeOrdered, fusion is driver-ranked 50-row frames
+    "text_bpe_merges": 0,           # returned artifact is the driver-side
+    # merge table; training jobs run at build time (vocab-sized groupBys)
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
     "text_lang_id_ngram": 7,

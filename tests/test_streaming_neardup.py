@@ -111,3 +111,61 @@ def test_neardup_batch_rerun_does_not_self_shadow(spark, tmp_path):
     b1 = spark.createDataFrame([(3, BASE), (4, THIRD)], "doc_id long, text string")
     dedup.process_batch(b1, 1)
     assert {r["doc_id"] for r in out.read().collect()} == {1, 2, 4}
+
+
+# a within-batch near-dup CHAIN: h(A,B)=3, h(B,C)=3, h(A,C)=4 (verified
+# by the guard test below) — the case where the two policies diverge
+CHAIN_B = BASE.replace("the quick", "new quick", 1)
+CHAIN_C = BASE.replace("the quick", "red quick", 1)
+
+
+def test_chain_fixture_distances(spark):
+    sa, sb, sc = (sig_of(spark, t) for t in (BASE, CHAIN_B, CHAIN_C))
+    assert hamming(sa, sb) <= 3 and hamming(sb, sc) <= 3
+    assert hamming(sa, sc) > 3
+
+
+def test_sequential_policy_admits_chain_tail(spark, tmp_path):
+    """Serial-writer semantics: B (dup of A) is rejected; C (dup only of
+    the REJECTED B) is admitted — exactly what one-at-a-time processing
+    would do. The greedy policy rejects both."""
+    for policy, expect in (("sequential", {1, 3}), ("greedy", {1})):
+        out = AppendTable(spark, str(tmp_path / f"admitted_{policy}"))
+        dedup = StreamingNearDupDedup(out_table=out, policy=policy)
+        b0 = spark.createDataFrame(
+            [(1, BASE), (2, CHAIN_B), (3, CHAIN_C)], "doc_id long, text string")
+        dedup.process_batch(b0, 0)
+        assert {r["doc_id"] for r in out.read().collect()} == expect, policy
+
+
+def test_sequential_matches_serial_replay(spark, tmp_path):
+    """Parity oracle: the streaming result over doctored batches equals
+    a strict one-doc-at-a-time serial replay of the same stream."""
+    batches = [
+        [(1, BASE), (2, CHAIN_B), (3, CHAIN_C)],
+        [(11, CHAIN_B), (12, OTHER)],      # 11 dups admitted A across batches
+        [(21, THIRD), (22, CHAIN_C)],      # 22 dups admitted C across batches
+    ]
+    out = AppendTable(spark, str(tmp_path / "admitted_seq"))
+    dedup = StreamingNearDupDedup(out_table=out, policy="sequential")
+    for bid, docs in enumerate(batches):
+        dedup.process_batch(
+            spark.createDataFrame(docs, "doc_id long, text string"), bid)
+    got = {r["doc_id"] for r in out.read().collect()}
+
+    sigs = {i: sig_of(spark, t) for b in batches for i, t in b}
+    admitted = set()
+    for i in sorted(sigs):
+        if all(hamming(sigs[i], sigs[j]) > 3 for j in admitted):
+            admitted.add(i)
+    assert got == admitted
+
+
+def test_sequential_rerun_idempotent(spark, tmp_path):
+    out = AppendTable(spark, str(tmp_path / "admitted_rerun"))
+    dedup = StreamingNearDupDedup(out_table=out, policy="sequential")
+    b0 = spark.createDataFrame([(1, BASE), (2, CHAIN_B), (3, CHAIN_C)],
+                               "doc_id long, text string")
+    dedup.process_batch(b0, 0)
+    dedup.process_batch(b0, 0)   # retry must not self-shadow or duplicate
+    assert sorted(r["doc_id"] for r in out.read().collect()) == [1, 3]

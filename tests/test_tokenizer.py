@@ -1,0 +1,56 @@
+"""BPE merge learning: hand-computed merges on a doctored corpus, and
+structural invariants on the real testdata."""
+
+from pyspark.sql import functions as F
+
+from demo_cdc_users_airline_spark.operators.tokenizer import (
+    _pair_counts,
+    _word_freq,
+    learn_bpe_merges,
+    text_bpe_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doctor(spark, tmp_path, texts):
+    d = tmp_path / "bpe_corpus"
+    d.mkdir()
+    (spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                           "doc_id long, text string")
+     .write.parquet(str(d / "documents.parquet")))
+    return str(d)
+
+
+def test_hand_computed_merges(spark, tmp_path):
+    """Corpus = 'aaab' x3: round 1 merges (a,a) cnt 6; round 2 the tie
+    between (aa,a) and (a,b) at 3 breaks lexicographically to (a,b);
+    round 3 merges (aa,ab); then no pairs remain (the run 'a a a'
+    resolves by the documented boundary-consuming replace spec)."""
+    sf = _doctor(spark, tmp_path, ["aaab aaab aaab"])
+    merges = learn_bpe_merges(spark, sf)
+    assert merges == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)]
+
+
+def test_word_freq_weighted_pairs(spark, tmp_path):
+    sf = _doctor(spark, tmp_path, ["to to to be", "be to"])
+    wf = _word_freq(spark, sf)
+    rows = {r["w"]: r["n"] for r in wf.collect()}
+    assert rows == {"t o": 4, "b e": 2}
+    pc = {(r["a"], r["b"]): r["cnt"] for r in _pair_counts(wf).collect()}
+    assert pc == {("t", "o"): 4, ("b", "e"): 2}
+
+
+def test_real_corpus_invariants(spark):
+    df = text_bpe_merges(spark, SF)
+    rows = df.orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 1
+    # each round's chosen count never exceeds the previous round's: a
+    # pair born of merge m occurs at most count(m) times, and old pairs
+    # only lose occurrences
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert " " not in r["merged"]
