@@ -233,3 +233,53 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_canonical").cast("long").alias("neardup_canonical"),
         (1 - F.col("is_contaminated")).cast("long").alias("uncontaminated"),
         F.when(retained, 1).otherwise(0).cast("long").alias("retained"))
+
+
+# ---------------------------------------------------------------------------
+# eval-side n-gram coverage (the reverse direction of decontamination)
+# ---------------------------------------------------------------------------
+
+@q("corpus_ngram_overlap", f"""
+WITH sh AS ({_dd._SHINGLE_SQL}),
+hh AS (SELECT doc_id, {_dd._HASH_SQL} AS hsh FROM sh),
+bench AS (SELECT doc_id, hsh FROM hh WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (
+  SELECT DISTINCT b.doc_id, b.hsh
+  FROM hh t JOIN bench b ON b.hsh = t.hsh
+  WHERE t.doc_id % {_BENCH_MOD} <> 0
+),
+nb AS (SELECT doc_id, count(*) AS n_shingles FROM bench GROUP BY 1),
+nh AS (SELECT doc_id, count(*) AS n_found FROM hits GROUP BY 1)
+SELECT nb.doc_id, CAST(nb.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(nh.n_found, 0) AS BIGINT) AS n_in_train,
+       CAST(coalesce(nh.n_found, 0) * 1000000 // nb.n_shingles AS BIGINT)
+         AS coverage_micro
+FROM nb LEFT JOIN nh USING (doc_id)
+""")
+def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per BENCHMARK document: how much of its distinct shingle set
+    leaks from the training corpus (the eval-suite-side coverage report
+    an honest decontamination run publishes — corpus_decontaminate is
+    the train-side flag, this is the eval-side fraction).
+
+    Scale path: the benchmark shingle set is bounded and broadcast;
+    the train side is a pure scan probed through the broadcast (rows
+    surviving the join are benchmark-sized), so NOTHING corpus-sized
+    shuffles — the distinct + counts run on matched pairs only."""
+    hh = _dd._shingles(spark, sf_dir).select(
+        "doc_id", _dd._hash_col().alias("hsh"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = hh.filter(is_bench)
+    hits = (hh.filter(~is_bench).select("hsh")
+            .join(F.broadcast(bench), "hsh")
+            .select("doc_id", "hsh").distinct())
+    nb = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nh = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return (nb.join(nh, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.coalesce("n_found", F.lit(0)).cast("long")
+                    .alias("n_in_train"),
+                    F.expr("CAST(coalesce(n_found, 0) * 1000000"
+                           " DIV n_shingles AS BIGINT)")
+                    .alias("coverage_micro")))

@@ -308,3 +308,56 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cohort_size").cast("long").alias("cohort_size"),
                     F.expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)")
                     .alias("retained_pct_micro")))
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (order statistics)
+# ---------------------------------------------------------------------------
+
+# ceil(q·n) as pure integer arithmetic per quantile — no float index, no
+# interpolation: the selected element is an ACTUAL value, so the result
+# is engine-exact (interpolated percentile definitions differ between
+# engines; order statistics don't).
+_PCTL_RANKS = (("p50", "(n + 1) // 2", "(n + 1) DIV 2"),
+               ("p90", "(9 * n + 9) // 10", "(9 * n + 9) DIV 10"),
+               ("p99", "(99 * n + 99) // 100", "(99 * n + 99) DIV 100"))
+
+
+@q("events_value_percentiles", f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       {", ".join(f"max(CASE WHEN rn = {duck} THEN value END) AS {name}"
+                  for name, duck, _ in _PCTL_RANKS)}
+FROM r
+GROUP BY event_type, n
+""")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of the event value per event type, as order
+    statistics: rank every value within its type (ties broken by
+    event_id — the repo's total-order rule) and pick the ceil(q·n)-th
+    element with integer rank targets.
+
+    Scale path: ONE shuffle on event_type (both window functions share
+    the partition spec), then a per-type groupBy that reduces to one
+    row per type. Per-type skew is the known cost of exact per-group
+    order statistics — at 100 TB switch the hot groups to
+    approx_percentile sketches (t-digest partial merge) and keep this
+    exact form for the long tail; the reference exposes only the
+    managed engine's quantile functions (SURVEY §2 F-family)."""
+    e = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type", "value",
+        F.row_number().over(wp.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    return (r.groupBy("event_type", "n")
+            .agg(*[F.max(F.when(F.col("rn") == F.expr(spk), F.col("value")))
+                   .alias(name) for name, _, spk in _PCTL_RANKS])
+            .select("event_type", F.col("n").cast("long").alias("n_events"),
+                    "p50", "p90", "p99"))

@@ -55,6 +55,10 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "events_value_percentiles": 1,  # both windows + the rollup share the
+    # event_type partitioning — rank, count, and groupBy in ONE exchange
+    "corpus_ngram_overlap": 3,      # nothing corpus-sized: matched-pair
+    # distinct + two benchmark-sized count aggs (broadcast probe upstream)
     "events_retention_cohorts": 5,  # uw distinct + cohort agg + join + matrix
     # agg + sizes; every shuffle after the first carries (user, week) rows
     "retrieval_hybrid_rrf": 2,      # the two bounded-pool rank joins; corpus
