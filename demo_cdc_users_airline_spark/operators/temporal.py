@@ -361,3 +361,69 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias(name) for name, _, spk in _PCTL_RANKS])
             .select("event_type", F.col("n").cast("long").alias("n_events"),
                     "p50", "p90", "p99"))
+
+
+# ---------------------------------------------------------------------------
+# time-series anomaly detection (z-score over minute counts)
+# ---------------------------------------------------------------------------
+
+_ANOM_REPORT_Z = 2.0  # report threshold; is_anomaly flags |z| > 3
+
+# Variance from INTEGER power sums — never stddev_samp()/stddev(): the
+# engines' streaming variance implementations (Welford vs two-pass)
+# differ in final-bit rounding. (n·Σc² − (Σc)²) / (n·(n−1)) over exact
+# int64 sums is one double division, textually identical both sides.
+_ANOM_STATS = ("CAST(n * sumsq - tot * tot AS DOUBLE)"
+               " / CAST(n * (n - 1) AS DOUBLE)")
+_ANOM_Z = ("(CAST(cnt AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / sqrt(var)")
+
+
+@q("events_minute_anomalies", f"""
+WITH mc AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(cnt) AS tot,
+         sum(cnt * cnt) AS sumsq
+  FROM mc GROUP BY 1 HAVING count(*) > 1
+),
+z AS (
+  SELECT mc.event_type, mc.minute, mc.cnt, {_ANOM_STATS} AS var,
+         st.n, st.tot
+  FROM mc JOIN st USING (event_type)
+)
+SELECT event_type, minute, CAST(cnt AS BIGINT) AS n_events,
+       CAST(floor(1000000.0 * ({_ANOM_Z})) AS BIGINT) AS zscore_micro,
+       abs({_ANOM_Z}) > 3.0 AS is_anomaly
+FROM z
+WHERE var > 0 AND abs({_ANOM_Z}) >= {_ANOM_REPORT_Z}
+""")
+def events_minute_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute event-count anomalies: minutes whose count deviates
+    ≥ {_ANOM_REPORT_Z}σ from their event type's mean minute rate
+    (is_anomaly at 3σ) — the ops-dashboard alerting query over the CDC
+    event stream.
+
+    Scale path: raw events reduce to (type, minute) counts in one
+    map-side-combinable exchange; per-type stats are a tiny second
+    aggregate joined broadcast; scoring is a map. Variance comes from
+    integer power sums (see _ANOM_STATS) so both engines compute the
+    identical double."""
+    e = load_table(spark, sf_dir, "events")
+    mc = (e.groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("minute"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    st = (mc.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("tot"),
+               F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"))
+          .filter(F.col("n") > 1))
+    z = (mc.join(F.broadcast(st), "event_type")
+         .withColumn("var", F.expr(_ANOM_STATS)))
+    zexp = F.expr(_ANOM_Z)
+    return (z.filter((F.col("var") > 0) & (F.abs(zexp) >= _ANOM_REPORT_Z))
+            .select("event_type", "minute",
+                    F.col("cnt").cast("long").alias("n_events"),
+                    F.floor(F.lit(1000000.0) * zexp).cast("long")
+                    .alias("zscore_micro"),
+                    (F.abs(zexp) > 3.0).alias("is_anomaly")))

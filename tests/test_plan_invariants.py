@@ -55,6 +55,8 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "events_minute_anomalies": 3,   # minute-count agg (appears twice in the
+    # static tree: stats re-derive it; cached at runtime) + per-type stats
     "events_value_percentiles": 1,  # both windows + the rollup share the
     # event_type partitioning — rank, count, and groupBy in ONE exchange
     "corpus_ngram_overlap": 3,      # nothing corpus-sized: matched-pair
