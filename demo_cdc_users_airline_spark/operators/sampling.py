@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
+from .text import _STOPWORDS
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -151,3 +152,78 @@ def dataset_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                      u.alias("__u"), v.alias("__v"))
             .filter(F.col("__u") < rate)
             .select("doc_id", "n_tokens", "stratum", split.alias("split")))
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted subsampling (DCLM/FineWeb-style quality curriculum)
+# ---------------------------------------------------------------------------
+
+# keep-rate in basis points by the number of quality checks passed
+# (0..3): 10% of junk, up to 100% of 3-check docs — integer compare
+# against the same salted hash as dataset_sample_split
+_QKEEP_BASE_BP = 1000
+_QKEEP_STEP_BP = 3000
+
+
+@q("corpus_sample_by_quality", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_filter(toks, w -> w IN {tuple(_STOPWORDS)})) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+),
+graded AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+                 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                 THEN 1 ELSE 0 END) AS q_passed
+  FROM s
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(q_passed AS BIGINT) AS q_passed,
+       CAST({_QKEEP_BASE_BP} + {_QKEEP_STEP_BP} * q_passed AS BIGINT)
+         AS keep_rate_bp
+FROM graded
+WHERE {_salted_hash_sql("qsample_", "doc_id")} % 10000
+      < {_QKEEP_BASE_BP} + {_QKEEP_STEP_BP} * q_passed
+""")
+def corpus_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling: each document's keep probability
+    rises with the number of Gopher-style quality checks it passes
+    (10% of 0-check junk … 100% of 3-check docs) — the quality
+    curriculum stage of a data-mixing pipeline (DCLM/FineWeb keep-rate
+    reweighting), on the same deterministic salted-hash machinery as
+    dataset_sample_split.
+
+    Map-only, zero shuffle, partition-independent: the keep decision is
+    an integer compare between a per-doc salted hash and an integer
+    rate derived from integer check counts."""
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        .alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+    q_passed = (
+        F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+        + F.when((F.col("n_stop").cast("double") / F.col("n_tokens"))
+                 .between(0.01, 0.5), 1).otherwise(0)
+        + F.when(F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.3,
+                 1).otherwise(0))
+    rate = F.lit(_QKEEP_BASE_BP) + F.lit(_QKEEP_STEP_BP) * F.col("q_passed")
+    return (s.withColumn("q_passed", q_passed)
+            .filter(_salted_hash("qsample_", F.col("doc_id")) % 10000 < rate)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("q_passed").cast("long").alias("q_passed"),
+                    rate.cast("long").alias("keep_rate_bp")))

@@ -29,6 +29,7 @@ MAX_SHUFFLES = {
     "embedding_quantize_int8": 0,
     "text_repetition_stats": 0,   # in-row sorted-run counting, no explode
     "text_pii_redact": 0,         # regex scans + replace, pure map
+    "corpus_sample_by_quality": 0,  # integer keep-rate vs salted hash, map
     "retrieval_bm25_topk": 1,     # the 1-row stats agg; scoring is a map
     # single-shuffle keyed operators
     "cdc_latest_row_per_key": 1,

@@ -22,6 +22,12 @@ sys.path.insert(0, "/root/repo")
 SCRATCH = "/tmp/spark-graft-scaling"
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def build_scaled(spark, base_dir: str, mult: int, out_dir: str) -> int:
     from pyspark.sql import functions as F
 
@@ -126,9 +132,10 @@ def main() -> int:
         n = build_scaled(spark, base, mult, out_dir)
         ev = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
         for name, fn in probes.items():
-            t0 = time.perf_counter()
-            fn(ev).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            # min of 2: single-shot timings on a busy 32-core box swing
+            # ±70% (observed); the min is the least-contended measurement
+            dt = min(_timed(lambda: fn(ev).write.format("noop")
+                            .mode("overwrite").save()) for _ in range(2))
             rows.append((name, mult, n, dt, n / dt))
             print(f"x{mult:<3} {name:22s} {n:>10,} rows  {dt:6.2f}s  "
                   f"{n / dt / 1e6:6.2f} M rows/s")
@@ -176,10 +183,16 @@ def main() -> int:
             out_dir = os.path.join(SCRATCH, f"{name}-x{mult}")
             os.makedirs(out_dir, exist_ok=True)
             n = builder(spark, base, mult, out_dir)
-            t0 = time.perf_counter()
-            QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            spark.catalog.clearCache()
+
+            def run_once():
+                QUERIES[name](spark, out_dir).write.format(
+                    "noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+
+            # min of 2 (see core-probe note); the first run also warms
+            # memoized training artifacts (codebooks/profiles), matching
+            # bench.py's median-of-3 warm methodology
+            dt = min(_timed(run_once) for _ in range(2))
             llm_rows.append((name, mult, n, dt, n / dt))
             print(f"x{mult:<3} {name:28s} {n:>10,} rows  {dt:6.2f}s  "
                   f"{n / dt / 1e3:8.1f} K rows/s")
