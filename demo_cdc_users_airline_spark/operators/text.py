@@ -329,29 +329,46 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange carries distinct (doc, tri) rows, not raw occurrences.
     tgc = (tg.groupBy("doc_id", "lang", "tri")
            .agg(F.count(F.lit(1)).alias("cnt")).cache())
-    doc_tg = tgc.select("doc_id", "tri", "cnt")
     lang_tg = tgc.groupBy("lang", "tri").agg(F.sum("cnt").alias("cnt"))
     wk = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
     prof = (lang_tg.withColumn("__rk", F.row_number().over(wk))
             .filter(F.col("__rk") <= _PROFILE_K)
             .select(F.col("lang").alias("cand_lang"), "tri"))
-    scores = (doc_tg.join(F.broadcast(prof), "tri")
-              .groupBy("doc_id", "cand_lang").agg(F.sum("cnt").alias("score")))
-    # the ×n_langs candidate grid carries actual_lang along, so no second
-    # pass over documents is needed after scoring (one big-side scan total)
-    grid = (d.select("doc_id", F.col("lang").alias("actual_lang"))
-            .crossJoin(F.broadcast(
-                d.select(F.col("lang").alias("cand_lang")).distinct())))
-    filled = (grid.join(scores, ["doc_id", "cand_lang"], "left")
-              .select("doc_id", "actual_lang", "cand_lang",
-                      F.coalesce("score", F.lit(0)).alias("score")))
-    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
-                                              F.col("cand_lang"))
-    return (filled.withColumn("__rn", F.row_number().over(wr))
-            .filter(F.col("__rn") == 1)
-            .select("doc_id", "actual_lang",
-                    F.col("cand_lang").alias("pred_lang"),
-                    F.col("score").cast("long").alias("best_score")))
+    # the learned profiles are a BOUNDED artifact (n_langs × K trigrams)
+    # — collect them (J5 scalar pattern) and score with per-language
+    # conditional sums in ONE doc-keyed aggregate + an in-row argmax.
+    # This replaces the (doc, lang) score shuffle + ×n_langs candidate
+    # grid + per-doc ranking window of the r3 formulation; the oracle
+    # keeps the grid/window algorithm, so the gate cross-checks two
+    # independent formulations.
+    prof_sets: dict[str, list[str]] = {}
+    for r in prof.collect():
+        prof_sets.setdefault(r["cand_lang"], []).append(r["tri"])
+    langs = sorted(prof_sets)
+    # doc determines lang, so actual_lang folds into the same aggregate
+    scores = (tgc.groupBy("doc_id")
+              .agg(F.max("lang").alias("actual_lang"),
+                   *[F.sum(F.when(F.col("tri").isin(prof_sets[lg]),
+                                  F.col("cnt")).otherwise(0))
+                     .alias(f"__s_{i}") for i, lg in enumerate(langs)]))
+    # in-row argmax with (score desc, lang asc) total order: max of
+    # (score, -index) structs picks the smallest lang among ties
+    best = F.expr(
+        "array_max(array(" + ", ".join(
+            f"struct(__s_{i} AS s, {-i} AS nx, '{lg}' AS lang)"
+            for i, lg in enumerate(langs)) + "))")
+    scored = scores.select(
+        "doc_id", "actual_lang",
+        best["lang"].alias("pred_lang"), best["s"].alias("best_score"))
+    # docs with no trigrams (length < 3) still classify: score 0 for
+    # every language → first language ascending, via the left join
+    return (d.select("doc_id", F.col("lang").alias("__al"))
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("actual_lang", F.col("__al")).alias("actual_lang"),
+                    F.coalesce("pred_lang", F.lit(langs[0])).alias("pred_lang"),
+                    F.coalesce("best_score", F.lit(0)).cast("long")
+                    .alias("best_score")))
 
 
 # Gopher-style repetition filters (Rae et al. 2021, table A1): a

@@ -70,7 +70,8 @@ MAX_SHUFFLES = {
     # merge table; training jobs run at build time (vocab-sized groupBys)
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
-    "text_lang_id_ngram": 7,
+    "text_lang_id_ngram": 3,  # r4: trigram agg + lang-profile agg + final
+    # left join; collected profiles replace the grid/score-shuffle/window
 }
 
 
