@@ -349,9 +349,19 @@ IVFPQ_NPROBE = 2
 
 
 def _ivfpq_oracle_sql() -> str:
+    return _ivfpq_ctes() + f"""
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}"""
+
+
+def _ivfpq_ctes() -> str:
     """Compose the k-means IVF CTEs (coarse cells; unprefixed) with the
     PQ CTEs (codes/LUT; ``pq_``-prefixed) — each query ADC-scans ONLY
-    vectors assigned to its nprobe nearest cells."""
+    vectors assigned to its nprobe nearest cells. Ends at
+    ``adc(query_id, neighbor_id, adc_d2)`` so both the plain top-k and
+    the re-rank oracle build on it."""
     return ("WITH " + _kmeans_ctes(k=8, iters=3) + ",\n"
             + _pq_ctes("pq_") + f""",
 probe AS (
@@ -377,11 +387,7 @@ adc AS (
   FROM cand c
   JOIN lut l ON l.query_id = c.query_id AND l.sub = c.sub AND l.cid = c.code
   GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
-FROM adc
-QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}""")
+)""")
 
 
 @q("similarity_ivfpq_topk", _ivfpq_oracle_sql())
@@ -401,6 +407,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, neighbor) ADC sum with map-side combine, over nprobe/nlist
     of the codes. Integer end-to-end ⇒ hash-exact vs the composed
     oracle."""
+    return _topk_per_query(_ivfpq_adc_frame(spark, sf_dir))
+
+
+def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The untruncated (query_id, neighbor_id, adc_d2) ADC scan over the
+    probed cells — shared by the plain top-k and the re-rank query."""
     vq = _quantized_vectors(spark, sf_dir)
     ivf_cb = fitted_codebook(spark, sf_dir, k=8, iters=3)
     pq_cb = fitted_pq_codebook(spark, sf_dir)
@@ -422,13 +434,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id: long, probe_cell: int, lut: array<array<bigint>>")
     # static IN filter on the candidate side — partition pruning when the
     # code/cell tables are cell-partitioned at scale
-    adc = (enc.filter(F.col("cell").isin(probed_cells))
-           .join(F.broadcast(probe_df),
-                 (F.col("cell") == F.col("probe_cell"))
-                 & (F.col("id") != F.col("query_id")))
-           .select("query_id", F.col("id").alias("neighbor_id"),
-                   _adc_sum().alias("adc_d2")))
-    return _topk_per_query(adc)
+    return (enc.filter(F.col("cell").isin(probed_cells))
+            .join(F.broadcast(probe_df),
+                  (F.col("cell") == F.col("probe_cell"))
+                  & (F.col("id") != F.col("query_id")))
+            .select("query_id", F.col("id").alias("neighbor_id"),
+                    _adc_sum().cast("long").alias("adc_d2")))
 
 
 # --------------------------------------------------------------------------
@@ -591,3 +602,73 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
            .select("query_id", F.col("id").alias("neighbor_id"),
                    _adc_sum().alias("adc_d2")))
     return _topk_per_query(adc)
+
+
+# --------------------------------------------------------------------------
+# IVF×PQ + exact re-rank: the two-stage serving pattern
+# --------------------------------------------------------------------------
+
+RERANK_POOL = 20  # ADC shortlist depth fed to the exact re-rank
+
+
+def _ivfpq_rerank_oracle_sql() -> str:
+    """The IVF×PQ ADC CTEs, then: top-RERANK_POOL shortlist per query →
+    exact squared L2 over the quantized dims → final top-k by exact
+    distance."""
+    return _ivfpq_ctes() + f""",
+short AS (
+  SELECT query_id, neighbor_id, adc_d2 FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_d2, neighbor_id) <= {RERANK_POOL}
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_d2,
+         sum((dq.val - dn.val) * (dq.val - dn.val))::BIGINT AS exact_d2
+  FROM short s
+  JOIN pq_dims dq ON dq.vec_id = s.query_id
+  JOIN pq_dims dn ON dn.vec_id = s.neighbor_id
+                 AND dn.sub = dq.sub AND dn.sdim = dq.sdim
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, exact_d2,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM ex
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY exact_d2, neighbor_id) <= {ADC_TOPK}"""
+
+
+@q("similarity_ivfpq_rerank_topk", _ivfpq_rerank_oracle_sql())
+def similarity_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — what production vector search actually
+    runs: the compressed IVF×PQ ADC scan produces a cheap
+    top-{RERANK_POOL} shortlist per query, and only those candidates
+    are re-scored with the EXACT distance over full vectors (ADC error
+    comes from quantization; re-ranking the shortlist recovers
+    near-exact recall while the full-precision vectors are touched for
+    shortlist×queries rows only).
+
+    Scale path: stage 1 is the cell-pruned int-only ADC scan (see
+    similarity_ivfpq_topk); stage 2 joins the bounded shortlist
+    (queries × {RERANK_POOL} rows, broadcast) against the vector table
+    once — at 100 TB that is a point-lookup pattern against the
+    id-sorted vector files, and the exact fold is one in-row zip_with.
+    Integer end-to-end ⇒ hash-exact vs the composed oracle."""
+    adc = _ivfpq_adc_frame(spark, sf_dir)
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (adc.withColumn("__rn", F.row_number().over(wr))
+             .filter(F.col("__rn") <= RERANK_POOL).drop("__rn"))
+    vq = _quantized_vectors(spark, sf_dir)
+    qv_df = spark.createDataFrame(
+        list(_collect_query_vecs(vq)), "query_id: long, qvec: array<bigint>")
+    exact = F.expr(
+        "aggregate(zip_with(nvec, qvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    ex = (vq.select(F.col("id").alias("neighbor_id"),
+                    F.col("vec").alias("nvec"))
+          .join(F.broadcast(short), "neighbor_id")
+          .join(F.broadcast(qv_df), "query_id")
+          .select("query_id", "neighbor_id", exact.alias("exact_d2"),
+                  "adc_d2"))
+    we = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (ex.withColumn("__rn", F.row_number().over(we))
+            .filter(F.col("__rn") <= ADC_TOPK).drop("__rn"))

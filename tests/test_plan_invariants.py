@@ -51,6 +51,8 @@ MAX_SHUFFLES = {
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     "similarity_ivfpq_topk": 3,   # probe-pruned codes ⋈ cells, ADC sum, top-k
+    "similarity_ivfpq_rerank_topk": 3,  # ADC shortlist window + exact-rerank
+    # top-k; the full-vector fetch joins a broadcast shortlist
     "similarity_ivfpq_residual_topk": 3,  # same layout, residual encode/LUT
     "score_unigram_logprob": 5,   # tf + counts + corpus scalar + co-part join + doc reduce
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
