@@ -252,6 +252,27 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from(_shingles(spark, sf_dir))
 
 
+def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc1 < doc2) pairs colliding on ≥1 LSH band of the signature
+    frame — the shared candidate generator for the verify and the
+    estimator-quality queries (16-byte band keys on the wire)."""
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
+                                          for r in range(_BAND_ROWS)])).alias("band_key"))
+        for b in range(_N_BANDS)])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+             .select("doc_id", F.col("bd.band_id").alias("band_id"),
+                     F.col("bd.band_key").alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct())
+
+
 def _signatures_from(sh: DataFrame) -> DataFrame:
     # project the shingle hash ONCE, then run the 16 permutation-mins over
     # the precomputed column (inlining _hash_col in every aggregate would
@@ -306,21 +327,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).cache()
     sh.count()  # eager materialization (see dedup_ngram_jaccard)
     sig = _signatures_from(sh)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band_id"),
-                 F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
-                                          for r in range(_BAND_ROWS)])).alias("band_key"))
-        for b in range(_N_BANDS)])
-    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
-             .select("doc_id", F.col("bd.band_id").alias("band_id"),
-                     F.col("bd.band_key").alias("band_key")))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-            .distinct())
+    cand = _minhash_band_candidates(sig)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
@@ -336,6 +343,105 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sb, F.col("doc2") == F.col("sb.doc_id"))
             .select("doc1", "doc2", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= 0.2))
+
+
+_N_PERMS = len(_PERMS)
+
+
+@q("dedup_minhash_estimate", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_select_sql()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key FROM sig"
+      for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc1, c.doc2,
+         ({" + ".join(f"CASE WHEN g1.h{i} = g2.h{i} THEN 1 ELSE 0 END"
+                      for i in range(16))}) AS n_match
+  FROM cand c
+  JOIN sig g1 ON g1.doc_id = c.doc1
+  JOIN sig g2 ON g2.doc_id = c.doc2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+tru AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+)
+SELECT e.doc1, e.doc2,
+       CAST(e.n_match * 1000000 // {_N_PERMS} AS BIGINT) AS est_jaccard_micro,
+       CAST(coalesce(t.n_common, 0) * 1000000
+            // (sa.n + sb.n - coalesce(t.n_common, 0)) AS BIGINT)
+         AS true_jaccard_micro,
+       CAST(abs(e.n_match * 1000000 // {_N_PERMS}
+                - coalesce(t.n_common, 0) * 1000000
+                  // (sa.n + sb.n - coalesce(t.n_common, 0))) AS BIGINT)
+         AS abs_err_micro
+FROM est e
+LEFT JOIN tru t ON t.doc1 = e.doc1 AND t.doc2 = e.doc2
+JOIN sizes sa ON sa.doc_id = e.doc1
+JOIN sizes sb ON sb.doc_id = e.doc2
+""")
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality report for the MinHash sketch: per LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (matching
+    permutation-mins / {_N_PERMS}) next to the exact shingle-set
+    Jaccard and their absolute error — the evaluation harness that
+    justifies (or re-tunes) the sketch width before a 100 TB run.
+
+    Scale path: the estimate touches only the 16-int signatures of
+    candidate pairs (a map over the bucket-join output); the exact side
+    reuses the same verify joins as dedup_minhash_lsh_pairs. Both
+    Jaccards are exact integer micro-divisions — hash-exact across
+    engines."""
+    sh = _shingles(spark, sf_dir).cache()
+    sh.count()
+    sig = _signatures_from(sh).cache()
+    cand = _minhash_band_candidates(sig)
+    g1 = sig.alias("g1")
+    g2 = sig.alias("g2")
+    n_match = sum(
+        F.when(F.col(f"g1.h{i}") == F.col(f"g2.h{i}"), 1).otherwise(0)
+        for i in range(_N_PERMS))
+    est = (cand.join(g1, F.col("doc1") == F.col("g1.doc_id"))
+           .join(g2, F.col("doc2") == F.col("g2.doc_id"))
+           .select("doc1", "doc2", n_match.alias("n_match")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    tru = (cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+           .join(s2, (F.col("doc2") == F.col("s2.doc_id"))
+                 & (F.col("s1.shingle") == F.col("s2.shingle")))
+           .groupBy("doc1", "doc2")
+           .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("__d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("__d2"), F.col("n").alias("nb"))
+    est_m = F.expr(f"n_match * 1000000 DIV {_N_PERMS}")
+    return (est.join(tru, ["doc1", "doc2"], "left")
+            .join(sa, F.col("doc1") == F.col("__d1"))
+            .join(sb, F.col("doc2") == F.col("__d2"))
+            .withColumn("__true",
+                        F.expr("coalesce(n_common, 0) * 1000000"
+                               " DIV (na + nb - coalesce(n_common, 0))"))
+            .select("doc1", "doc2",
+                    est_m.cast("long").alias("est_jaccard_micro"),
+                    F.col("__true").cast("long").alias("true_jaccard_micro"),
+                    F.abs(est_m - F.col("__true")).cast("long")
+                    .alias("abs_err_micro")))
 
 
 # ---------------------------------------------------------------------------

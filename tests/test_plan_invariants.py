@@ -44,6 +44,8 @@ MAX_SHUFFLES = {
     "corpus_mixture_weights": 3,  # lang groupBy (twice in the static tree:
     # the totals agg re-derives it) + the 2-scalar global agg; everything
     # after the first reduce is n_langs rows
+    "dedup_minhash_estimate": 5,  # signature agg + band candidates + est
+    # map + exact-verify join + final assembly; signatures/shingles cached
     "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
     # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,
