@@ -61,8 +61,10 @@ def main() -> None:
     }
     # Full per-query detail always lands next to the repo root so the judge
     # can diff rounds even when the printed line is trimmed.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+    # SPARK_GRAFT_BENCH_FULL_PATH redirects it (verify_all's sf0.01 smoke
+    # must not clobber the committed sf0.1 artifact).
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -427,3 +427,52 @@ def events_minute_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.lit(1000000.0) * zexp).cast("long")
                     .alias("zscore_micro"),
                     (F.abs(zexp) > 3.0).alias("is_anomaly")))
+
+
+# ---------------------------------------------------------------------------
+# trailing time-window statistics (RANGE frame)
+# ---------------------------------------------------------------------------
+
+@q("events_daily_moving_stats", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day_num,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(38,6))) AS v
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w
+         AS avg_events_7d,
+       CAST(sum(v) OVER w AS DOUBLE) AS value_sum_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def events_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type and day: the day's event count plus trailing-7-day
+    average daily count and value sum — the moving-window KPI shape of
+    the reference's dashboard series, using a RANGE frame over integer
+    day numbers (a gap in the day sequence correctly shrinks the
+    window, which a ROWS frame would get wrong).
+
+    Exactness: the frame bound is an integer day offset; windowed value
+    sums run over DECIMAL(38,6) (associative — see chcompat.dec_sum)
+    and cast to double once at the end; the average divides exact int64
+    counts. Scale path: raw events reduce to (type, day) rows in one
+    combinable exchange; the window runs per type over day-count-sized
+    data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(38,6)")).alias("v"))
+             .withColumn("day_num",
+                         F.datediff(F.col("day"), F.lit("1970-01-01"))))
+    w = (Window.partitionBy("event_type").orderBy("day_num")
+         .rangeBetween(-6, Window.currentRow))
+    return (daily.select(
+        "event_type", "day", F.col("n_events").cast("long").alias("n_events"),
+        (F.sum("n_events").over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("avg_events_7d"),
+        F.sum("v").over(w).cast("double").alias("value_sum_7d")))

@@ -60,6 +60,7 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "events_daily_moving_stats": 2,  # daily agg + the per-type RANGE window
     "events_minute_anomalies": 3,   # minute-count agg (appears twice in the
     # static tree: stats re-derive it; cached at runtime) + per-type stats
     "events_value_percentiles": 1,  # both windows + the rollup share the

@@ -59,7 +59,8 @@ def main() -> int:
     out = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, capture_output=True, text=True,
         env=dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
-                 SPARK_GRAFT_CPUS="8", SPARK_GRAFT_BENCH_REPEATS="1"))
+                 SPARK_GRAFT_CPUS="8", SPARK_GRAFT_BENCH_REPEATS="1",
+                 SPARK_GRAFT_BENCH_FULL_PATH="/tmp/bench_smoke_full.json"))
     if out.returncode != 0:
         print("FAILED: bench smoke\n" + out.stderr[-2000:])
         return 1
