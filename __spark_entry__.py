@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
+    "orders_rollup_summary",
     "events_daily_moving_stats",
     "dedup_minhash_estimate",
     "similarity_ivfpq_rerank_topk",

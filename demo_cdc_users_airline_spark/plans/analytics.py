@@ -951,3 +951,33 @@ def users_mv_rmt_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = vt.dedup(mv)
     return latest.select("id", "name", "email", "email_verified", "deleted",
                          "event_timestamp", "lang", "created_at", "updated_at")
+
+
+@q("orders_rollup_summary", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def orders_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (A-family completion): order counts and
+    decimal-exact revenue at (priority, status), per-priority subtotal,
+    and grand-total levels in ONE pass via GROUP BY ROLLUP. The
+    grouping() indicator columns disambiguate subtotal rows from
+    natural NULL key values — required for an exact cross-engine hash
+    (both engines emit NULL for rolled-up levels).
+
+    Scale path: ROLLUP compiles to a single Expand + hash aggregate —
+    one shuffle carrying (levels × groups) partial rows with map-side
+    combine, not one job per level."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dec_sum("o_totalprice").alias("total_price"),
+                 F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+                 F.grouping("o_orderstatus").cast("long").alias("g_status"))
+            .select("o_orderpriority", "o_orderstatus", "g_priority",
+                    "g_status", "n_orders", "total_price"))

@@ -49,6 +49,7 @@ MAX_SHUFFLES = {
     "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
     # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,
+    "orders_rollup_summary": 1,   # ROLLUP = one Expand + hash agg exchange
     "corpus_pack_chunks": 1,      # the shard exchange, then per-shard window
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
