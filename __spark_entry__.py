@@ -36,31 +36,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    "orders_rollup_summary",
-    "events_daily_moving_stats",
-    "dedup_minhash_estimate",
-    "similarity_ivfpq_rerank_topk",
-    "corpus_sample_by_quality",
-    "events_minute_anomalies",
-    "events_value_percentiles",
-    "corpus_ngram_overlap",
-    "events_retention_cohorts",
-    "retrieval_hybrid_rrf",
-    "text_bpe_merges",
-    "corpus_topic_clusters",
-    "events_sessionization",
-    "events_funnel_conversion",
-    "corpus_decontaminate",
-    "corpus_pack_chunks",
-    "corpus_curation_pipeline",
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_residual_topk",
-    "retrieval_bm25_topk",
-    "score_unigram_logprob",
-    "score_dsir_importance",
-    "corpus_mixture_weights",
+    # Rewritten in round 4 AFTER their last driver row — re-earn first
+    # (VERDICT r4 "what's missing": commits 578e599, 50eba64, 6b68f5c).
+    "text_lang_id_ngram",
+    "dedup_cluster_labels",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_semdedup",
+    "similarity_neardup_cosine",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_duplicate_spans",
+    # Remaining queries whose only driver-green rows are r03 or earlier.
+    "text_quality_score",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_pii_redact",
+    "similarity_topk_brute",
+    "similarity_topk_ivf",
+    "similarity_lsh_buckets",
+    "similarity_lsh_neardup",
+    "embedding_quantize_int8",
+    "similarity_kmeans_ivf",
+    "similarity_topk_ivf_learned",
+    "similarity_topk_ivf_nprobe",
+    "multimodal_decode_pipeline",
+    "corpus_vocabulary",
+    "dataset_sample_split",
+    "events_asof_last_purchase",
 ]
 
 

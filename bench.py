@@ -21,6 +21,29 @@ from demo_cdc_users_airline_spark.catalog import QUERIES
 from demo_cdc_users_airline_spark.core.session import get_spark
 
 
+def fit_line(payload: dict, timings: dict[str, float], budget: int) -> str:
+    """One JSON line that ALWAYS fits the driver's stdout-tail window:
+    keep the slowest queries while the line is over budget; if even one
+    query's payload overflows, fall back to queries={} (ADVICE r4) so a
+    metric-bearing line is still emitted."""
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    payload = dict(payload)
+    payload["queries_full"] = "BENCH_FULL.json"
+    while by_cost:
+        payload["queries"] = {n: timings[n] for n in sorted(by_cost)}
+        payload["queries_omitted"] = len(timings) - len(by_cost)
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+        by_cost.pop()
+    payload["queries"] = {}
+    payload["queries_omitted"] = len(timings)
+    return json.dumps(payload, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -74,18 +97,7 @@ def main() -> None:
     # recorded no metric). Emit a line that always fits: keep the slowest
     # queries, drop the rest, and point at BENCH_FULL.json for the full dict.
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1500"))
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > budget:
-        by_cost = sorted(timings, key=timings.get, reverse=True)
-        while by_cost:
-            payload["queries"] = {n: timings[n] for n in sorted(by_cost)}
-            payload["queries_omitted"] = len(timings) - len(by_cost)
-            payload["queries_full"] = "BENCH_FULL.json"
-            line = json.dumps(payload, separators=(",", ":"))
-            if len(line) <= budget:
-                break
-            by_cost.pop()
-    print(line)
+    print(fit_line(payload, timings, budget))
     spark.stop()
 
 

@@ -327,7 +327,7 @@ _PCTL_RANKS = (("p50", "(n + 1) // 2", "(n + 1) DIV 2"),
 WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
+                            ORDER BY value NULLS LAST, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
 )
@@ -354,7 +354,9 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("event_type")
     r = e.select(
         "event_type", "value",
-        F.row_number().over(wp.orderBy("value", "event_id")).alias("rn"),
+        F.row_number().over(
+            wp.orderBy(F.col("value").asc_nulls_last(), "event_id"))
+        .alias("rn"),
         F.count(F.lit(1)).over(wp).alias("n"))
     return (r.groupBy("event_type", "n")
             .agg(*[F.max(F.when(F.col("rn") == F.expr(spk), F.col("value")))

@@ -57,8 +57,6 @@ N_MERGES = 4  # unrolled merge rounds (production: thousands; the loop shape
 # is identical — each round is one pair-count aggregate + one map)
 
 
-def _sql_quote(s: str) -> str:
-    return s.replace("'", "''")
 
 
 def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
@@ -149,10 +147,13 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
             merges.append((k, a, b, cnt))
             if k < n_merges:
-                qa, qb = _sql_quote(a), _sql_quote(b)
+                # lit()-parameterized pair, never an inlined SQL literal:
+                # learned symbols may contain quotes OR backslashes, and
+                # Spark literals eat backslashes (repo invariant).
+                pad = F.concat(F.lit(" "), F.col("w"), F.lit(" "))
                 nxt = words.select(
-                    F.expr(f"trim(replace(' ' || w || ' ',"
-                           f" ' {qa} {qb} ', ' {qa}{qb} '))").alias("w"),
+                    F.trim(F.replace(pad, F.lit(f" {a} {b} "),
+                                     F.lit(f" {a}{b} "))).alias("w"),
                     "n").cache()
                 nxt.count()
                 words.unpersist()

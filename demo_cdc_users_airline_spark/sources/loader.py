@@ -90,15 +90,24 @@ def normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
     for c in ntz_cols:
         # Backtick-quote so dotted names stay literal (df[c] parses dots on
         # this Spark build); embedded backticks escape by doubling.
-        col = F.col("`" + c.replace("`", "``") + "`")
+        q = "`" + c.replace("`", "``") + "`"
+        col = F.col(q)
         if session_tz == "UTC":
             df = df.withColumn(c, col.cast("timestamp"))
         else:
-            # Interpret the naive value as UTC regardless of session tz:
-            # cast-in-session-tz yields w - offset(tz); from_utc_timestamp
-            # adds offset(tz) back, restoring the UTC instant w exactly.
+            # Derive epoch micros arithmetically from the wall-clock
+            # fields (all tz-independent on NTZ): a cast/from_utc round
+            # trip evaluates the tz offset at two different instants, so
+            # naive values inside a DST transition of the session tz
+            # come back shifted or collapsed (ADVICE r4). Date + time-of-
+            # day arithmetic has no tz in it at all.
             df = df.withColumn(
-                c, F.from_utc_timestamp(col.cast("timestamp"), session_tz))
+                c, F.expr(
+                    f"timestamp_micros("
+                    f"unix_date(CAST({q} AS DATE)) * 86400000000L"
+                    f" + (extract(HOUR FROM {q}) * 3600L"
+                    f"    + extract(MINUTE FROM {q}) * 60L) * 1000000L"
+                    f" + CAST(extract(SECOND FROM {q}) * 1000000 AS BIGINT))"))
     return df
 
 

@@ -40,3 +40,34 @@ def test_ntz_non_utc_session(spark):
         assert _instant_micros(out) == WANT_MICROS
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# DST edges of America/New_York in 2024 (ADVICE r4): 02:30 on Mar 10 is a
+# NONEXISTENT local time (spring-forward gap), 01:30 on Nov 3 is an
+# AMBIGUOUS one (fall-back repeat). A cast/from_utc round trip evaluates
+# the offset at two different instants and shifts these; the arithmetic
+# path must recover the exact UTC instant for both, sub-second included.
+DST_EDGES = [
+    datetime.datetime(2024, 3, 10, 2, 30, 0, 123456),
+    datetime.datetime(2024, 11, 3, 1, 30, 0, 999999),
+    datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),  # pre-epoch
+]
+
+
+def test_ntz_dst_edges_non_utc_session(spark):
+    schema = StructType([StructField("ts.dotted", TimestampNTZType())])
+    df = spark.createDataFrame([(v,) for v in DST_EDGES], schema)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = sorted(
+            r["us"] for r in normalize_ntz(spark, df)
+            .select(F.unix_micros(F.col("`ts.dotted`")).alias("us"))
+            .collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # integer epoch math (float .timestamp()*1e6 can round the µs digit)
+    import calendar
+    want = sorted(
+        calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+        for v in DST_EDGES)
+    assert got == want
