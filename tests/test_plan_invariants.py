@@ -76,8 +76,9 @@ MAX_SHUFFLES = {
     # merge table; training jobs run at build time (vocab-sized groupBys)
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
-    "text_lang_id_ngram": 3,  # r4: trigram agg + lang-profile agg + final
-    # left join; collected profiles replace the grid/score-shuffle/window
+    "text_lang_id_ngram": 3,  # r5: serving = doc-keyed conditional-sum agg
+    # + final left join; profile learning runs once per session (separate
+    # memoized jobs, not in this plan)
 }
 
 
