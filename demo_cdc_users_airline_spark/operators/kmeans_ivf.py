@@ -381,17 +381,21 @@ SEMDEDUP_TAU = 0.4
 
 def _semdedup_oracle_sql(k: int = 8, iters: int = 3,
                          tau: float = SEMDEDUP_TAU) -> str:
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    from .similarity import QUANT_SQL
     return ("WITH " + _kmeans_ctes(k, iters) + f""",
+sq AS ({QUANT_SQL}),
+sqn AS (
+  SELECT vec_id, qv, list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM sq
+),
 dup AS (
   SELECT DISTINCT qa.vec_id
   FROM asgfin qa
   JOIN asgfin ba ON ba.cell = qa.cell AND ba.vec_id < qa.vec_id
-  JOIN embeddings a ON a.vec_id = qa.vec_id
-  JOIN embeddings b ON b.vec_id = ba.vec_id
-  WHERE {cos} >= {tau}
+  JOIN sqn a ON a.vec_id = qa.vec_id
+  JOIN sqn b ON b.vec_id = ba.vec_id
+  WHERE list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+          / sqrt(a.nn * b.nn) >= {tau}
 )
 SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
        (d.vec_id IS NULL) AS is_kept
@@ -409,47 +413,34 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and jaccard dedups).
 
     Scale path: assignment is the broadcast-codebook map; the pair
-    search joins the table to itself ONLY on (cell, salt) with the same
-    skew-aware per-cell salting as similarity_neardup_cosine (replicated
-    volume ∝ Σ n_cell²/target, i.e. proportional to the intrinsic pair
-    work — k-means cells are the skew case par excellence since k is
-    small); the verdict join prunes to (vec_id, flag). At 100 TB the
-    assigned table is written bucketed by cell so the pair join is
-    shuffle-free on re-runs.
+    search runs the shared tiled integer-GEMM stage
+    (similarity.int_pair_cosines) over the SAME micro-quantized vectors
+    Lloyd already consumes — per-cell block tiling keeps replication
+    ∝ Σ n_cell²/target (proportional to the intrinsic pair work;
+    k-means cells are the skew case par excellence since k is small)
+    and the per-pair arithmetic in vectorized int64 C instead of an
+    interpreted fold; the verdict join prunes to (vec_id, flag). At
+    100 TB the assigned table is written bucketed by cell so the pair
+    stage re-partitions nothing on re-runs.
+
+    r5: the dedup metric is the quantized-int64 cosine (identical in
+    the oracle via list_dot_product over the quantized lists); the
+    1e-6 quantization perturbs cosines ~1e-6 — invisible at τ=0.4 —
+    and identically on both engines.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from .similarity import int_pair_cosines
+
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     assigned = (assign_cells(_quantized_vectors(spark, sf_dir), centroids)
-                .select(F.col("id").alias("vec_id"), "cell"))
-    from .similarity import dot
-    with_emb = (assigned.join(emb, "vec_id")
-                .withColumn("nrm", F.sqrt(dot("emb", "emb"))))
-    a = with_emb.select(F.col("vec_id").alias("v1"), "cell",
-                        F.col("emb").alias("e1"), F.col("nrm").alias("n1"))
-    b = with_emb.select(F.col("vec_id").alias("v2"), F.col("cell").alias("c2"),
-                        F.col("emb").alias("e2"), F.col("nrm").alias("n2"))
-    # skew-aware per-cell salt (mirrors similarity_neardup_cosine): only
-    # populous cells replicate, restoring parallelism for k ≪ cores
-    K_MAX, TARGET = 16, 512
-    cell_k = (assigned.groupBy("cell")
-              .agg(F.least(F.lit(K_MAX),
-                           F.ceil(F.count(F.lit(1)) / TARGET)).cast("int")
-                   .alias("__kc")))
-    a = (a.join(F.broadcast(cell_k), "cell")
-         .withColumn("__salt", F.pmod(F.col("v1"), F.col("__kc"))))
-    b = (b.join(F.broadcast(cell_k.withColumnRenamed("cell", "c2")), "c2")
-         .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.col("__kc") - 1)))
-         .drop("__kc"))
-    cosine = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
-    dup = (a.join(b, (F.col("c2") == F.col("cell"))
-                  & (b["__salt"] == a["__salt"])
-                  & (F.col("v2") < F.col("v1")))
-           .filter(cosine >= F.lit(SEMDEDUP_TAU))
-           .select(F.col("v1").alias("vec_id")).distinct()
+                .select(F.col("id").alias("vec_id"),
+                        F.col("cell").cast("long").alias("cell"), "vec"))
+    pairs = int_pair_cosines(
+        assigned.select("vec_id", "cell", F.col("vec").alias("qv")),
+        SEMDEDUP_TAU)
+    dup = (pairs.select(F.col("vec2").alias("vec_id")).distinct()
            .withColumn("__dup", F.lit(1)))
-    return (assigned.join(dup, "vec_id", "left")
-            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+    return (assigned.drop("vec").join(dup, "vec_id", "left")
+            .select("vec_id", "cell",
                     F.col("__dup").isNull().alias("is_kept")))
 
 

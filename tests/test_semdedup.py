@@ -10,25 +10,23 @@ from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
     fitted_codebook,
     similarity_semdedup,
 )
-from demo_cdc_users_airline_spark.operators.similarity import dot
+from demo_cdc_users_airline_spark.operators.similarity import qdot
 from demo_cdc_users_airline_spark.sources.loader import load_table
 
 SF = "/root/testdata/sf0.001"
 
 
 def _brute_dropped(spark):
-    """Unsalted reference: dropped = has a lower-id same-cell neighbor
-    with cosine ≥ τ."""
-    e = load_table(spark, SF, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    """Untiled reference: dropped = has a lower-id same-cell neighbor
+    with quantized cosine ≥ τ. The cosine is the sequential HOF int64
+    fold — an independent formulation that must agree EXACTLY with the
+    numpy tiled GEMM (integer dots are order-independent)."""
     cents = fitted_codebook(spark, SF, k=8, iters=3)
-    asg = (assign_cells(_quantized_vectors(spark, SF), cents)
-           .select(F.col("id").alias("vec_id"), "cell"))
-    w = asg.join(emb, "vec_id")
-    a = w.select(F.col("vec_id").alias("v1"), "cell", F.col("emb").alias("e1"))
-    b = w.select(F.col("vec_id").alias("v2"), F.col("cell").alias("c2"),
-                 F.col("emb").alias("e2"))
-    cos = dot("e1", "e2") / (F.sqrt(dot("e1", "e1")) * F.sqrt(dot("e2", "e2")))
+    w = assign_cells(_quantized_vectors(spark, SF), cents)
+    a = w.select(F.col("id").alias("v1"), "cell", F.col("vec").alias("e1"))
+    b = w.select(F.col("id").alias("v2"), F.col("cell").alias("c2"),
+                 F.col("vec").alias("e2"))
+    cos = qdot("e1", "e2") / F.sqrt(qdot("e1", "e1") * qdot("e2", "e2"))
     return {r["v1"] for r in
             (a.join(b, (F.col("c2") == F.col("cell"))
                     & (F.col("v2") < F.col("v1")))
