@@ -90,7 +90,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shingle map + broadcast probe + one groupBy(doc_id) — 8-byte
     hashes on the wire. Docs with < 3 tokens shingle to nothing and
     surface with zero counts via the left join (oracle-identical)."""
-    hh = _dd._shingles(spark, sf_dir).select("doc_id", _dd._hash_col().alias("hsh"))
+    hh = _dd._hashed_shingles(spark, sf_dir)  # shared cached scan
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = (hh.filter(is_bench).select("hsh").distinct()
              .withColumn("hit", F.lit(1)))
@@ -266,8 +266,7 @@ def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train side is a pure scan probed through the broadcast (rows
     surviving the join are benchmark-sized), so NOTHING corpus-sized
     shuffles — the distinct + counts run on matched pairs only."""
-    hh = _dd._shingles(spark, sf_dir).select(
-        "doc_id", _dd._hash_col().alias("hsh"))
+    hh = _dd._hashed_shingles(spark, sf_dir)  # shared cached scan
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = hh.filter(is_bench)
     hits = (hh.filter(~is_bench).select("hsh")

@@ -91,6 +91,17 @@ def _hash_col() -> F.Column:
             .cast("bigint") % _P)
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hsh) — the cached 60-bit hashed-shingle frame shared by
+    the Jaccard inverted index, decontamination, and the eval-coverage
+    report (each consumes it 2-3× inside one query, and a session
+    running several of them pays the explode+md5 once). At 100 TB this
+    is the persisted hashed-shingle table every stage reads instead of
+    re-deriving — 16-byte rows, text never leaves the tokenize stage."""
+    return (_shingles(spark, sf_dir)
+            .select("doc_id", _hash_col().alias("hsh")).cache())
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -173,7 +184,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines hash with the same md5, so any collision is mirrored
     exactly).
     """
-    hh = _shingles(spark, sf_dir).select("doc_id", _hash_col().alias("hsh"))
+    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
     # posting lists with the df cap folded in: |docs| = the oracle's
     # window count over (hsh), so the filter is the QUALIFY twin
     posts = (hh.groupBy("hsh")
@@ -607,7 +618,17 @@ _CC_MAX_ROUNDS = 30  # safety cap only: large-star/small-star converges in
 # that BOTH engines agreed on — consistent but wrong at web scale).
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+_LOCAL_FINISH_EDGES = 1_000_000  # ≈ 16 MB of (u,v) int64 pairs via Arrow:
+# below this the whole edge set is driver-trivial and distributed rounds
+# are pure fixed cost (stage scheduling + checkpoint serialization per
+# round on a few-hundred-row frontier). Every production CC pipeline
+# finishes small frontiers locally; the distributed loop below remains
+# the general path and the two are parity-tested on the same graphs.
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         local_finish_max_edges: int = _LOCAL_FINISH_EDGES,
+                         ) -> DataFrame:
     """Min-label connected components via alternating large-star /
     small-star (the standard MapReduce CC algorithm; Kiveris et al.,
     SoCC'14). ``edges`` is (src, dst) undirected pairs, ``nodes`` the
@@ -627,7 +648,50 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     round shuffles 16-byte edge rows on one key. localCheckpoint
     truncates lineage so the per-round plan stays constant-size, and the
     convergence probe is a count + left_anti on the checkpointed sets.
+
+    r5 layout:
+    - **local finish** (the default entry): one bounded Arrow collect
+      probes whether the deduped edge set fits
+      ``local_finish_max_edges``; if so, union-find with path
+      compression computes the same min-labels driver-side in
+      milliseconds — on a sub-driver-size frontier, distributed rounds
+      are pure fixed cost (stage scheduling + checkpoint serialization;
+      shuffle VOLUME was never the cost). The collect is explicitly
+      bounded (limit n+1), never corpus-scaled: near-dup EDGES, not
+      documents, and only under the threshold.
+    - **distributed rounds** (the general path, parity-tested): each
+      star's explicit repartition("u") serves BOTH duplicate-edge
+      removal and the window (hash-partitioning on u already co-locates
+      every (u, v) group, so dropDuplicates adds no second exchange);
+      the round-end distinct is gone — emits carry duplicates into the
+      next star's exchange, which absorbs them for free; the lazy
+      checkpoint is materialized by the convergence-stats job, so each
+      round is ONE job. The probe runs on the checkpointed large-star
+      output: ls is a deterministic set-function of the round's edge
+      set and the rest of the round derives from ls, so two equal probe
+      sets imply the edge fixpoint — at which point ls IS the canonical
+      star set and the label join reads it directly.
     """
+    spark = edges.sparkSession
+    # raw (possibly duplicate-carrying) edge set: the dedup rides the
+    # first star's exchange, so no standalone distinct up front
+    E = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+
+    if local_finish_max_edges:
+        pdf = (E.dropDuplicates(["u", "v"])
+               .limit(local_finish_max_edges + 1).toPandas())
+        if len(pdf) <= local_finish_max_edges:
+            labels = _local_union_find(pdf)
+            lab_df = (spark.createDataFrame(labels, "doc_id long, label long")
+                      if labels else
+                      spark.createDataFrame([], "doc_id long, label long"))
+            return (nodes.join(F.broadcast(lab_df), "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce("label", "doc_id").alias("label")))
+        # over the bound: fall through to the distributed fixpoint
+
     def _stats(df):
         # ONE job: edge count + order-independent content hash. The sum
         # goes through DECIMAL so ANSI mode can't overflow-throw.
@@ -637,49 +701,71 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         ).collect()[0]
         return int(r["n"]), r["h"]
 
-    def _mat(df, n_hint):
-        # checkpoint at a partition count proportional to the edge set:
-        # per-round jobs over a shrinking frontier must not keep paying
-        # 32-task scheduling for a few hundred rows (coalesce = no shuffle)
-        parts = max(2, min(n_hint // 100_000 + 1, 2048))
-        return df.coalesce(parts).localCheckpoint(eager=True)
-
-    E0 = (edges.select(F.greatest("src", "dst").alias("u"),
-                       F.least("src", "dst").alias("v"))
-          .filter(F.col("u") != F.col("v")).distinct())
-    E = _mat(E0, edges.sparkSession.sparkContext.defaultParallelism * 100_000)
-    n, h = _stats(E)
     w = Window.partitionBy("u")
+    prev = None  # (checkpointed ls set, count, hash)
     for _ in range(_CC_MAX_ROUNDS):
-        # large-star over the symmetrized neighborhood
+        # large-star over the symmetrized neighborhood: every neighbor
+        # v > u re-links to mn(u) = min(Γ(u) ∪ {u})
         sym = E.unionByName(E.select(F.col("v").alias("u"),
                                      F.col("u").alias("v")))
-        ls = (sym.withColumn("mn", F.least(F.min("v").over(w), F.col("u")))
+        symd = sym.repartition("u").dropDuplicates(["u", "v"])
+        ls = (symd.withColumn("mn", F.least(F.min("v").over(w), F.col("u")))
               .filter(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"), F.col("mn").alias("v")))
-        # small-star over the (big, small)-oriented output: min neighbor
-        # becomes the hub; emit (leaf, hub) for the other leaves + (u, hub)
-        ss = ls.withColumn("mn", F.min("v").over(w))
-        leaves = (ss.filter(F.col("v") != F.col("mn"))
-                  .select(F.col("v").alias("u"), F.col("mn").alias("v")))
-        hubs = ss.select("u", F.col("mn").alias("v"))
-        new_e = _mat(leaves.unionByName(hubs).distinct(), n)
-        new_n, new_h = _stats(new_e)
+        lsd = (ls.repartition("u").dropDuplicates(["u", "v"])
+               .localCheckpoint(eager=False))
+        n, h = _stats(lsd)  # materializes the checkpoint
+        if n == 0:
+            break  # edgeless graph: trivially at the fixpoint
         # (count, hash-sum) equality is the cheap signal; the anti-join
         # is the EXACT confirmation and runs only when the signal fires
         # (at most twice per call: a false positive would re-loop)
-        converged = (new_n == n and new_h == h
-                     and new_e.join(E, ["u", "v"], "left_anti").isEmpty())
-        E, n, h = new_e, new_n, new_h
-        if converged:
+        if (prev is not None and n == prev[1] and h == prev[2]
+                and lsd.join(prev[0], ["u", "v"], "left_anti").isEmpty()):
             break
+        # small-star over the (big, small)-oriented output: min neighbor
+        # becomes the hub; emit (leaf, hub) for the other leaves +
+        # (u, hub); duplicates left for the next star's exchange
+        ss = lsd.withColumn("mn", F.min("v").over(w))
+        leaves = (ss.filter(F.col("v") != F.col("mn"))
+                  .select(F.col("v").alias("u"), F.col("mn").alias("v")))
+        E = leaves.unionByName(ss.select("u", F.col("mn").alias("v")))
+        prev = (lsd, n, h)
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint in {_CC_MAX_ROUNDS} rounds")
-    return (nodes.join(E.select(F.col("u").alias("doc_id"),
-                                F.col("v").alias("label")),
+    return (nodes.join(lsd.select(F.col("u").alias("doc_id"),
+                                  F.col("v").alias("label")),
                        "doc_id", "left")
             .select("doc_id", F.coalesce("label", "doc_id").alias("label")))
+
+
+def _local_union_find(pdf) -> list[tuple[int, int]]:
+    """Union-find with path compression over a pandas (u, v) edge frame;
+    returns (node, min-id-of-component) for every node that appears in
+    an edge (singletons are handled by the caller's left join). Exact
+    integer min-labels — identical to the distributed fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            # union by min keeps every root the component minimum, so
+            # find() doubles as the label lookup
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return [(x, find(x)) for x in parent] + [
+        (r, r) for r in {find(x) for x in parent}]
 
 
 def _cluster_oracle_sql() -> str:

@@ -73,11 +73,17 @@ def test_cluster_labels_converge_at_sf01(spark):
         assert labels[p["doc1"]] == labels[p["doc2"]]
 
 
-def test_connected_components_long_chain(spark):
+import pytest
+
+
+@pytest.mark.parametrize("local_finish", [1_000_000, 0])
+def test_connected_components_long_chain(spark, local_finish):
     """Diameter-200 path graph: the exact shape that silently split under
-    the old fixed-9-round propagation (reach ≈ Fib(11) ≈ 89). Large-star/
-    small-star must converge to a single min-rooted component, plus keep
-    singletons self-labeled."""
+    the old fixed-9-round propagation (reach ≈ Fib(11) ≈ 89). BOTH paths
+    — the driver union-find local finish (default) and the distributed
+    large-star/small-star fixpoint (local_finish_max_edges=0) — must
+    converge to a single min-rooted component, plus keep singletons
+    self-labeled."""
     from demo_cdc_users_airline_spark.operators.dedup import connected_components
 
     n = 201  # nodes 0..200 in a path; 300/301 isolated; 400-401-402 a V
@@ -86,7 +92,32 @@ def test_connected_components_long_chain(spark):
     ndf = spark.createDataFrame(
         [(i,) for i in range(n)] + [(300,), (301,), (400,), (401,), (402,)],
         "doc_id: long")
-    got = {r["doc_id"]: r["label"] for r in connected_components(edf, ndf).collect()}
+    got = {r["doc_id"]: r["label"]
+           for r in connected_components(
+               edf, ndf, local_finish_max_edges=local_finish).collect()}
     assert all(got[i] == 0 for i in range(n))
     assert got[300] == 300 and got[301] == 301
     assert got[400] == got[401] == got[402] == 400
+
+
+def test_connected_components_paths_agree_on_corpus_edges(spark):
+    """Parity: on the real sf0.001 near-dup edge set, the local
+    union-find finish and the distributed fixpoint produce IDENTICAL
+    labels (both are exact min-label components)."""
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        connected_components,
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    edges = (dedup_simhash_pairs(spark, sf)
+             .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    nodes = dedup_simhash(spark, sf).select("doc_id")
+    local = {(r["doc_id"], r["label"])
+             for r in connected_components(edges, nodes).collect()}
+    dist = {(r["doc_id"], r["label"])
+            for r in connected_components(
+                edges, nodes, local_finish_max_edges=0).collect()}
+    assert local == dist and local
