@@ -197,6 +197,38 @@ def main() -> int:
             print(f"x{mult:<3} {name:28s} {n:>10,} rows  {dt:6.2f}s  "
                   f"{n / dt / 1e3:8.1f} K rows/s")
 
+    # streaming near-dup, SEQUENTIAL policy: one measured micro-batch of
+    # N/2 docs probed against an admitted prior state of N/2 docs — the
+    # full per-batch dataflow (signature map, band index probe on prior
+    # state, within-batch candidate edges, serial-writer BSP fixpoint,
+    # idempotent append). Disjoint token spaces per copy keep chain
+    # structure constant, so flat rows/s = the fixpoint's round count and
+    # the band-probe join both scale linearly with the batch.
+    from demo_cdc_users_airline_spark.sources.tables import AppendTable
+    from demo_cdc_users_airline_spark.streaming.neardup import (
+        StreamingNearDupDedup,
+    )
+
+    stream_rows = []
+    for mult in mults:
+        out_dir = os.path.join(SCRATCH, f"stream-neardup-x{mult}")
+        os.makedirs(out_dir, exist_ok=True)
+        build_scaled_documents(spark, base, mult, out_dir)
+        docs = (spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+                .select("doc_id", "text"))
+        dd = StreamingNearDupDedup(
+            out_table=AppendTable(spark, os.path.join(out_dir, "admitted")),
+            policy="sequential")
+        dd.process_batch(docs.filter("doc_id % 2 = 0"), 1)  # prior state
+        batch = docs.filter("doc_id % 2 = 1").localCheckpoint(eager=True)
+        nb = batch.count()
+        dt = min(_timed(lambda: dd.process_batch(batch, 2)) for _ in range(2))
+        stream_rows.append(("streaming_neardup_sequential", mult, nb, dt,
+                            nb / dt))
+        print(f"x{mult:<3} streaming_neardup_sequential {nb:>10,} rows  "
+              f"{dt:6.2f}s  {nb / dt / 1e3:8.1f} K rows/s")
+    llm_rows.extend(stream_rows)
+
     lines = ["# SCALING — throughput vs data size",
              "",
              "N× copies of the sf0.1 events table with distinct keys per copy",
