@@ -36,15 +36,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Rewritten in round 4 AFTER their last driver row — re-earn first
-    # (VERDICT r4 "what's missing": commits 578e599, 50eba64, 6b68f5c).
-    "text_lang_id_ngram",
+    # Modified in round 5 (int64 GEMM pair cosine, CC local finish +
+    # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
+    # memoization, BPE lit() binding, percentile NULLS LAST) — their
+    # driver rows must certify the SHIPPING code.
+    "similarity_neardup_cosine",
+    "similarity_semdedup",
     "dedup_cluster_labels",
     "dedup_ngram_jaccard",
+    "corpus_curation_pipeline",
+    "corpus_decontaminate",
+    "corpus_ngram_overlap",
+    "text_lang_id_ngram",
+    "text_bpe_merges",
+    "events_value_percentiles",
+    # Rewritten in round 4 AFTER their last driver row (VERDICT r4
+    # "what's missing": commits 578e599, 50eba64, 6b68f5c).
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "similarity_semdedup",
-    "similarity_neardup_cosine",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
