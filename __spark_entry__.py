@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
+    "corpus_decontaminate_bloom",   # NEW in r5
     "similarity_neardup_cosine",
     "similarity_semdedup",
     "dedup_cluster_labels",

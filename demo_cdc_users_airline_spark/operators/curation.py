@@ -111,6 +111,148 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the broadcast-bloom production gate)
+# ---------------------------------------------------------------------------
+
+# m = 2^16 bits (8 KB) suffices for the demo benchmark's ~10^3 distinct
+# shingles at ~5% fill; production sizes m ∝ benchmark shingle count
+# (2^30 bits = 128 MB covers 10^8 eval shingles at 10% fill — still
+# broadcastable where the exact hash SET would be many GB).
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(j: int, hsh: str = "hsh") -> str:
+    """Probe j's bit position (Spark SQL): md5(j_hsh) gives k INDEPENDENT
+    positions per shingle — an affine family a_j·h+b_j mod 2^16 is NOT
+    independent (h1 ≡ h2 mod m fires all k probes at once, collapsing
+    the filter to a single modular hash; measured 0.4% FP vs ~1e-7
+    here)."""
+    return (f"pmod(CAST(conv(substring(md5(concat('{j}_',"
+            f" CAST({hsh} AS STRING))), 1, 8), 16, 10) AS BIGINT),"
+            f" {_BLOOM_M})")
+
+
+def _bloom_pos_duck(j: str, hsh: str) -> str:
+    """The identical position arithmetic in DuckDB SQL (j is an SQL
+    expression so the probe CTE can supply it)."""
+    return (f"(('0x' || substr(md5(CAST({j} AS VARCHAR) || '_' ||"
+            f" CAST({hsh} AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M})")
+
+
+def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The benchmark shingle Bloom filter as 1024 signed int64 words —
+    a bounded artifact (8 KB regardless of corpus size), memoized like
+    the kmeans/PQ codebooks; positions come from the cached
+    hashed-shingle frame."""
+    def build():
+        hh = _dd._hashed_shingles(spark, sf_dir)
+        pos_cols = [F.expr(_bloom_pos_sql(j)) for j in range(_BLOOM_K)]
+        rows = (hh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+                .select(F.explode(F.array(*pos_cols)).alias("pos"))
+                .distinct().collect())
+        words = [0] * (_BLOOM_M // 64)
+        for r in rows:
+            p = int(r["pos"])
+            words[p // 64] |= 1 << (p % 64)
+        # two's-complement into signed int64 for the BIGINT array literal
+        return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    from ..sources.loader import cached_scalar
+    return cached_scalar(spark, sf_dir, f"bloom_m{_BLOOM_M}_k{_BLOOM_K}", build)
+
+
+def _bloom_oracle_sql() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT {j} AS j" for j in range(_BLOOM_K))
+    return f"""
+WITH sh AS ({_dd._SHINGLE_SQL}),
+hh AS (SELECT doc_id, shingle, {_dd._HASH_SQL} AS hsh FROM sh),
+probes AS ({probes}),
+bench_pos AS (
+  SELECT DISTINCT {_bloom_pos_duck("p.j", "h.hsh")} AS pos
+  FROM hh h CROSS JOIN probes p WHERE h.doc_id % {_BENCH_MOD} = 0
+),
+bench_set AS (SELECT DISTINCT hsh FROM hh WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT doc_id, shingle, hsh FROM hh WHERE doc_id % {_BENCH_MOD} <> 0),
+bloom_hits AS (
+  SELECT t.doc_id, t.shingle
+  FROM train t CROSS JOIN probes p
+  JOIN bench_pos bp ON bp.pos = {_bloom_pos_duck("p.j", "t.hsh")}
+  GROUP BY t.doc_id, t.shingle
+  HAVING count(*) = {_BLOOM_K}
+),
+agg AS (
+  SELECT t.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN bh.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_bloom,
+         sum(CASE WHEN bs.hsh IS NOT NULL THEN 1 ELSE 0 END) AS n_exact
+  FROM train t
+  LEFT JOIN bloom_hits bh ON bh.doc_id = t.doc_id AND bh.shingle = t.shingle
+  LEFT JOIN bench_set bs ON bs.hsh = t.hsh
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_bloom, 0) AS BIGINT) AS n_bloom_hits,
+       CAST(coalesce(a.n_exact, 0) AS BIGINT) AS n_exact_overlap,
+       CAST(coalesce(a.n_bloom, 0) - coalesce(a.n_exact, 0) AS BIGINT)
+         AS n_false_pos,
+       CAST(CASE WHEN coalesce(a.n_bloom, 0) >= {_CONTAM_MIN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_flagged
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % {_BENCH_MOD} <> 0
+"""
+
+
+@q("corpus_decontaminate_bloom", _bloom_oracle_sql())
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the production-scale variant of
+    corpus_decontaminate. The benchmark shingle set compresses into an
+    m-bit Bloom bitmask (a bounded broadcast artifact — 8 KB here,
+    ~100 MB for a 10^8-shingle eval suite, where the exact hash set
+    would be many GB); every corpus shingle is probed IN-ROW against
+    the broadcast words with k positional hashes, so the train side
+    pays ZERO joins — one shingle map + one groupBy(doc_id). The exact
+    overlap (broadcast-set join, corpus_decontaminate's layout) rides
+    along to quantify the filter's false-positive cost per document —
+    Bloom has no false negatives, so n_bloom_hits ≥ n_exact_overlap and
+    the flag is a superset gate.
+
+    Integer-exact end-to-end; the oracle evaluates the identical probe
+    arithmetic relationally (position-set join + all-k HAVING)."""
+    hh = _dd._hashed_shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    words = _bloom_words(spark, sf_dir)
+    wdf = spark.createDataFrame([(words,)], "__bloom array<bigint>")
+    bit = " AND ".join(
+        f"((__bloom[CAST({_bloom_pos_sql(j)} DIV 64 AS INT)]"
+        f" >> CAST({_bloom_pos_sql(j)} % 64 AS INT)) & 1) = 1"
+        for j in range(_BLOOM_K))
+    bench = (hh.filter(is_bench).select("hsh").distinct()
+             .withColumn("__exact", F.lit(1)))
+    agg = (hh.filter(~is_bench)
+           .crossJoin(F.broadcast(wdf))
+           .withColumn("__bloom_hit", F.expr(f"CASE WHEN {bit} THEN 1 ELSE 0 END"))
+           .join(F.broadcast(bench), "hsh", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum("__bloom_hit").alias("n_bloom"),
+                F.sum(F.coalesce("__exact", F.lit(0))).alias("n_exact")))
+    return (load_table(spark, sf_dir, "documents")
+            .filter(~is_bench)
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+                F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom_hits"),
+                F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact_overlap"),
+                (F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0)))
+                .cast("long").alias("n_false_pos"),
+                F.when(F.coalesce("n_bloom", F.lit(0)) >= _CONTAM_MIN, 1)
+                 .otherwise(0).cast("long").alias("is_flagged")))
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (concat-and-chunk)
 # ---------------------------------------------------------------------------
 

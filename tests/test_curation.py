@@ -29,6 +29,39 @@ def test_decontaminate_excludes_bench_and_bounds_overlap(spark):
         assert r["is_contaminated"] == int(r["n_overlap"] >= _CONTAM_MIN)
 
 
+def test_bloom_decontaminate_semantics(spark):
+    """Bloom gate invariants: no false negatives (every exact overlap is
+    a bloom hit), the flag gates on the bloom count, and the filter
+    itself is the bounded 8 KB artifact regardless of corpus size."""
+    from demo_cdc_users_airline_spark.operators.curation import (
+        _BLOOM_M,
+        _bloom_words,
+        corpus_decontaminate_bloom,
+    )
+
+    words = _bloom_words(spark, SF)
+    assert len(words) == _BLOOM_M // 64
+    assert any(w != 0 for w in words)
+
+    exact = {r["doc_id"]: r for r in corpus_decontaminate(spark, SF).collect()}
+    rows = corpus_decontaminate_bloom(spark, SF).collect()
+    assert len(rows) == len(exact)
+    fp_total = 0
+    for r in rows:
+        e = exact[r["doc_id"]]
+        assert r["n_shingles"] == e["n_shingles"]
+        assert r["n_exact_overlap"] == e["n_overlap"]
+        assert r["n_bloom_hits"] >= r["n_exact_overlap"]  # no false negatives
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_overlap"]
+        assert r["is_flagged"] == int(r["n_bloom_hits"] >= _CONTAM_MIN)
+        # the bloom flag is a superset of the exact contamination flag
+        assert r["is_flagged"] >= e["is_contaminated"]
+        fp_total += r["n_false_pos"]
+    # m=2^16 at ~5% fill: per-shingle FP rate ≈ (fill)^4 ≈ 1e-5 — the
+    # report should show a near-exact filter at this size
+    assert fp_total <= max(10, len(rows) // 100)
+
+
 def test_pack_chunks_layout(spark):
     rows = corpus_pack_chunks(spark, SF).collect()
     assert len(rows) == load_table(spark, SF, "documents").count()

@@ -52,6 +52,10 @@ MAX_SHUFFLES = {
     "orders_rollup_summary": 1,   # ROLLUP = one Expand + hash agg exchange
     "corpus_pack_chunks": 1,      # the shard exchange, then per-shard window
     "corpus_decontaminate": 2,    # shingle groupBy + final doc join
+    "corpus_decontaminate_bloom": 3,  # bench-set distinct (benchmark-
+    # sized) + doc agg + final doc join; the bloom probe itself is an
+    # in-row bit test against a broadcast 8 KB mask — the corpus-sized
+    # side pays only its doc_id aggregate
     "corpus_vocabulary": 1,       # token groupBy; top-k is TakeOrdered, not a window
     "similarity_ivfpq_topk": 3,   # probe-pruned codes ⋈ cells, ADC sum, top-k
     "similarity_ivfpq_rerank_topk": 3,  # ADC shortlist window + exact-rerank
