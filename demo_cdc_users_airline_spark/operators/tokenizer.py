@@ -164,6 +164,99 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
     return cached_scalar(spark, sf_dir, f"bpe_merges_{n_merges}", fit)
 
 
+def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Training CTEs (to re-derive the merge table) + an encode chain
+    e1..eN applying every learned merge in rank order to each document
+    word's character sequence — the same sentinel-space replace spec the
+    trainer uses."""
+    # reuse the training oracle's WITH body (ends at top{n}, every topK
+    # scalar subquery available); drop its UNION-ALL merge-row projection
+    train = _bpe_oracle_sql(n_merges)
+    with_body = train[: train.rindex("\nSELECT CAST(")]
+    parts = [with_body, r""",
+docw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+),
+e0 AS (
+  SELECT doc_id, length(w) AS nc,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), ' ') AS s
+  FROM docw
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+e{k} AS (
+  SELECT doc_id, nc,
+         trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT a FROM top{k}) || ' '
+                          || (SELECT b FROM top{k}) || ' ',
+                      ' ' || (SELECT a FROM top{k})
+                          || (SELECT b FROM top{k}) || ' ')) AS s
+  FROM e{k - 1}
+)""")
+    parts.append(f""",
+agg AS (
+  SELECT doc_id, count(*) AS n_words, sum(nc) AS n_chars,
+         sum(len(string_split(s, ' '))) AS n_tokens
+  FROM e{n_merges} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                 ELSE coalesce(a.n_chars, 0) * 1000000 // a.n_tokens
+            END AS BIGINT) AS chars_per_token_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
+    return "".join(parts)
+
+
+@q("text_bpe_encode", _encode_oracle_sql())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merge table — the serving half of
+    the tokenizer lifecycle (train → encode): every document's words are
+    re-segmented by applying the {N_MERGES} learned merges in rank
+    order, reporting per-document word/char/BPE-token counts and the
+    chars-per-token compression (integer micro-division).
+
+    Scale path: the merge table is the memoized bounded artifact
+    (learn once per session × dataset, exactly like the k-means/PQ
+    codebooks); encoding is a word explode + {N_MERGES} bound-literal
+    replaces (whole-stage codegen, never an interpreted lambda) + ONE
+    map-side-combinable groupBy(doc_id) — the same one-shuffle shape a
+    production tokenizer sweep has. Merge pairs bind via lit()
+    parameters, never inlined SQL literals (learned symbols may contain
+    quotes or backslashes — the repo's Spark-literal invariant)."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0))
+    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+               " i -> substring(w, i, 1)))")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    enc = words.select("doc_id", F.length("w").alias("nc"),
+                       F.size(F.split(F.trim(s), " ")).alias("nt"))
+    agg = (enc.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("nc").alias("n_chars"),
+                F.sum("nt").alias("n_tokens")))
+    return (d.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
+                 .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
+                 .cast("long").alias("chars_per_token_micro")))
+
+
 @q("text_bpe_merges", _bpe_oracle_sql())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {N_MERGES} BPE merges learned from the corpus: per

@@ -78,6 +78,9 @@ MAX_SHUFFLES = {
     # scans reduce via TakeOrdered, fusion is driver-ranked 50-row frames
     "text_bpe_merges": 0,           # returned artifact is the driver-side
     # merge table; training jobs run at build time (vocab-sized groupBys)
+    "text_bpe_encode": 2,           # word explode + doc_id agg (map-side
+    # combinable) + the zero-fill doc join; replaces are bound-literal
+    # codegen maps, merge learning is the memoized artifact
     "corpus_curation_pipeline": 8,  # +2 vs r2: the CC labels stage now ends
     # with a nodes⟕edges join (edge set isn't safely broadcastable at 100 TB)
     "text_lang_id_ngram": 3,  # r5: serving = doc-keyed conditional-sum agg

@@ -54,3 +54,35 @@ def test_real_corpus_invariants(spark):
     for r in rows:
         assert r["merged"] == r["left_sym"] + r["right_sym"]
         assert " " not in r["merged"]
+
+
+def test_encode_hand_computed(spark, tmp_path):
+    """'aaab' x3 corpus: merges are (a,a), (a,b), (aa,ab). Encoding
+    'aaab' applies them in rank order: a a a b → aa a b (boundary-
+    consuming run spec) → aa ab → aaab, i.e. ONE token of 4 chars."""
+    from demo_cdc_users_airline_spark.operators.tokenizer import (
+        text_bpe_encode,
+    )
+
+    sf = _doctor(spark, tmp_path, ["aaab aaab aaab", ""])
+    rows = {r["doc_id"]: r for r in text_bpe_encode(spark, sf).collect()}
+    assert rows[0]["n_words"] == 3
+    assert rows[0]["n_chars"] == 12
+    assert rows[0]["n_tokens"] == 3          # one merged token per word
+    assert rows[0]["chars_per_token_micro"] == 4_000_000
+    assert rows[1]["n_words"] == 0 and rows[1]["n_tokens"] == 0
+    assert rows[1]["chars_per_token_micro"] == 0
+
+
+def test_encode_real_corpus_invariants(spark):
+    from demo_cdc_users_airline_spark.operators.tokenizer import (
+        text_bpe_encode,
+    )
+
+    rows = text_bpe_encode(spark, SF).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # merges only ever shrink the symbol count: chars >= tokens >= words
+        assert r["n_chars"] >= r["n_tokens"] >= r["n_words"]
+        if r["n_tokens"]:
+            assert r["chars_per_token_micro"] >= 1_000_000
