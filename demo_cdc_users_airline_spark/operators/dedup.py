@@ -260,7 +260,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature is 16×8 bytes regardless of document size: everything
     downstream operates on signatures, never text — the stage that
     makes 100 TB dedup tractable."""
-    return _signatures_from(_shingles(spark, sf_dir))
+    return _signatures_from(_hashed_shingles(spark, sf_dir))
 
 
 def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
@@ -284,11 +284,12 @@ def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _signatures_from(sh: DataFrame) -> DataFrame:
-    # project the shingle hash ONCE, then run the 16 permutation-mins over
-    # the precomputed column (inlining _hash_col in every aggregate would
-    # recompute the md5 16× per row — no CSE across aggregate expressions)
-    hashed = sh.select("doc_id", _hash_col().alias("x"))
+def _signatures_from(hh: DataFrame) -> DataFrame:
+    # input is the (doc_id, hsh) hashed-shingle frame (the shared cached
+    # scan) — the 16 permutation-mins run over the precomputed hash
+    # column (inlining _hash_col per aggregate would recompute the md5
+    # 16× per row: no CSE across aggregate expressions)
+    hashed = hh.select("doc_id", F.col("hsh").alias("x"))
     aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P).alias(f"h{i}")
             for i, (a, b) in enumerate(_PERMS)]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -312,12 +313,13 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS hsh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
 verified AS (
   SELECT c.doc1, c.doc2, count(*) AS n_common
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.doc1
-  JOIN sh s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  JOIN hh s1 ON s1.doc_id = c.doc1
+  JOIN hh s2 ON s2.doc_id = c.doc2 AND s1.hsh = s2.hsh
   GROUP BY 1, 2
 )
 SELECT v.doc1, v.doc2,
@@ -335,16 +337,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the band bucket-join shuffles 16-byte keys only, and the
     exact-Jaccard verification touches candidate pairs (tiny fraction),
     not all O(n²) pairs — this is the canonical web-scale dedup layout."""
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()  # eager materialization (see dedup_ngram_jaccard)
-    sig = _signatures_from(sh)
+    hh = _hashed_shingles(spark, sf_dir)
+    hh.count()  # eager materialization (see dedup_ngram_jaccard)
+    sig = _signatures_from(hh)
     cand = _minhash_band_candidates(sig)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
+    sizes = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = hh.alias("s1")
+    s2 = hh.alias("s2")
     verified = (cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
                 .join(s2, (F.col("doc2") == F.col("s2.doc_id"))
-                      & (F.col("s1.shingle") == F.col("s2.shingle")))
+                      & (F.col("s1.hsh") == F.col("s2.hsh")))
                 .groupBy("doc1", "doc2")
                 .agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.alias("sa")
@@ -385,12 +387,13 @@ est AS (
   JOIN sig g1 ON g1.doc_id = c.doc1
   JOIN sig g2 ON g2.doc_id = c.doc2
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS hsh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
 tru AS (
   SELECT c.doc1, c.doc2, count(*) AS n_common
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.doc1
-  JOIN sh s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  JOIN hh s1 ON s1.doc_id = c.doc1
+  JOIN hh s2 ON s2.doc_id = c.doc2 AND s1.hsh = s2.hsh
   GROUP BY 1, 2
 )
 SELECT e.doc1, e.doc2,
@@ -419,9 +422,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same verify joins as dedup_minhash_lsh_pairs. Both
     Jaccards are exact integer micro-divisions — hash-exact across
     engines."""
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()
-    sig = _signatures_from(sh).cache()
+    hh = _hashed_shingles(spark, sf_dir)
+    hh.count()
+    sig = _signatures_from(hh).cache()
     cand = _minhash_band_candidates(sig)
     g1 = sig.alias("g1")
     g2 = sig.alias("g2")
@@ -431,12 +434,12 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (cand.join(g1, F.col("doc1") == F.col("g1.doc_id"))
            .join(g2, F.col("doc2") == F.col("g2.doc_id"))
            .select("doc1", "doc2", n_match.alias("n_match")))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
+    sizes = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = hh.alias("s1")
+    s2 = hh.alias("s2")
     tru = (cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
            .join(s2, (F.col("doc2") == F.col("s2.doc_id"))
-                 & (F.col("s1.shingle") == F.col("s2.shingle")))
+                 & (F.col("s1.hsh") == F.col("s2.hsh")))
            .groupBy("doc1", "doc2")
            .agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("__d1"), F.col("n").alias("na"))
@@ -907,10 +910,16 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))
     ng = (toks.select("doc_id", F.explode(grams).alias("g"))
           .select("doc_id", "g.pos", "g.h"))
-    df = ng.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
-    flagged = (ng.join(df, "h")
-               .select("doc_id", "pos", (F.col("df") >= 2).alias("is_dup"))
-               .cache())
+    # cross-doc test in ONE gram-hash exchange: a gram appears in ≥ 2
+    # distinct docs ⟺ min(doc) ≠ max(doc) over its instances — the
+    # window computes both under a single partitioning, replacing the
+    # r4 layout's countDistinct aggregate + df-probe join (two h-keyed
+    # shuffles and a distinct expansion) with one
+    wh = Window.partitionBy("h")
+    flagged = (ng.select(
+        "doc_id", "pos",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("is_dup"))
+        .cache())
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (flagged.filter("is_dup")
             .select("doc_id", (F.col("pos") - F.row_number().over(w))

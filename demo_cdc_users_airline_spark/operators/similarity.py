@@ -298,13 +298,13 @@ _N_PLANES = 8
 _BUCKETS_SQL = f"""
 dims AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-         unnest(embedding::DOUBLE[]) AS val
+         CAST(floor(unnest(embedding::DOUBLE[]) * {QUANT_SCALE}.0) AS BIGINT) AS val
   FROM embeddings
 ),
 proj AS (
   SELECT d.vec_id, d.label, p.plane,
-         CAST(sum(CAST(CASE WHEN ('0x' || substr(md5(concat(p.plane, '_', d.dim)), 1, 8))::BIGINT % 2 = 0
-                  THEN d.val ELSE -d.val END AS DECIMAL(38,12))) AS DOUBLE) AS dot_h
+         sum(CASE WHEN ('0x' || substr(md5(concat(p.plane, '_', d.dim)), 1, 8))::BIGINT % 2 = 0
+                  THEN d.val ELSE -d.val END) AS dot_h
   FROM dims d CROSS JOIN (SELECT unnest(range({_N_PLANES})) AS plane) p
   GROUP BY 1, 2, 3
 ),
@@ -332,85 +332,88 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_buckets(spark, sf_dir)
 
 
-def _sign_matrix(n_dims: int) -> list[list[float]]:
+def _sign_matrix(n_dims: int) -> list[list[int]]:
     """The fixed ±1 hyperplane components, computed driver-side with the
     SAME md5 derivation the oracle uses (md5(f"{plane}_{dim}") first 8
     hex chars, even → +1). 8×n_dims values — a bounded constant."""
     import hashlib
 
-    return [[1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0
-             else -1.0 for d in range(1, n_dims + 1)]
+    return [[1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+             else -1 for d in range(1, n_dims + 1)]
             for p in range(_N_PLANES)]
 
 
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature computation is a pure per-row fold — ZERO shuffle.
 
-    The previous formulation exploded every (row, dim) and shuffled
+    The original formulation exploded every (row, dim) and shuffled
     ~n_dims× the row count through a groupBy; here the tiny sign matrix
     rides a broadcast 1-row DataFrame and each signed projection folds
-    in-row through the same per-term DECIMAL(38,12) casts, so the sums
-    are value-identical (decimal addition is associative — order cannot
-    matter) and the oracle hash-match is preserved while the whole
-    operator becomes one codegen map pass.
+    in-row. r5: the projections run over the micro-quantized int64
+    components (the module-wide fixed-point pattern) — integer adds are
+    exact and order-independent on every engine, and several× faster in
+    the interpreted HOF fold than the previous per-term DECIMAL(38,12)
+    casts (BigDecimal per element). Quantization flips a hyperplane
+    sign only for |projection| < 64·1e-6 — a measure-zero sliver that
+    both engines flip identically.
     """
     e = load_table(spark, sf_dir, "embeddings")
     n_dims = len(e.select("embedding").first()[0])
     sm = spark.createDataFrame([(_sign_matrix(n_dims),)],
-                               "__signs array<array<double>>")
-    # per plane p: dot_h = Σ_dims DECIMAL(val · sign) ; bucket bit = dot_h > 0
+                               "__signs array<array<bigint>>")
+    # per plane p: dot_h = Σ_dims qval · sign (exact int64); bit = dot_h > 0
     bucket = F.expr(f"""
       aggregate(sequence(0, {_N_PLANES - 1}),
         CAST(0 AS BIGINT),
-        (acc, p) -> acc + CASE WHEN CAST(
-            aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), __signs[p],
-                               (x, s) -> CAST(x * s AS DECIMAL(38,12))),
-                      CAST(0 AS DECIMAL(38,12)),
-                      (a, v) -> CAST(a + v AS DECIMAL(38,12))) AS DOUBLE) > 0
+        (acc, p) -> acc + CASE WHEN
+            aggregate(zip_with(qv, __signs[p], (x, s) -> x * s),
+                      CAST(0 AS BIGINT), (a, v) -> a + v) > 0
           THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
           ELSE CAST(0 AS BIGINT) END)
     """)
-    return (e.crossJoin(F.broadcast(sm))
+    return (e.select("vec_id", "label", quantize_expr("embedding").alias("qv"))
+            .crossJoin(F.broadcast(sm))
             .select("vec_id", "label", bucket.alias("bucket")))
 
 
 @q("similarity_lsh_neardup", f"""
-WITH {_BUCKETS_SQL}
+WITH {_BUCKETS_SQL},
+qn AS ({QUANT_SQL}),
+qnn AS (
+  SELECT vec_id, qv, list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM qn
+)
 SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.bucket,
-       list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
-       / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cosine
+       list_dot_product(ea.qv::DOUBLE[], eb.qv::DOUBLE[])
+         / sqrt(ea.nn * eb.nn) AS cosine
 FROM buckets a
 JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-JOIN embeddings ea ON ea.vec_id = a.vec_id
-JOIN embeddings eb ON eb.vec_id = b.vec_id
-WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= 0.3
+JOIN qnn ea ON ea.vec_id = a.vec_id
+JOIN qnn eb ON eb.vec_id = b.vec_id
+WHERE list_dot_product(ea.qv::DOUBLE[], eb.qv::DOUBLE[])
+        / sqrt(ea.nn * eb.nn) >= 0.3
 """)
 def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-ANN end-to-end: candidate pairs from sign-pattern bucket
-    collisions, verified with exact cosine — the learned-bucketing scale
-    path (vs similarity_neardup_cosine's given-cell shortcut). Only
-    bucket-colliding pairs (≈ 1/2^planes of all pairs) pay the exact
-    cosine; the bucket join shuffles 8-byte keys."""
+    collisions, verified with the quantized-int64 cosine (the module's
+    fixed-point convention, shared with similarity_neardup_cosine) —
+    the learned-bucketing scale path vs similarity_neardup_cosine's
+    given-cell shortcut. Only bucket-colliding pairs (≈ 1/2^planes of
+    all pairs) pay the verify dot; the bucket join shuffles 8-byte
+    keys, and the verify-side joins carry quantized int arrays."""
     buckets = _lsh_buckets(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")) \
-           .withColumn("norm", F.sqrt(F.expr(
-               "aggregate(zip_with(emb, emb, (x, y) -> x * y),"
-               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
+    qn = (e.select("vec_id", quantize_expr("embedding").alias("qv"))
+          .withColumn("nn", qdot("qv", "qv")))
     a = buckets.select(F.col("vec_id").alias("vec1"), "bucket")
     b = buckets.select(F.col("vec_id").alias("vec2"), F.col("bucket").alias("b2"))
     cand = a.join(b, (F.col("bucket") == F.col("b2"))
                   & (F.col("vec1") < F.col("vec2"))).drop("b2")
-    ea = emb.select(F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"),
-                    F.col("norm").alias("n1"))
-    eb = emb.select(F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"),
-                    F.col("norm").alias("n2"))
-    cosine = (F.expr("aggregate(zip_with(e1, e2, (x, y) -> x * y),"
-                     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-              / (F.col("n1") * F.col("n2")))
+    ea = qn.select(F.col("vec_id").alias("vec1"), F.col("qv").alias("e1"),
+                   F.col("nn").alias("n1"))
+    eb = qn.select(F.col("vec_id").alias("vec2"), F.col("qv").alias("e2"),
+                   F.col("nn").alias("n2"))
+    cosine = qdot("e1", "e2") / F.sqrt(F.col("n1") * F.col("n2"))
     # vec_id is high-cardinality, so these equi-joins shuffle with full
     # parallelism on their own; forcing broadcast of the whole embedding
     # side (round 1) is an OOM at scale. Left adaptive: AQE still picks a
