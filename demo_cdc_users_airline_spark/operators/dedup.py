@@ -513,29 +513,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses it — integer votes are exact, so both forms agree
     bit-for-bit)."""
     d = _tokenized(spark, sf_dir)  # bound toks array from the shared scan
-    return d.select("doc_id", F.expr(simhash_expr("toks")).alias("simhash"))
+    return d.select("doc_id",
+                    F.expr(token_hash_expr("toks")).alias("__th")) \
+            .select("doc_id",
+                    F.expr(simhash_from_hashes_expr("__th")).alias("simhash"))
 
 
-def simhash_expr(toks_col: str) -> str:
-    """The 60-bit simhash as a SQL expression over a BOUND token-array
-    column (bind the split() in a prior projection — inlining it here
-    would re-tokenize per lambda element). Shared by the batch operator
-    and the streaming near-dup dedup so both compute identical
-    signatures."""
+def token_hash_expr(toks_col: str) -> str:
+    """Per-token {_SH_HEX}-nibble md5 hashes over a BOUND token-array
+    column (bind the split() in a prior projection — inlining it would
+    re-tokenize per lambda element)."""
+    return (f"transform({toks_col}, t -> CAST(conv(substring(md5(t), 1,"
+            f" {_SH_HEX}), 16, 10) AS BIGINT))")
+
+
+def simhash_from_hashes_expr(th_col: str) -> str:
+    """The 60-bit simhash over a BOUND token-hash array column.
+
+    Transposed fold (r5): per BIT, an integer popcount over the hash
+    array decides the sign — vote_b = 2·set_b − n > 0 ⟺ 2·set_b > n,
+    exact integer equivalence with the per-token vote accumulation.
+    The previous per-token form allocated two 60-element arrays per
+    token inside the interpreted lambda (zip_with + sequence); this
+    form does the same n·60 integer ops with NO array churn and
+    measures ~2× faster. ``{th_col}`` must be a bound column: an
+    inlined transform would re-hash every token once per bit."""
     return f"""
-          aggregate(
-            zip_with(
-              aggregate(
-                transform({toks_col},
-                          t -> CAST(conv(substring(md5(t), 1, {_SH_HEX}), 16, 10) AS BIGINT)),
-                array_repeat(CAST(0 AS BIGINT), {_SH_TOTAL_BITS}),
-                (acc, th) -> zip_with(acc, sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
-                                      (a, b) -> a + CASE WHEN (th >> b) & 1 = 1
-                                                    THEN 1 ELSE -1 END)),
-              sequence(CAST(0 AS BIGINT), {_SH_TOTAL_BITS - 1}),
-              (vote, bit) -> CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
-                                  ELSE CAST(0 AS BIGINT) END),
-            CAST(0 AS BIGINT), (acc, v) -> acc + v)
+          aggregate(sequence(0, {_SH_TOTAL_BITS - 1}),
+            CAST(0 AS BIGINT),
+            (acc, b) -> acc + CASE WHEN
+                2 * aggregate({th_col}, CAST(0 AS BIGINT),
+                              (a, t) -> a + ((t >> b) & 1)) > size({th_col})
+              THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+              ELSE CAST(0 AS BIGINT) END)
         """
 
 

@@ -45,7 +45,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import _SH_MAX_HAMMING, band_key_structs, simhash_expr
+from ..operators.dedup import (
+    _SH_MAX_HAMMING,
+    band_key_structs,
+    simhash_from_hashes_expr,
+    token_hash_expr,
+)
 from ..sources.tables import AppendTable
 
 
@@ -59,11 +64,13 @@ class StreamingNearDupDedup:
     policy: str = "greedy"  # "greedy" | "sequential" (see module docstring)
 
     def _with_sig(self, docs: DataFrame) -> DataFrame:
-        # bind toks in a prior projection (see simhash_expr)
+        # bind toks, then the token hashes, in prior projections (see
+        # simhash_from_hashes_expr — lambda inputs must be bound columns)
         return (docs
                 .withColumn("toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-                .withColumn("simhash", F.expr(simhash_expr("toks")))
-                .drop("toks"))
+                .withColumn("__th", F.expr(token_hash_expr("toks")))
+                .withColumn("simhash", F.expr(simhash_from_hashes_expr("__th")))
+                .drop("toks", "__th"))
 
     def _bands(self, sig: DataFrame, id_col: str) -> DataFrame:
         return (sig.select(F.col("doc_id").alias(id_col), "simhash",

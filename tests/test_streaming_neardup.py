@@ -7,7 +7,10 @@ import json
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from demo_cdc_users_airline_spark.operators.dedup import simhash_expr
+from demo_cdc_users_airline_spark.operators.dedup import (
+    simhash_from_hashes_expr,
+    token_hash_expr,
+)
 from demo_cdc_users_airline_spark.sources.tables import AppendTable
 from demo_cdc_users_airline_spark.streaming.neardup import StreamingNearDupDedup
 
@@ -26,7 +29,9 @@ THIRD = ("mountain glacier erosion sediment basalt columnar jointing "
 def sig_of(spark, text):
     return (spark.createDataFrame([(text,)], "text string")
             .withColumn("toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-            .select(F.expr(simhash_expr("toks")).alias("s")).first()["s"])
+            .select(F.expr(token_hash_expr("toks")).alias("th"))
+            .select(F.expr(simhash_from_hashes_expr("th")).alias("s"))
+            .first()["s"])
 
 
 def hamming(a, b):
