@@ -3,12 +3,13 @@
 from __future__ import annotations
 
 from . import (curation, dedup, importance, kmeans_ivf, multimodal, pq,
-               retrieval, sampling, similarity, temporal, text, tokenizer)
+               retrieval, sampling, similarity, sketches, temporal, text,
+               tokenizer)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
 for mod in (text, dedup, similarity, kmeans_ivf, multimodal, sampling, temporal,
-            curation, pq, retrieval, importance, tokenizer):
+            curation, pq, retrieval, importance, tokenizer, sketches):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

@@ -65,6 +65,9 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "events_hll_distinct": 4,       # (type, bucket) register MAX + the
+    # 256-row register rollup + the exact-countDistinct grading branch;
+    # the sketch side's wire state is <= m rows per group at any scale
     "events_daily_moving_stats": 2,  # daily agg + the per-type RANGE window
     "events_minute_anomalies": 3,   # minute-count agg (appears twice in the
     # static tree: stats re-derive it; cached at runtime) + per-type stats

@@ -1,0 +1,66 @@
+"""HLL distinct-count sketch: register-state bounds, estimate accuracy
+on real data, and exactness of the integer harmonic-sum construction."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from demo_cdc_users_airline_spark.operators.sketches import (
+    _HLL_ALPHA,
+    _HLL_M,
+    events_hll_distinct,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_report_shape_and_accuracy(spark):
+    rows = events_hll_distinct(spark, SF).collect()
+    types = {r["event_type"] for r in rows}
+    ev = load_table(spark, SF, "events")
+    assert types == {r[0] for r in ev.select("event_type").distinct().collect()}
+    for r in rows:
+        assert 0 <= r["n_zero_registers"] <= _HLL_M
+        assert r["hll_estimate"] > 0
+        # raw-HLL standard error is 1.04/sqrt(m) ≈ 6.5%; allow 5σ plus
+        # the documented small-range bias (no linear-counting correction)
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.40, (r["event_type"], rel)
+        assert r["err_micro"] == math.floor(
+            abs(r["hll_estimate"] - float(r["n_exact"]))
+            * 1000000.0 / float(r["n_exact"]))
+
+
+def test_hll_registers_are_partial_aggregatable(spark):
+    """The sketch state must be identical whether built from the whole
+    table or merged from per-half sketches (max is associative) — the
+    property that makes the shuffle O(m) per group."""
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    hh = F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)")
+
+    def regs(df):
+        return {(r["event_type"], r["bucket"]): r["reg"]
+                for r in (df.select("event_type", hh.alias("hh"))
+                          .select("event_type",
+                                  (F.col("hh") % _HLL_M).alias("bucket"),
+                                  F.expr("CASE WHEN (hh >> 8) = 0 THEN 53"
+                                         " ELSE 53 - length(bin(hh >> 8)) END")
+                                  .alias("r"))
+                          .groupBy("event_type", "bucket")
+                          .agg(F.max("r").alias("reg")).collect())}
+
+    whole = regs(ev)
+    lo = regs(ev.filter(F.col("user_id") % 2 == 0))
+    hi = regs(ev.filter(F.col("user_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+
+
+def test_hll_alpha_constant():
+    # the documented alpha_m for m=256 (Flajolet et al. 2007)
+    assert abs(_HLL_ALPHA - 0.7213 / (1 + 1.079 / 256)) < 1e-15
