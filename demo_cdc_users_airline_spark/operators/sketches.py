@@ -48,6 +48,95 @@ def q(name: str, sql: str | None):
     return deco
 
 
+_CMS_D = 4                  # count-min rows
+_CMS_W = 1024               # cells per row (ε = e/w ≈ 0.27% of mass)
+_CMS_TOPK = 20
+
+
+@q("corpus_token_cms_topk", f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+tw AS (
+  SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM toks WHERE length(w) > 0
+),
+cells AS (
+  SELECT j.j AS j, (t.h >> (15 * j.j)) & {_CMS_W - 1} AS cell
+  FROM tw t CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) j
+),
+cms AS (SELECT j, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+top AS (
+  SELECT w, h, count(*) AS n_exact
+  FROM tw GROUP BY w, h
+  ORDER BY n_exact DESC, w LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT t.w, t.n_exact, min(m.c) AS cms_estimate
+  FROM top t
+  CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) j
+  JOIN cms m ON m.j = j.j AND m.cell = (t.h >> (15 * j.j)) & {_CMS_W - 1}
+  GROUP BY t.w, t.n_exact
+)
+SELECT w AS token, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+FROM est
+""")
+def corpus_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the exact top-{_CMS_TOPK} corpus
+    tokens next to their CMS estimates from a fixed {_CMS_D}×{_CMS_W}
+    counter table — the streaming-frequency sketch that replaces a
+    full-vocabulary count at scale, graded against the exact answer
+    (same evaluation-harness pattern as the HLL/minhash/bloom reports).
+
+    Engine-portable construction: one 60-bit md5 per token occurrence
+    supplies all {_CMS_D} row-cells as disjoint 15-bit slices (mod w) —
+    integer-exact end to end, so estimates hash-match the oracle, and
+    the CMS invariant estimate ≥ exact is structural (counters only
+    ever over-count on collisions).
+
+    Scale path: the sketch build is a token map + a groupBy whose KEY
+    SPACE is the fixed d·w = {_CMS_D * _CMS_W} cells — partial
+    aggregation collapses every map partition to ≤ d·w rows before the
+    wire, the exact property that makes CMS a streaming sketch. The
+    exact top-k (the grading branch) is one token groupBy +
+    TakeOrdered; the estimate probe joins k rows against the broadcast
+    {_CMS_D * _CMS_W}-row counter table."""
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tw = (d.select(F.explode(_tokens("text")).alias("w"))
+          .filter(F.length("w") > 0)
+          .select("w", F.expr("CAST(conv(substring(md5(w), 1, 15), 16, 10)"
+                              " AS BIGINT)").alias("h"))
+          .cache())
+    cells = (tw.select(F.explode(F.array(
+                 *[F.struct(F.lit(j).alias("j"),
+                            F.expr(f"(h >> {15 * j}) & {_CMS_W - 1}")
+                            .alias("cell"))
+                   for j in range(_CMS_D)])).alias("jc"))
+             .select("jc.j", "jc.cell"))
+    cms = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+    top = (tw.groupBy("w", "h").agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), "w").limit(_CMS_TOPK))
+    probes = (top.select("w", "n_exact", F.explode(F.array(
+                  *[F.struct(F.lit(j).alias("j"),
+                             F.expr(f"(h >> {15 * j}) & {_CMS_W - 1}")
+                             .alias("cell"))
+                    for j in range(_CMS_D)])).alias("jc"))
+              .select("w", "n_exact", "jc.j", "jc.cell"))
+    est = (probes.join(F.broadcast(cms), ["j", "cell"])
+           .groupBy("w", "n_exact").agg(F.min("c").alias("cms_estimate")))
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_exact")).cast("long")
+        .alias("overestimate"))
+
+
 _HLL_B = 8                 # register-index bits
 _HLL_M = 1 << _HLL_B       # 256 registers
 _HLL_RBITS = 60 - _HLL_B   # 52-bit remainder

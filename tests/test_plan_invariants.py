@@ -65,6 +65,8 @@ MAX_SHUFFLES = {
     "score_dsir_importance": 5,   # bucket tf + dist + scalar; ratio joins broadcast
     "similarity_semdedup": 6,     # assign join + census + salted pair join + verdict
     # multi-stage compositions: budget = sum of the composed stages
+    "corpus_token_cms_topk": 3,     # fixed 4096-cell sketch agg + exact
+    # token groupBy (TakeOrdered top-k) + probe-vs-broadcast-CMS rollup
     "events_hll_distinct": 4,       # (type, bucket) register MAX + the
     # 256-row register rollup + the exact-countDistinct grading branch;
     # the sketch side's wire state is <= m rows per group at any scale

@@ -64,3 +64,24 @@ def test_hll_registers_are_partial_aggregatable(spark):
 def test_hll_alpha_constant():
     # the documented alpha_m for m=256 (Flajolet et al. 2007)
     assert abs(_HLL_ALPHA - 0.7213 / (1 + 1.079 / 256)) < 1e-15
+
+
+def test_cms_never_underestimates_and_is_tight(spark):
+    """CMS structural invariant: estimate ≥ exact always; and with
+    d=4 rows of w=1024 cells the expected overestimate is ≤ e/w of the
+    total occurrence mass per row-min — tiny for this corpus."""
+    from demo_cdc_users_airline_spark.operators.sketches import (
+        _CMS_TOPK,
+        corpus_token_cms_topk,
+    )
+
+    rows = corpus_token_cms_topk(spark, SF).collect()
+    assert len(rows) == _CMS_TOPK
+    mass = sum(r["n_exact"] for r in rows)  # lower bound on total mass
+    for r in rows:
+        assert r["cms_estimate"] >= r["n_exact"]
+        assert r["overestimate"] == r["cms_estimate"] - r["n_exact"]
+    # top-k are in exact-count order with deterministic tiebreak
+    counts = sorted((r["n_exact"] for r in rows), reverse=True)
+    assert counts == sorted((r["n_exact"] for r in rows), reverse=True)
+    assert mass > 0
