@@ -211,18 +211,43 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to GRADE the sketch (at 100 TB it is the thing you could no
     longer afford — its shuffle carries every distinct key)."""
     ev = load_table(spark, sf_dir, "events")
-    hh = F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+    regs = hll_registers(ev, "event_type", "user_id")
+    est = hll_estimate(regs, "event_type")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    joined = est.join(ex, "event_type")
+    err = F.floor(F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+                  * 1000000.0 / F.col("n_exact").cast("double")).cast("long")
+    return joined.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "hll_estimate",
+        "n_zero_registers",
+        err.alias("err_micro"))
+
+
+def hll_registers(df: DataFrame, key: str, elem: str) -> DataFrame:
+    """(key, bucket, reg) — the HLL register state of ``elem`` grouped
+    by ``key``. MAX-mergeable: registers of any row-partition of ``df``
+    merge by per-(key, bucket) max into exactly the whole-data state
+    (the property the streaming form leans on — merging is idempotent
+    AND commutative, so replays and re-merges are harmless)."""
+    hh = F.expr(f"CAST(conv(substring(md5(CAST({elem} AS STRING)), 1, 15),"
                 " 16, 10) AS BIGINT)")
-    h = ev.select("event_type", hh.alias("hh"))
-    rho = (h.select("event_type",
-                    (F.col("hh") % _HLL_M).alias("bucket"),
+    return (df.select(F.col(key), hh.alias("hh"))
+            .select(key, (F.col("hh") % _HLL_M).alias("bucket"),
                     F.expr(f"CASE WHEN (hh >> {_HLL_B}) = 0"
                            f" THEN {_HLL_RBITS + 1}"
                            f" ELSE {_HLL_RBITS + 1} - length(bin(hh >> {_HLL_B}))"
                            f" END").alias("r"))
-           .groupBy("event_type", "bucket")
-           .agg(F.max("r").alias("reg")))
-    agg = (rho.groupBy("event_type")
+            .groupBy(key, "bucket")
+            .agg(F.max("r").alias("reg")))
+
+
+def hll_estimate(regs: DataFrame, key: str) -> DataFrame:
+    """(key, hll_estimate, n_zero_registers) from a register frame —
+    the corrected Flajolet estimator (lookup-table linear counting)."""
+    agg = (regs.groupBy(key)
            .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT),"
                              f" {_HLL_RBITS + 1} - reg)")).alias("s_present"),
                 F.count(F.lit(1)).alias("n_buckets")))
@@ -230,23 +255,13 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f" * shiftleft(CAST(1 AS BIGINT), {_HLL_RBITS + 1})"
                      f" AS DOUBLE)")
     raws = agg.select(
-        "event_type",
+        key,
         (F.lit(float(_HLL_NUM)) / s_total).alias("raw"),
         (F.lit(_HLL_M) - F.col("n_buckets")).alias("v"))
     lc = F.array(*[F.lit(x) for x in _HLL_LC])
-    est = raws.select(
-        "event_type", "v",
+    return raws.select(
+        key,
         F.when((F.col("raw") <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
                F.element_at(lc, F.col("v").cast("int")))
-         .otherwise(F.col("raw")).alias("corrected"))
-    ex = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"))
-    joined = est.join(ex, "event_type")
-    err = F.floor(F.abs(F.col("corrected") - F.col("n_exact").cast("double"))
-                  * 1000000.0 / F.col("n_exact").cast("double")).cast("long")
-    return joined.select(
-        "event_type",
-        F.col("n_exact").cast("long").alias("n_exact"),
-        F.col("corrected").alias("hll_estimate"),
-        F.col("v").cast("long").alias("n_zero_registers"),
-        err.alias("err_micro"))
+         .otherwise(F.col("raw")).alias("hll_estimate"),
+        F.col("v").cast("long").alias("n_zero_registers"))
