@@ -119,25 +119,31 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (2^30 bits = 128 MB covers 10^8 eval shingles at 10% fill — still
 # broadcastable where the exact hash SET would be many GB).
 _BLOOM_M = 1 << 16
-_BLOOM_K = 4
+_BLOOM_K = 3
 
 
-def _bloom_pos_sql(j: int, hsh: str = "hsh") -> str:
-    """Probe j's bit position (Spark SQL): md5(j_hsh) gives k INDEPENDENT
-    positions per shingle — an affine family a_j·h+b_j mod 2^16 is NOT
-    independent (h1 ≡ h2 mod m fires all k probes at once, collapsing
-    the filter to a single modular hash; measured 0.4% FP vs ~1e-7
-    here)."""
-    return (f"pmod(CAST(conv(substring(md5(concat('{j}_',"
-            f" CAST({hsh} AS STRING))), 1, 8), 16, 10) AS BIGINT),"
-            f" {_BLOOM_M})")
+def _bloom_h_sql(hsh: str = "hsh") -> str:
+    """ONE fresh 60-bit md5 per shingle whose disjoint 16-bit slices
+    supply all k probe positions (Spark SQL). A fresh hash is required
+    — ``hsh`` itself has only 31 bits of entropy (Mersenne-reduced) —
+    and it must not be an affine family a_j·h+b_j mod 2^16, which is
+    NOT independent (h1 ≡ h2 mod m fires all k probes at once,
+    collapsing the filter to one modular hash; measured 0.4% FP vs the
+    ~1e-6 slice construction). k=3 16-bit slices use 48 of the 60 bits;
+    FP ≈ fill³ stays ~1e-6 at the demo fill."""
+    return (f"CAST(conv(substring(md5(concat('bp_',"
+            f" CAST({hsh} AS STRING))), 1, 15), 16, 10) AS BIGINT)")
 
 
-def _bloom_pos_duck(j: str, hsh: str) -> str:
-    """The identical position arithmetic in DuckDB SQL (j is an SQL
-    expression so the probe CTE can supply it)."""
-    return (f"(('0x' || substr(md5(CAST({j} AS VARCHAR) || '_' ||"
-            f" CAST({hsh} AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M})")
+def _bloom_h_duck(hsh: str) -> str:
+    return (f"(('0x' || substr(md5('bp_' ||"
+            f" CAST({hsh} AS VARCHAR)), 1, 15))::BIGINT)")
+
+
+def _bloom_pos(j: int, h: str) -> str:
+    """Probe j's bit position from the bound slice-hash column — plain
+    integer ops, identical text in both engines."""
+    return f"(({h} >> {16 * j}) & {_BLOOM_M - 1})"
 
 
 def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
@@ -147,8 +153,9 @@ def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
     hashed-shingle frame."""
     def build():
         hh = _dd._hashed_shingles(spark, sf_dir)
-        pos_cols = [F.expr(_bloom_pos_sql(j)) for j in range(_BLOOM_K)]
+        pos_cols = [F.expr(_bloom_pos(j, "__bh")) for j in range(_BLOOM_K)]
         rows = (hh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+                .withColumn("__bh", F.expr(_bloom_h_sql()))
                 .select(F.explode(F.array(*pos_cols)).alias("pos"))
                 .distinct().collect())
         words = [0] * (_BLOOM_M // 64)
@@ -163,22 +170,24 @@ def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
 
 
 def _bloom_oracle_sql() -> str:
-    probes = " UNION ALL ".join(
-        f"SELECT {j} AS j" for j in range(_BLOOM_K))
+    pos_list = ", ".join(_bloom_pos(j, "bh") for j in range(_BLOOM_K))
     return f"""
 WITH sh AS ({_dd._SHINGLE_SQL}),
 hh AS (SELECT doc_id, shingle, {_dd._HASH_SQL} AS hsh FROM sh),
-probes AS ({probes}),
+hhb AS (SELECT doc_id, shingle, hsh, {_bloom_h_duck("hsh")} AS bh FROM hh),
 bench_pos AS (
-  SELECT DISTINCT {_bloom_pos_duck("p.j", "h.hsh")} AS pos
-  FROM hh h CROSS JOIN probes p WHERE h.doc_id % {_BENCH_MOD} = 0
+  SELECT DISTINCT unnest([{pos_list}]) AS pos
+  FROM hhb WHERE doc_id % {_BENCH_MOD} = 0
 ),
-bench_set AS (SELECT DISTINCT hsh FROM hh WHERE doc_id % {_BENCH_MOD} = 0),
-train AS (SELECT doc_id, shingle, hsh FROM hh WHERE doc_id % {_BENCH_MOD} <> 0),
+bench_set AS (SELECT DISTINCT hsh FROM hhb WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT doc_id, shingle, hsh, bh FROM hhb
+          WHERE doc_id % {_BENCH_MOD} <> 0),
 bloom_hits AS (
   SELECT t.doc_id, t.shingle
-  FROM train t CROSS JOIN probes p
-  JOIN bench_pos bp ON bp.pos = {_bloom_pos_duck("p.j", "t.hsh")}
+  FROM train t
+  CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) p
+  JOIN bench_pos bp
+    ON bp.pos = ((t.bh >> (16 * p.j)) & {_BLOOM_M - 1})
   GROUP BY t.doc_id, t.shingle
   HAVING count(*) = {_BLOOM_K}
 ),
@@ -225,12 +234,13 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _bloom_words(spark, sf_dir)
     wdf = spark.createDataFrame([(words,)], "__bloom array<bigint>")
     bit = " AND ".join(
-        f"((__bloom[CAST({_bloom_pos_sql(j)} DIV 64 AS INT)]"
-        f" >> CAST({_bloom_pos_sql(j)} % 64 AS INT)) & 1) = 1"
+        f"((__bloom[CAST({_bloom_pos(j, '__bh')} DIV 64 AS INT)]"
+        f" >> CAST({_bloom_pos(j, '__bh')} % 64 AS INT)) & 1) = 1"
         for j in range(_BLOOM_K))
     bench = (hh.filter(is_bench).select("hsh").distinct()
              .withColumn("__exact", F.lit(1)))
     agg = (hh.filter(~is_bench)
+           .withColumn("__bh", F.expr(_bloom_h_sql()))
            .crossJoin(F.broadcast(wdf))
            .withColumn("__bloom_hit", F.expr(f"CASE WHEN {bit} THEN 1 ELSE 0 END"))
            .join(F.broadcast(bench), "hsh", "left")

@@ -121,3 +121,48 @@ def test_connected_components_paths_agree_on_corpus_edges(spark):
             for r in connected_components(
                 edges, nodes, local_finish_max_edges=0).collect()}
     assert local == dist and local
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Property test: on random graphs, BOTH paths agree with a pure-
+    Python union-find reference (exact min-labels). Uses fixed seeds —
+    deterministic, no flaky sampling."""
+    import random
+
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed, n_nodes, n_edges in ((7, 40, 25), (11, 60, 80), (13, 30, 0)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        # independent reference: plain BFS over the adjacency lists
+        adj: dict[int, list[int]] = {i: [] for i in range(n_nodes)}
+        for a, b in edges:
+            if a != b:
+                adj[a].append(b)
+                adj[b].append(a)
+        ref: dict[int, int] = {}
+        for start in range(n_nodes):
+            if start in ref:
+                continue
+            comp, queue = [start], [start]
+            seen = {start}
+            while queue:
+                x = queue.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        comp.append(y)
+                        queue.append(y)
+            root = min(comp)
+            for x in comp:
+                ref[x] = root
+        edf = (spark.createDataFrame(edges or [(0, 0)], "src: long, dst: long"))
+        ndf = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id: long")
+        for lf in (10**6, 0):
+            got = {r["doc_id"]: r["label"]
+                   for r in connected_components(
+                       edf, ndf, local_finish_max_edges=lf).collect()}
+            assert got == ref, (seed, lf)
