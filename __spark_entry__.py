@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_encode",              # NEW in r5
     "events_hll_distinct",          # NEW in r5
     "corpus_token_cms_topk",        # NEW in r5
+    "events_value_quantile_sketch", # NEW in r5
     "similarity_neardup_cosine",
     "similarity_semdedup",
     "dedup_cluster_labels",

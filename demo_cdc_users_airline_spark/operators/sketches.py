@@ -137,6 +137,122 @@ def corpus_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("overestimate"))
 
 
+_QS_BINS = 1024  # fixed histogram resolution (types × 1024 wire state)
+
+# rank targets shared with events_value_percentiles' total-order rule
+_QS_RANKS = (("p50", "(n + 1) DIV 2", "(n + 1) // 2"),
+             ("p90", "(9 * n + 9) DIV 10", "(9 * n + 9) // 10"),
+             ("p99", "(99 * n + 99) DIV 100", "(99 * n + 99) // 100"))
+
+
+def _qs_est_sql(b: str) -> str:
+    # bin-midpoint estimate; op order (add, scale, divide) is textually
+    # identical in both engines — one IEEE rounding per step
+    return f"(mn + (CAST({b} AS DOUBLE) + 0.5) * (mx - mn) / {_QS_BINS}.0)"
+
+
+@q("events_value_quantile_sketch", f"""
+WITH src AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+rng AS (SELECT min(value) AS mn, max(value) AS mx FROM src),
+b AS (
+  SELECT s.event_type,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE least(CAST(floor((s.value - r.mn) * {_QS_BINS}.0
+                                    / (r.mx - r.mn)) AS BIGINT),
+                         {_QS_BINS - 1})
+         END AS bin
+  FROM src s CROSS JOIN rng r
+),
+hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+sel AS (
+  SELECT event_type, n,
+         {", ".join(f"min(CASE WHEN cum >= {duck} THEN bin END) AS b_{name}"
+                    for name, _, duck in _QS_RANKS)}
+  FROM cum GROUP BY event_type, n
+),
+ex AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM src
+),
+exact AS (
+  SELECT event_type,
+         {", ".join(f"max(CASE WHEN rn = {duck} THEN value END) AS {name}"
+                    for name, _, duck in _QS_RANKS)}
+  FROM ex GROUP BY event_type, n
+)
+SELECT s.event_type, CAST(s.n AS BIGINT) AS n_events,
+       {", ".join(f"e.{name} AS {name}, {_qs_est_sql(f's.b_{name}')} AS {name}_est"
+                  for name, _, _ in _QS_RANKS)}
+FROM sel s CROSS JOIN rng r
+JOIN exact e ON e.event_type = s.event_type
+""")
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch graded against exact order statistics:
+    per event type, p50/p90/p99 estimated from a fixed {_QS_BINS}-bin
+    histogram over the data-anchored global [min, max] next to the
+    exact rank values — operationalizing events_value_percentiles'
+    documented scale path ('switch hot groups to sketches at 100 TB').
+
+    Scale path: the histogram build is a map (one subtraction, one
+    power-of-two scale, one division per row) + a groupBy whose key
+    space is types × {_QS_BINS} — partial aggregation bounds wire state
+    regardless of row count, and the bin selection runs on the tiny
+    histogram. The exact branch (one per-type rank window over every
+    row) is the thing this replaces at scale; it rides along here as
+    the grading harness, the same pattern as the HLL/CMS/bloom reports.
+
+    Deterministic: bin indices floor single-rounding IEEE expressions
+    evaluated with identical op order in both engines; estimates are
+    bin midpoints derived from the two anchored scalars; all counts
+    and ranks are exact integers (ranks use the repo's total-order
+    tiebreak on event_id; NULL values are excluded by both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    src = (ev.filter(F.col("value").isNotNull())
+           .select("event_type", "event_id", "value"))
+    rng = src.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = (src.crossJoin(F.broadcast(rng))
+         .select("event_type", F.expr(
+             f"CASE WHEN mx = mn THEN 0"
+             f" ELSE least(CAST(floor((value - mn) * {_QS_BINS}.0D"
+             f" / (mx - mn)) AS BIGINT), {_QS_BINS - 1}) END").alias("bin")))
+    hist = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+    wt = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin",
+        F.sum("c").over(wt.orderBy("bin")).alias("cum"),
+        F.sum("c").over(wt).alias("n"))
+    sel = (cum.groupBy("event_type", "n")
+           .agg(*[F.min(F.when(F.col("cum") >= F.expr(spk), F.col("bin")))
+                  .alias(f"b_{name}") for name, spk, _ in _QS_RANKS]))
+    ex = src.select(
+        "event_type", "value",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"))
+    exact = (ex.groupBy("event_type", "n")
+             .agg(*[F.max(F.when(F.col("rn") == F.expr(spk), F.col("value")))
+                    .alias(name) for name, spk, _ in _QS_RANKS])
+             .drop("n"))
+    out_cols = ["event_type", F.col("n").cast("long").alias("n_events")]
+    for name, _, _ in _QS_RANKS:
+        out_cols.append(F.col(name))
+        out_cols.append(F.expr(_qs_est_sql(f"b_{name}")).alias(f"{name}_est"))
+    return (sel.crossJoin(F.broadcast(rng))
+            .join(exact, "event_type")
+            .select(*out_cols))
+
+
 _HLL_B = 8                 # register-index bits
 _HLL_M = 1 << _HLL_B       # 256 registers
 _HLL_RBITS = 60 - _HLL_B   # 52-bit remainder

@@ -67,6 +67,9 @@ MAX_SHUFFLES = {
     # multi-stage compositions: budget = sum of the composed stages
     "corpus_token_cms_topk": 3,     # fixed 4096-cell sketch agg + exact
     # token groupBy (TakeOrdered top-k) + probe-vs-broadcast-CMS rollup
+    "events_value_quantile_sketch": 4,  # histogram agg (types x 1024
+    # wire state) + tiny bin-selection window + the exact-rank grading
+    # branch (per-type window) + final join
     "events_hll_distinct": 4,       # (type, bucket) register MAX + the
     # 256-row register rollup + the exact-countDistinct grading branch;
     # the sketch side's wire state is <= m rows per group at any scale

@@ -85,3 +85,24 @@ def test_cms_never_underestimates_and_is_tight(spark):
     counts = sorted((r["n_exact"] for r in rows), reverse=True)
     assert counts == sorted((r["n_exact"] for r in rows), reverse=True)
     assert mass > 0
+
+
+def test_quantile_sketch_within_one_bin(spark):
+    """Histogram estimate must land within one bin width of the exact
+    order statistic (the sketch's structural error bound), for every
+    type and every percentile."""
+    from demo_cdc_users_airline_spark.operators.sketches import (
+        _QS_BINS,
+        events_value_quantile_sketch,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table as lt
+
+    rows = events_value_quantile_sketch(spark, SF).collect()
+    vals = [r["value"] for r in lt(spark, SF, "events")
+            .select("value").collect() if r["value"] is not None]
+    width = (max(vals) - min(vals)) / _QS_BINS
+    assert rows
+    for r in rows:
+        for p in ("p50", "p90", "p99"):
+            assert abs(r[p] - r[f"{p}_est"]) <= width, (r["event_type"], p)
+        assert r["p50"] <= r["p90"] <= r["p99"]
