@@ -67,9 +67,11 @@ MAX_SHUFFLES = {
     # multi-stage compositions: budget = sum of the composed stages
     "corpus_token_cms_topk": 3,     # fixed 4096-cell sketch agg + exact
     # token groupBy (TakeOrdered top-k) + probe-vs-broadcast-CMS rollup
-    "events_value_quantile_sketch": 4,  # histogram agg (types x 1024
+    "events_value_quantile_sketch": 5,  # histogram agg (types x 1024
     # wire state) + tiny bin-selection window + the exact-rank grading
-    # branch (per-type window) + final join
+    # branch (per-type window) + the 1-row range scalar, which appears
+    # twice in the static tree (bin map + estimate projection — runtime
+    # reuses the exchange); the final join rides the window partitioning
     "events_hll_distinct": 4,       # (type, bucket) register MAX + the
     # 256-row register rollup + the exact-countDistinct grading branch;
     # the sketch side's wire state is <= m rows per group at any scale
