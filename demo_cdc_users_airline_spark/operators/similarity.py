@@ -68,7 +68,11 @@ _COS_SQL = """
 # C instead of interpreted lambda folds (measured ~6× on the near-dup
 # pair scan at sf0.1).
 
-QUANT_SCALE = 1_000_000  # micro-units; |x| ≲ 380 keeps the int64 dot safe
+QUANT_SCALE = 1_000_000  # micro-units. Exactness bound: EVERY engine's
+# dot evaluation (including the oracle's double-list fold) must keep
+# partial sums < 2^53, which for 64 dims requires |x| ≲ 11.8; the int64
+# GEMM alone would tolerate |x| ≲ 380, but the tighter double bound is
+# the one oracle parity depends on. Unit-scale embeddings sit 20× under.
 
 
 def quantize_expr(col: str = "embedding") -> Column:

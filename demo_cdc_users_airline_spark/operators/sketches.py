@@ -19,9 +19,10 @@ integer arithmetic so the DuckDB oracle hash-matches bit-for-bit:
 - the small-range linear-counting correction m·ln(m/V) needs ln(),
   whose libm rounding is NOT cross-engine stable — but V (the
   zero-register count) is an integer in [1, m], so the correction is a
-  256-entry LOOKUP TABLE computed once in Python and embedded as the
-  same shortest-repr double literals in both engines. The full
-  Flajolet et al. estimator, zero libm calls at query time.
+  256-entry LOOKUP TABLE computed once in Python and embedded as EXACT
+  integer-ratio literals (m/2^k — see _exact_dbl_sql: DuckDB's decimal
+  literal path mis-rounds ~12% of 17-digit repr() strings by 1 ulp).
+  The full Flajolet et al. estimator, zero libm calls at query time.
 
 Like dedup_minhash_estimate and corpus_decontaminate_bloom, the exact
 answer rides along: the operator is both the production sketch and its
@@ -259,15 +260,38 @@ _HLL_RBITS = 60 - _HLL_B   # 52-bit remainder
 # alpha_256 · m² · 2^53 as ONE Python double: both engines parse the
 # same shortest-repr literal, so the estimate's arithmetic sequence
 # (constant / double(S)) is a single rounding each
+import math as _math  # noqa: E402
+
+
+def _exact_dbl_sql(x: float) -> str:
+    """A computed double as SQL that parses BIT-IDENTICALLY everywhere:
+    an exact integer ratio m / 2^k (or product m · 2^k). DuckDB's
+    literal path mis-rounds ~12% of 17-significant-digit repr() strings
+    by 1 ulp (measured: 32/256 of the LC table values — decimal
+    fraction literals route through DECIMAL inference); exact-integer
+    strings below 2^63 parse exactly on every engine, and the single
+    multiply/divide reproduces the target double exactly because the
+    true result IS that double (IEEE correctly-rounded ⇒ exact)."""
+    if x == 0:
+        return "0.0"
+    frac, e = _math.frexp(x)          # x = frac·2^e, 0.5 ≤ |frac| < 1
+    mi, ee = int(frac * (1 << 53)), e - 53
+    while mi % 2 == 0 and ee < 0:
+        mi //= 2
+        ee += 1
+    if ee >= 0:
+        return f"(CAST({mi} AS DOUBLE) * {1 << ee})"
+    return f"(CAST({mi} AS DOUBLE) / {1 << -ee})"
+
+
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
-_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53))
+_HLL_NUM_F = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+_HLL_NUM = _exact_dbl_sql(_HLL_NUM_F)
 
 # linear-counting correction table: m·ln(m/V) for V = 1..m, computed
 # once driver-side (index V is 1-based in both engines' list access)
-import math as _math  # noqa: E402
-
 _HLL_LC = [_HLL_M * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
-_HLL_LC_SQL = "[" + ", ".join(repr(x) for x in _HLL_LC) + "]"
+_HLL_LC_SQL = "[" + ", ".join(_exact_dbl_sql(x) for x in _HLL_LC) + "]"
 
 
 @q("events_hll_distinct", f"""
@@ -310,8 +334,10 @@ SELECT s.event_type,
        CAST(e.n_exact AS BIGINT) AS n_exact,
        s.corrected AS hll_estimate,
        CAST(s.v AS BIGINT) AS n_zero_registers,
-       CAST(floor(abs(s.corrected - CAST(e.n_exact AS DOUBLE)) * 1000000.0
-           / CAST(e.n_exact AS DOUBLE)) AS BIGINT) AS err_micro
+       CAST(CASE WHEN e.n_exact = 0 THEN 0
+                 ELSE floor(abs(s.corrected - CAST(e.n_exact AS DOUBLE))
+                            * 1000000.0 / CAST(e.n_exact AS DOUBLE))
+            END AS BIGINT) AS err_micro
 FROM est s JOIN ex e ON e.event_type = s.event_type
 """)
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,8 +358,9 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"))
     joined = est.join(ex, "event_type")
-    err = F.floor(F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
-                  * 1000000.0 / F.col("n_exact").cast("double")).cast("long")
+    err = F.when(F.col("n_exact") == 0, 0).otherwise(
+        F.floor(F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+                * 1000000.0 / F.col("n_exact").cast("double"))).cast("long")
     return joined.select(
         "event_type",
         F.col("n_exact").cast("long").alias("n_exact"),
@@ -372,7 +399,7 @@ def hll_estimate(regs: DataFrame, key: str) -> DataFrame:
                      f" AS DOUBLE)")
     raws = agg.select(
         key,
-        (F.lit(float(_HLL_NUM)) / s_total).alias("raw"),
+        (F.lit(_HLL_NUM_F) / s_total).alias("raw"),
         (F.lit(_HLL_M) - F.col("n_buckets")).alias("v"))
     lc = F.array(*[F.lit(x) for x in _HLL_LC])
     return raws.select(

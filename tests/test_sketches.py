@@ -81,9 +81,18 @@ def test_cms_never_underestimates_and_is_tight(spark):
     for r in rows:
         assert r["cms_estimate"] >= r["n_exact"]
         assert r["overestimate"] == r["cms_estimate"] - r["n_exact"]
-    # top-k are in exact-count order with deterministic tiebreak
-    counts = sorted((r["n_exact"] for r in rows), reverse=True)
-    assert counts == sorted((r["n_exact"] for r in rows), reverse=True)
+    # the selected rows are genuinely the exact top-k: no token outside
+    # the selection has a higher exact count than the selection minimum
+    from demo_cdc_users_airline_spark.operators.text import tokens as _tokens
+    from pyspark.sql import functions as F
+    d = load_table(spark, SF, "documents")
+    full = (d.select(F.explode(_tokens("text")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    kth = min(r["n_exact"] for r in rows)
+    selected = {r["token"] for r in rows}
+    better = full.filter((F.col("n") > kth) & ~F.col("w").isin(selected))
+    assert better.count() == 0
     assert mass > 0
 
 
