@@ -40,6 +40,10 @@ _DRIVER_PRIORITY = [
     # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
+    "events_scd2_history",          # NEW in r5
+    "corpus_perplexity_buckets",    # NEW in r5
+    "corpus_stats_report",          # NEW in r5
+    "embedding_knn_classify",       # NEW in r5
     "corpus_decontaminate_bloom",   # NEW in r5
     "text_bpe_encode",              # NEW in r5
     "events_hll_distinct",          # NEW in r5

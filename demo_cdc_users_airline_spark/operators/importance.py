@@ -18,7 +18,7 @@ result (the repo's fixed-point rule; double sums are order-sensitive).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
@@ -38,8 +38,9 @@ def q(name: str, sql: str | None):
     return deco
 
 
-@q("score_unigram_logprob", """
-WITH t AS (
+# Shared unigram-LM CTE chain (prefixable — the perplexity-bucket oracle
+# extends it), mirrored exactly by _doc_logprob on the Spark side.
+_LM_CTES = """t AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
   FROM documents
 ),
@@ -53,15 +54,40 @@ term AS (
          )) AS BIGINT) AS lp_micro
   FROM tf JOIN cnt USING (w) CROSS JOIN corp
 ),
-agg AS (
+lm_agg AS (
   SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          CAST(sum(tf * lp_micro) AS BIGINT) AS logprob_micro_sum
   FROM term GROUP BY 1
-)
+)"""
+
+
+def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, logprob_micro_sum): the add-one-smoothed
+    unigram-LM document score — the Spark twin of ``_LM_CTES``."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(tokens("text")).alias("w")))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    corp = cnt.agg(F.sum("c").alias("total"),
+                   F.count(F.lit(1)).alias("vocab"))
+    term = (tf.join(cnt, "w")
+            .crossJoin(F.broadcast(corp))
+            .select("doc_id", "tf", F.expr(
+                "CAST(floor(1000000.0 * ln("
+                "CAST(c + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)"
+                ")) AS BIGINT)").alias("lp_micro")))
+    return (term.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
+                  .alias("logprob_micro_sum")))
+
+
+@q("score_unigram_logprob", f"""
+WITH {_LM_CTES}
 SELECT doc_id, n_tokens, logprob_micro_sum,
        CAST(logprob_micro_sum AS DOUBLE)
          / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS avg_logprob
-FROM agg
+FROM lm_agg
 """)
 def score_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: learn add-one-smoothed token
@@ -78,27 +104,73 @@ def score_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-token log-probs are floored to int64 micros before the per-doc
     sum, so the reduce is exact integer arithmetic at any parallelism.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = (d.select("doc_id", F.explode(tokens("text")).alias("w")))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    corp = cnt.agg(F.sum("c").alias("total"),
-                   F.count(F.lit(1)).alias("vocab"))
-    term = (tf.join(cnt, "w")
-            .crossJoin(F.broadcast(corp))
-            .select("doc_id", "tf", F.expr(
-                "CAST(floor(1000000.0 * ln("
-                "CAST(c + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)"
-                ")) AS BIGINT)").alias("lp_micro")))
-    agg = (term.groupBy("doc_id")
-           .agg(F.sum("tf").cast("long").alias("n_tokens"),
-                F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
-                 .alias("logprob_micro_sum")))
+    agg = _doc_logprob(spark, sf_dir)
     return agg.select(
         "doc_id", "n_tokens", "logprob_micro_sum",
         (F.col("logprob_micro_sum").cast("double")
          / (F.lit(1000000.0) * F.col("n_tokens").cast("double")))
         .alias("avg_logprob"))
+
+
+@q("corpus_perplexity_buckets", f"""
+WITH {_LM_CTES},
+scored AS (
+  SELECT d.doc_id, d.lang, a.n_tokens, a.logprob_micro_sum,
+         CAST(a.logprob_micro_sum AS DOUBLE)
+           / (1000000.0 * CAST(a.n_tokens AS DOUBLE)) AS avg_logprob
+  FROM documents d JOIN lm_agg a USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, logprob_micro_sum, avg_logprob,
+       CAST(rnk AS BIGINT) AS lang_rank,
+       CASE WHEN rnk * 3 <= n_lang THEN 'head'
+            WHEN rnk * 3 <= 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked
+""")
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    language's documents by LM score (here the corpus-learned unigram
+    LM standing in for CCNet's KenLM) and split the slice into
+    head / middle / tail terciles — the quality tiers CC-derived
+    pre-training corpora are filtered and mixed by.
+
+    Exactness: the score is the exact int64 micro sum divided once (one
+    IEEE rounding, identical on both engines); buckets come from integer
+    rank-vs-count comparisons (3·rank ≤ n), NOT from float thresholds,
+    so tercile edges are engine-stable; (score DESC, doc_id) totally
+    orders every language slice. Scale path: the LM chain (one exploded
+    token frame, co-partitioned tf⋈counts) reduces the corpus to one
+    doc-keyed row before the per-lang window — the window input is
+    doc-count-sized, and each language sorts independently (the skewed
+    'en' slice is one partition's sort, the known CCNet shape; at 100 TB
+    the rank can fall back to a 2-pass range-partitioned rank if a
+    single language outgrows an executor sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = _doc_logprob(spark, sf_dir)
+    scored = (d.select("doc_id", "lang").join(agg, "doc_id")
+              .withColumn("avg_logprob",
+                          F.col("logprob_micro_sum").cast("double")
+                          / (F.lit(1000000.0)
+                             * F.col("n_tokens").cast("double"))))
+    wl = Window.partitionBy("lang")
+    rnk = F.row_number().over(wl.orderBy(F.col("avg_logprob").desc(),
+                                         "doc_id"))
+    n_lang = F.count(F.lit(1)).over(wl)
+    return (scored
+            .withColumn("rnk", rnk).withColumn("n_lang", n_lang)
+            .select(
+                "doc_id", "lang", "n_tokens", "logprob_micro_sum",
+                "avg_logprob",
+                F.col("rnk").cast("long").alias("lang_rank"),
+                F.when(F.col("rnk") * 3 <= F.col("n_lang"), "head")
+                 .when(F.col("rnk") * 3 <= 2 * F.col("n_lang"), "middle")
+                 .otherwise("tail").alias("ppl_bucket")))
 
 
 # DSIR: hashed-unigram importance weights. Feature space = 256 hash

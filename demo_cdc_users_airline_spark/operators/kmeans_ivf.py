@@ -373,6 +373,133 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn"))
 
 
+# kNN label propagation over the learned IVF index: classify held-out
+# vectors by majority vote of their k nearest LABELED neighbors, with
+# the candidate scan restricted to the query's nprobe nearest cells.
+KNN_HOLDOUT_MOD = 23   # vec_id % 23 == 0 → the unlabeled holdout
+KNN_K = 5
+KNN_NPROBE = 2
+
+
+def _knn_classify_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    from .similarity import QUANT_SQL
+    return ("WITH " + _kmeans_ctes(k, iters) + f""",
+sq AS ({QUANT_SQL}),
+sqn AS (
+  SELECT vec_id, qv, list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM sq
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cid) <= {KNN_NPROBE}
+),
+knn AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM probe p
+  JOIN asgfin c ON c.cell = p.probe_cell
+               AND c.vec_id % {KNN_HOLDOUT_MOD} <> 0
+  JOIN sqn a ON a.vec_id = p.query_id
+  JOIN sqn b ON b.vec_id = c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {KNN_K}
+),
+votes AS (
+  SELECT n.query_id, e.label, count(*) AS n_votes, max(n.cosine) AS top_cos
+  FROM knn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes, top_cos FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, label) = 1
+)
+SELECT p.query_id, CAST(e.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       p.top_cos AS top_cosine,
+       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT)
+         AS is_correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id""")
+
+
+@q("embedding_knn_classify", _knn_classify_oracle_sql())
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation over the learned IVF index: every held-out
+    vector (vec_id % 23 == 0, its label masked) is classified by the
+    majority label of its 5 nearest labeled neighbors, searched only in
+    the query's 2 nearest learned cells — the semi-supervised labeling
+    pass of a training-data pipeline (propagate scarce human labels to
+    the unlabeled corpus), composed from the serving stack: codebook
+    train → probe-cell map → within-cell scan → bounded top-k → vote.
+
+    Scale path: probe expansion and assignment are broadcast-codebook
+    maps (zero shuffle); the candidate join touches nprobe/nlist of the
+    labeled table per query batch. Production labels in bounded query
+    batches (the serving pattern), so the broadcast side is the batch,
+    never "the unlabeled corpus"; past broadcast size the per-cell
+    GEMM tiling (int_pair_cosines) is the drop-in replacement for the
+    scan. Top-k is a per-query window over within-cell candidates; the
+    vote reduces k rows per query. Exactness: cosine is the
+    quantized-int64 dot (engine-exact, order-independent) with one
+    sqrt+divide; all ranks totally ordered — knn set by (cosine DESC,
+    neighbor_id), pred by (votes DESC, label)."""
+    from pyspark.sql import Window
+
+    labels = (load_table(spark, sf_dir, "embeddings")
+              .select("vec_id", F.col("label").cast("long").alias("label")))
+    centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
+    vq = _quantized_vectors(spark, sf_dir)
+    is_holdout = F.col("id") % KNN_HOLDOUT_MOD == 0
+    queries = (probe_cells(vq.filter(is_holdout), centroids,
+                           nprobe=KNN_NPROBE)
+               .select(F.col("id").alias("query_id"), "probe_cell",
+                       F.col("vec").alias("q_vec"))
+               .withColumn("q_nn", nn_of("q_vec")))
+    refs = (assign_cells(vq.filter(~is_holdout), centroids)
+            .select(F.col("id").alias("neighbor_id"),
+                    F.col("cell").alias("c_cell"),
+                    F.col("vec").alias("c_vec"))
+            .withColumn("c_nn", nn_of("c_vec")))
+    dot = F.expr("CAST(aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y),"
+                 " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
+    cand = (refs.join(F.broadcast(queries),
+                      F.col("c_cell") == F.col("probe_cell"))
+            .withColumn("cosine",
+                        dot / F.sqrt(F.col("q_nn") * F.col("c_nn"))))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("neighbor_id"))
+    knn = (cand.select("query_id", "neighbor_id", "cosine")
+           .withColumn("__rn", F.row_number().over(wk))
+           .filter(F.col("__rn") <= KNN_K))
+    votes = (knn.join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes"),
+                  F.max("cosine").alias("top_cos")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                                F.col("label"))
+    pred = (votes.withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") == 1))
+    return (pred.join(labels.withColumnRenamed("vec_id", "query_id")
+                      .withColumnRenamed("label", "true_label"), "query_id")
+            .select("query_id", "true_label",
+                    F.col("label").alias("pred_label"),
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    F.col("top_cos").alias("top_cosine"),
+                    F.when(F.col("label") == F.col("true_label"), 1)
+                     .otherwise(0).cast("long").alias("is_correct")))
+
+
+def nn_of(col: str):
+    """Exact int64 self-dot of a quantized vector, carried as double."""
+    return F.expr(f"CAST(aggregate(zip_with({col}, {col}, (x, y) -> x * y),"
+                  f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
+
+
 # SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
 # search for semantic duplicates only WITHIN each cluster — the cluster
 # structure turns the O(n²) all-pairs cosine scan into O(Σ n_cell²).

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
-from .text import _STOPWORDS
+from .text import _STOPWORDS, tokens
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -204,8 +204,6 @@ def corpus_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only, zero shuffle, partition-independent: the keep decision is
     an integer compare between a per-doc salted hash and an integer
     rate derived from integer check counts."""
-    from .text import tokens
-
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
@@ -227,3 +225,51 @@ def corpus_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.col("q_passed").cast("long").alias("q_passed"),
                     rate.cast("long").alias("keep_rate_bp")))
+
+
+@q("corpus_stats_report", r"""
+WITH base AS (
+  SELECT lang, source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang, source,
+       CAST(grouping(lang) AS BIGINT) AS g_lang,
+       CAST(grouping(source) AS BIGINT) AS g_source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_doc_tokens
+FROM base
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+""")
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics in ONE pass: document / token / char
+    masses at every reporting granularity a corpus datasheet needs —
+    per (lang, source) cell, per-lang and per-source marginals, and the
+    grand total — via GROUP BY GROUPING SETS (the general form
+    completing the ROLLUP family member, orders_rollup_summary).
+    grouping() indicator columns disambiguate marginal rows from
+    natural NULLs, keeping the cross-engine hash exact.
+
+    Scale path: GROUPING SETS compiles to a single Expand (×4 here) +
+    one partially-aggregatable hash aggregate — one shuffle whose
+    input is groups×levels partial rows, not one job per report level;
+    token counting stays inside the aggregate's map side.
+    avg_doc_tokens divides two exact int64s once."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("lang", "source",
+                    F.size(tokens("text")).cast("long").alias("n_toks"),
+                    "n_chars")
+    return (base.groupingSets([["lang", "source"], ["lang"], ["source"], []],
+                              "lang", "source")
+            .agg(F.grouping("lang").cast("long").alias("g_lang"),
+                 F.grouping("source").cast("long").alias("g_source"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"),
+                 F.sum("n_chars").cast("long").alias("n_chars"))
+            .select("lang", "source", "g_lang", "g_source", "n_docs",
+                    "n_tokens", "n_chars",
+                    (F.col("n_tokens").cast("double") / F.col("n_docs"))
+                    .alias("avg_doc_tokens")))

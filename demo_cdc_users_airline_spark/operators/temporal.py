@@ -478,3 +478,46 @@ def events_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_events").over(w).cast("double")
          / F.count(F.lit(1)).over(w)).alias("avg_events_7d"),
         F.sum("v").over(w).cast("double").alias("value_sum_7d")))
+
+
+@q("events_scd2_history", """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current,
+       epoch_us(lead(ts) OVER w) - epoch_us(ts) AS valid_micros
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history: each CDC change row
+    becomes a versioned validity interval — ``valid_from`` = its own
+    timestamp, ``valid_to`` = the key's next change (NULL while
+    current), plus a monotonically increasing per-key version. This is
+    the standard warehouse materialization downstream of the
+    reference's CDC stream (the ReplacingMergeTree keeps only the
+    latest row — `kits/users/pg` datasources; SCD2 is its full-history
+    dual, which ClickHouse users build from the same versioned stream).
+
+    Plan: ``row_number``/``lead`` share ONE (user_id; ts, event_id)
+    window sort, so each change row shuffles exactly once and the
+    operator carries no state beyond the frame — the interval
+    construction that a naive self-join ("next change per row") would
+    pay a second shuffle and a range probe for. Total order within key
+    via the (ts, event_id) tiebreak keeps version numbers deterministic
+    under equal timestamps. ``valid_micros`` derives from integer
+    epoch-micros (exact on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("valid_micros"))

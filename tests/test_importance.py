@@ -89,3 +89,33 @@ def test_mixture_temperature_flattens(spark):
     # flattening, not inversion: sampled ORDER still follows natural order
     sampled = [r["sampled_share"] for r in rows]
     assert sampled == sorted(sampled)
+
+
+def test_perplexity_buckets_tercile_structure(spark):
+    from demo_cdc_users_airline_spark.operators.importance import (
+        corpus_perplexity_buckets,
+    )
+
+    rows = corpus_perplexity_buckets(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").collect()
+    assert len(rows) == len(docs)              # every document bucketed
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r["ppl_bucket"]] += 1
+        # integer tercile edges: head = floor(n/3), head+middle = floor(2n/3)
+        assert counts["head"] == n // 3
+        assert counts["head"] + counts["middle"] == (2 * n) // 3
+        # ranks are a permutation of 1..n and ordered by score desc
+        rs.sort(key=lambda r: r["lang_rank"])
+        assert [r["lang_rank"] for r in rs] == list(range(1, n + 1))
+        scores = [(r["avg_logprob"], -r["doc_id"]) for r in rs]
+        assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+        # bucket boundaries respect the rank order
+        order = {"head": 0, "middle": 1, "tail": 2}
+        buckets = [order[r["ppl_bucket"]] for r in rs]
+        assert buckets == sorted(buckets)

@@ -57,3 +57,73 @@ def test_gate_query_shape(spark):
     assert 1 <= len(out) <= 8
     assert sum(r["n_vectors"] for r in out) == vectors_of(spark).count()
     assert all(r["total_sq_err_micro"] >= 0 for r in out)
+
+
+def test_knn_classify_structure(spark):
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        KNN_HOLDOUT_MOD,
+        KNN_K,
+        embedding_knn_classify,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    rows = embedding_knn_classify(spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings").collect()
+    holdout = {r["vec_id"] for r in emb if r["vec_id"] % KNN_HOLDOUT_MOD == 0}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    label_set = set(labels.values())
+    assert {r["query_id"] for r in rows} == holdout   # every holdout classified
+    for r in rows:
+        assert 1 <= r["n_votes"] <= KNN_K
+        assert r["pred_label"] in label_set
+        assert r["true_label"] == labels[r["query_id"]]
+        assert r["is_correct"] == int(r["pred_label"] == r["true_label"])
+        assert -1.0 <= r["top_cosine"] <= 1.0 + 1e-12
+
+
+def test_knn_classify_votes_match_bruteforce_in_probed_cells(spark):
+    """Replay the probe + vote driver-side from the building blocks."""
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        KNN_HOLDOUT_MOD,
+        KNN_K,
+        KNN_NPROBE,
+        _quantized_vectors,
+        assign_cells,
+        embedding_knn_classify,
+        fitted_codebook,
+        probe_cells,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+    import pyspark.sql.functions as F
+
+    got = {r["query_id"]: (r["pred_label"], r["n_votes"])
+           for r in embedding_knn_classify(spark, SF).collect()}
+    centroids = fitted_codebook(spark, SF, k=8, iters=3)
+    vq = _quantized_vectors(spark, SF)
+    hold = F.col("id") % KNN_HOLDOUT_MOD == 0
+    probes = {}
+    for r in probe_cells(vq.filter(hold), centroids, KNN_NPROBE).collect():
+        probes.setdefault(r["id"], set()).add(r["probe_cell"])
+    refs = [(r["id"], r["cell"], r["vec"])
+            for r in assign_cells(vq.filter(~hold), centroids).collect()]
+    qvecs = {r["id"]: r["vec"] for r in vq.filter(hold).collect()}
+    labels = {r["vec_id"]: r["label"]
+              for r in load_table(spark, SF, "embeddings").collect()}
+    import math
+
+    for qid, cells in probes.items():
+        qv = qvecs[qid]
+        qn = sum(x * x for x in qv)
+        cand = []
+        for rid, cell, rv in refs:
+            if cell in cells:
+                d = sum(x * y for x, y in zip(qv, rv))
+                rn = sum(x * x for x in rv)
+                cand.append((-(d / math.sqrt(float(qn) * rn)), rid))
+        cand.sort()
+        top = cand[:KNN_K]
+        votes = {}
+        for _, rid in top:
+            votes[labels[rid]] = votes.get(labels[rid], 0) + 1
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[qid] == (pred[0], pred[1])

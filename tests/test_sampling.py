@@ -166,3 +166,24 @@ def test_connected_components_random_graphs_property(spark):
                    for r in connected_components(
                        edf, ndf, local_finish_max_edges=lf).collect()}
             assert got == ref, (seed, lf)
+
+
+def test_stats_report_marginals_consistent(spark):
+    from demo_cdc_users_airline_spark.operators.sampling import corpus_stats_report
+
+    rows = corpus_stats_report(spark, SF).collect()
+    cells = [r for r in rows if r["g_lang"] == 0 and r["g_source"] == 0]
+    lang_m = {r["lang"]: r for r in rows if r["g_lang"] == 0 and r["g_source"] == 1}
+    src_m = {r["source"]: r for r in rows if r["g_lang"] == 1 and r["g_source"] == 0}
+    total = [r for r in rows if r["g_lang"] == 1 and r["g_source"] == 1]
+    assert len(total) == 1
+    assert len(rows) == len(cells) + len(lang_m) + len(src_m) + 1
+    for metric in ("n_docs", "n_tokens", "n_chars"):
+        cell_sum = sum(r[metric] for r in cells)
+        assert cell_sum == total[0][metric]
+        for lang, m in lang_m.items():
+            assert m[metric] == sum(r[metric] for r in cells if r["lang"] == lang)
+        for src, m in src_m.items():
+            assert m[metric] == sum(r[metric] for r in cells if r["source"] == src)
+    for r in rows:
+        assert r["avg_doc_tokens"] == r["n_tokens"] / r["n_docs"]

@@ -174,3 +174,42 @@ def test_funnel_is_monotone_on_gate_data(spark):
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)  # funnels only narrow
     assert rows[0]["conv_from_first"] == 1.0
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    from demo_cdc_users_airline_spark.operators.temporal import events_scd2_history
+
+    rows = events_scd2_history(spark, SF).collect()
+    events = load_table(spark, SF, "events").collect()
+    assert len(rows) == len(events)            # every change row versioned
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        # versions are contiguous 1..n
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        # exactly one open (current) interval per key, and it is the last
+        assert [r["is_current"] for r in hist] == [0] * (len(hist) - 1) + [1]
+        for prev, nxt in zip(hist, hist[1:]):
+            # intervals chain with no gaps or overlaps
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["valid_from"] <= prev["valid_to"]
+        assert hist[-1]["valid_to"] is None
+        assert hist[-1]["valid_micros"] is None
+
+
+def test_scd2_latest_matches_argmax_state(spark):
+    """The SCD2 current rows must equal the latest-per-key compaction."""
+    from demo_cdc_users_airline_spark.operators.temporal import events_scd2_history
+
+    cur = {r["user_id"]: r["event_id"]
+           for r in events_scd2_history(spark, SF).collect()
+           if r["is_current"] == 1}
+    events = load_table(spark, SF, "events").collect()
+    latest = {}
+    for e in events:
+        key = (e["ts"], e["event_id"])
+        if e["user_id"] not in latest or key > latest[e["user_id"]][0]:
+            latest[e["user_id"]] = (key, e["event_id"])
+    assert cur == {u: eid for u, ((_, _), eid) in latest.items()}
