@@ -17,9 +17,11 @@ state; use ``dropDuplicatesWithinWatermark`` instead when ingest-time
 re-sends are the only duplicate source and state must stay bounded).
 
 At 100 TB: state is hash-partitioned across executors with the same
-fingerprint shuffle the batch operator uses; RocksDB state backend
-keeps it off-heap; nothing ever shuffles document text — the
-fingerprint travels, the payload rides along only for kept rows.
+fingerprint shuffle the batch operator uses; the RocksDB state backend
+keeps it off-heap (exercised for real — semantics + restart parity on
+``RocksDBStateStoreProvider`` in tests/test_streaming_dedup.py);
+nothing ever shuffles document text — the fingerprint travels, the
+payload rides along only for kept rows.
 """
 
 from __future__ import annotations

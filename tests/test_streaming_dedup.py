@@ -59,3 +59,45 @@ def test_first_writer_wins_across_batches_and_restart(spark, tmp_path):
     rows2 = out.read().collect()
     assert len(rows2) == 5  # only "theta iota" was admitted
     assert sum(1 for r in rows2 if r["text"] == "epsilon") == 1
+
+
+def test_first_writer_wins_on_rocksdb_state_store(spark, tmp_path):
+    """Same pipeline, RocksDB state backend (the production state store
+    for corpus-sized fingerprint sets — off-heap, incremental
+    checkpoints): semantics must be identical to the default HDFS-backed
+    provider, and the checkpoint must really contain RocksDB state."""
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        out = AppendTable(spark, str(tmp_path / "kept"))
+        dedup = StreamingExactDedup(out_table=out)
+        write_docs(src / "a.json", [(1, "alpha beta"), (2, "gamma delta"),
+                                    (3, "gamma delta"), (4, "epsilon")])
+        write_docs(src / "b.json", [(11, "alpha beta"), (12, "zeta eta")])
+        run_once(spark, dedup, src, tmp_path / "ckpt")
+
+        rows = {r["text"]: r["doc_id"] for r in out.read().collect()}
+        assert rows == {"alpha beta": 1, "gamma delta": 2,
+                        "epsilon": 4, "zeta eta": 12}
+
+        # restart against the same RocksDB checkpoint: state survives
+        write_docs(src / "c.json", [(21, "epsilon"), (22, "theta iota")])
+        run_once(spark, dedup, src, tmp_path / "ckpt")
+        assert len(out.read().collect()) == 5
+
+        # the state directory holds RocksDB SST/changelog artifacts,
+        # proving the provider actually engaged
+        state = tmp_path / "ckpt" / "state"
+        files = [p.name for p in state.rglob("*") if p.is_file()]
+        assert any(n.endswith((".zip", ".sst", ".changelog")) or "rocksdb" in n.lower()
+                   for n in files), files
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
