@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
+    "corpus_source_scorecard",      # NEW in r5
+    "similarity_ann_recall",        # NEW in r5
     "events_scd2_history",          # NEW in r5
     "corpus_perplexity_buckets",    # NEW in r5
     "corpus_stats_report",          # NEW in r5

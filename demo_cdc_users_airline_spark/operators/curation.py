@@ -355,6 +355,43 @@ JOIN clusters cl USING (doc_id)
 """
 
 
+_VERDICT_MEMO: dict = {}
+
+
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document verdict frame, memoized per (session, dataset)
+    and cached: the pipeline query returns it, the source scorecard
+    aggregates it — one CC fixpoint run serves both (production
+    persists the verdict as a table downstream consumers read; the memo
+    is that artifact's in-session stand-in, like the kmeans codebook)."""
+    import os as _os
+
+    from ..sources.loader import _session_key
+
+    key = (_session_key(spark), _os.path.abspath(sf_dir))
+    if key in _VERDICT_MEMO:
+        return _VERDICT_MEMO[key]
+    quality = _tx.text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    exact = _dd.dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
+    clusters = _dd.dedup_cluster_labels(spark, sf_dir).select("doc_id", "is_canonical")
+    decon = corpus_decontaminate(spark, sf_dir).select("doc_id", "is_contaminated")
+    j = (decon.join(quality, "doc_id")
+         .join(exact, "doc_id")
+         .join(clusters, "doc_id"))
+    quality_pass = F.col("quality_score") >= _QUALITY_MIN
+    retained = (quality_pass & (F.col("is_dup") == 0)
+                & (F.col("is_canonical") == 1) & (F.col("is_contaminated") == 0))
+    out = j.select(
+        "doc_id",
+        F.when(quality_pass, 1).otherwise(0).cast("long").alias("quality_pass"),
+        (1 - F.col("is_dup")).cast("long").alias("exact_canonical"),
+        F.col("is_canonical").cast("long").alias("neardup_canonical"),
+        (1 - F.col("is_contaminated")).cast("long").alias("uncontaminated"),
+        F.when(retained, 1).otherwise(0).cast("long").alias("retained")).cache()
+    _VERDICT_MEMO[key] = out
+    return out
+
+
 @q("corpus_curation_pipeline", _curation_oracle_sql())
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline end-to-end: per training document (the
@@ -368,23 +405,64 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning — the joins shuffle 16-byte rows, and the heavy
     lifting happened inside the composed operators with their own
     documented layouts."""
-    quality = _tx.text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    exact = _dd.dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
-    clusters = _dd.dedup_cluster_labels(spark, sf_dir).select("doc_id", "is_canonical")
-    decon = corpus_decontaminate(spark, sf_dir).select("doc_id", "is_contaminated")
-    j = (decon.join(quality, "doc_id")
-         .join(exact, "doc_id")
-         .join(clusters, "doc_id"))
-    quality_pass = F.col("quality_score") >= _QUALITY_MIN
-    retained = (quality_pass & (F.col("is_dup") == 0)
-                & (F.col("is_canonical") == 1) & (F.col("is_contaminated") == 0))
-    return j.select(
-        "doc_id",
-        F.when(quality_pass, 1).otherwise(0).cast("long").alias("quality_pass"),
-        (1 - F.col("is_dup")).cast("long").alias("exact_canonical"),
-        F.col("is_canonical").cast("long").alias("neardup_canonical"),
-        (1 - F.col("is_contaminated")).cast("long").alias("uncontaminated"),
-        F.when(retained, 1).otherwise(0).cast("long").alias("retained"))
+    return curation_verdict(spark, sf_dir)
+
+
+@q("corpus_source_scorecard", f"""
+WITH verdict AS ({_curation_oracle_sql()})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(v.retained) AS BIGINT) AS n_retained,
+       CAST(sum(1 - v.quality_pass) AS BIGINT) AS n_quality_fail,
+       CAST(sum(1 - v.exact_canonical) AS BIGINT) AS n_exact_dup,
+       CAST(sum(1 - v.neardup_canonical) AS BIGINT) AS n_neardup_dup,
+       CAST(sum(1 - v.uncontaminated) AS BIGINT) AS n_contaminated,
+       CAST(sum(v.retained) * 1000000 // count(*) AS BIGINT) AS retained_ppm,
+       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total,
+       CAST(sum(CASE WHEN v.retained = 1 THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS n_chars_retained
+FROM verdict v JOIN documents d USING (doc_id)
+GROUP BY d.source
+""")
+def corpus_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation scorecard: how many of each crawl source's
+    training documents (benchmark slice excluded) fail quality, are
+    exact / near duplicates, are contaminated, and survive — plus the
+    char mass before/after. This is the report a data-pipeline operator
+    actually reads to decide which sources to keep, re-crawl, or
+    re-filter (the per-source accounting FineWeb/DCLM-style curation
+    publishes with every release).
+
+    Composes the SAME memoized verdict frame the pipeline query
+    returns (one CC fixpoint + one quality/dedup/decon pass per
+    session — production reads the persisted verdict table), joins the
+    doc-keyed source/chars columns, and reduces to a source-count-sized
+    frame in one combinable aggregate. retained_ppm is an exact integer
+    ratio (×1e6, floor-div), engine-identical."""
+    v = curation_verdict(spark, sf_dir)
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "source", "n_chars"))
+    agg = (v.join(d, "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("retained").cast("long").alias("n_retained"),
+                F.sum(1 - F.col("quality_pass")).cast("long")
+                 .alias("n_quality_fail"),
+                F.sum(1 - F.col("exact_canonical")).cast("long")
+                 .alias("n_exact_dup"),
+                F.sum(1 - F.col("neardup_canonical")).cast("long")
+                 .alias("n_neardup_dup"),
+                F.sum(1 - F.col("uncontaminated")).cast("long")
+                 .alias("n_contaminated"),
+                F.sum("n_chars").cast("long").alias("n_chars_total"),
+                F.sum(F.when(F.col("retained") == 1, F.col("n_chars"))
+                      .otherwise(0)).cast("long").alias("n_chars_retained")))
+    return agg.select(
+        "source", "n_docs", "n_retained", "n_quality_fail", "n_exact_dup",
+        "n_neardup_dup", "n_contaminated",
+        F.expr("CAST(n_retained * 1000000 DIV n_docs AS BIGINT)")
+        .alias("retained_ppm"),
+        "n_chars_total", "n_chars_retained")
 
 
 # ---------------------------------------------------------------------------

@@ -373,6 +373,94 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn"))
 
 
+# ANN index-quality evaluation: recall@k of the learned-IVF nprobe
+# search against the exact brute-force ground truth, per query — the
+# metric every production ANN deployment tracks to tune nlist/nprobe.
+RECALL_K = 3
+
+
+def _ann_recall_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
+                           topk: int = RECALL_K) -> str:
+    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    return ("WITH " + _kmeans_ctes(k, iters) + f""",
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
+),
+approx AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probe p
+  JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {topk}
+),
+brute AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY cosine DESC, b.vec_id) <= {topk}
+),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM brute b JOIN approx x USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST({topk} AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {topk} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits h USING (query_id)""")
+
+
+@q("similarity_ann_recall", _ann_recall_oracle_sql())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality report: per probe query, recall@3 of the
+    learned-IVF nprobe=2 search against the exact brute-force top-3 —
+    the evaluation loop that closes the index lifecycle
+    (train → assign → probe → MEASURE), and the number a production
+    deployment watches when tuning nlist/nprobe. Composes the two
+    catalog search operators verbatim, so both keep their own oracles.
+
+    The comparison is on neighbor-ID SETS (both sides totally ordered
+    by (cosine DESC, neighbor_id), exact doubles → identical sets on
+    both engines); n_hits is an integer and recall divides it once.
+    Scale path: inherits each side's documented layout — brute scans
+    candidates once against the broadcast bounded query set, IVF
+    probes nprobe/nlist of the data; the hit join is queries×k rows."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("neighbor_id"))
+    brute = (similarity_topk_brute_ref()(spark, sf_dir)
+             .withColumn("__rn", F.row_number().over(wq))
+             .filter(F.col("__rn") <= RECALL_K)
+             .select("query_id", "neighbor_id"))
+    approx = (similarity_topk_ivf_nprobe(spark, sf_dir)
+              .select("query_id", "neighbor_id"))
+    hits = (brute.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    qs = brute.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.lit(RECALL_K).cast("long").alias("k"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double")
+                     / F.lit(float(RECALL_K))).alias("recall_at_k")))
+
+
+def similarity_topk_brute_ref():
+    from .similarity import similarity_topk_brute
+    return similarity_topk_brute
+
+
 # kNN label propagation over the learned IVF index: classify held-out
 # vectors by majority vote of their k nearest LABELED neighbors, with
 # the candidate scan restricted to the query's nprobe nearest cells.

@@ -100,3 +100,36 @@ def test_curation_verdict_is_conjunction(spark):
     for r in rows:
         assert r["retained"] == (r["quality_pass"] & r["exact_canonical"]
                                  & r["neardup_canonical"] & r["uncontaminated"])
+
+
+def test_source_scorecard_matches_verdict_rollup(spark):
+    from demo_cdc_users_airline_spark.operators.curation import (
+        corpus_curation_pipeline,
+        corpus_source_scorecard,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    verdict = {r["doc_id"]: r for r in corpus_curation_pipeline(spark, SF).collect()}
+    docs = {r["doc_id"]: r for r in load_table(spark, SF, "documents").collect()}
+    got = {r["source"]: r for r in corpus_source_scorecard(spark, SF).collect()}
+    exp = {}
+    for doc_id, v in verdict.items():
+        d = docs[doc_id]
+        s = exp.setdefault(d["source"], dict(
+            n_docs=0, n_retained=0, n_quality_fail=0, n_exact_dup=0,
+            n_neardup_dup=0, n_contaminated=0, n_chars_total=0,
+            n_chars_retained=0))
+        s["n_docs"] += 1
+        s["n_retained"] += v["retained"]
+        s["n_quality_fail"] += 1 - v["quality_pass"]
+        s["n_exact_dup"] += 1 - v["exact_canonical"]
+        s["n_neardup_dup"] += 1 - v["neardup_canonical"]
+        s["n_contaminated"] += 1 - v["uncontaminated"]
+        s["n_chars_total"] += d["n_chars"]
+        s["n_chars_retained"] += d["n_chars"] if v["retained"] else 0
+    assert set(got) == set(exp)
+    for src, e in exp.items():
+        g = got[src]
+        for k, v in e.items():
+            assert g[k] == v, (src, k)
+        assert g["retained_ppm"] == e["n_retained"] * 1_000_000 // e["n_docs"]

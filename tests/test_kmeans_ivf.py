@@ -127,3 +127,32 @@ def test_knn_classify_votes_match_bruteforce_in_probed_cells(spark):
             votes[labels[rid]] = votes.get(labels[rid], 0) + 1
         pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[qid] == (pred[0], pred[1])
+
+
+def test_ann_recall_consistent_with_search_operators(spark):
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        RECALL_K,
+        similarity_ann_recall,
+        similarity_topk_ivf_nprobe,
+    )
+    from demo_cdc_users_airline_spark.operators.similarity import (
+        similarity_topk_brute,
+    )
+
+    got = {r["query_id"]: r for r in similarity_ann_recall(spark, SF).collect()}
+    brute = {}
+    for r in similarity_topk_brute(spark, SF).collect():
+        brute.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["neighbor_id"]))
+    approx = {}
+    for r in similarity_topk_ivf_nprobe(spark, SF).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(brute)
+    for qid, cand in brute.items():
+        cand.sort()
+        truth = {nid for _, nid in cand[:RECALL_K]}
+        hits = len(truth & approx.get(qid, set()))
+        assert got[qid]["n_hits"] == hits
+        assert got[qid]["k"] == RECALL_K
+        assert got[qid]["recall_at_k"] == hits / RECALL_K
+        assert 0.0 <= got[qid]["recall_at_k"] <= 1.0
