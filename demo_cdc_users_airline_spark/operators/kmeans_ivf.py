@@ -436,9 +436,11 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes nprobe/nlist of the data; the hit join is queries×k rows."""
     from pyspark.sql import Window
 
+    from .similarity import similarity_topk_brute
+
     wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                 F.col("neighbor_id"))
-    brute = (similarity_topk_brute_ref()(spark, sf_dir)
+    brute = (similarity_topk_brute(spark, sf_dir)
              .withColumn("__rn", F.row_number().over(wq))
              .filter(F.col("__rn") <= RECALL_K)
              .select("query_id", "neighbor_id"))
@@ -456,17 +458,18 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.lit(float(RECALL_K))).alias("recall_at_k")))
 
 
-def similarity_topk_brute_ref():
-    from .similarity import similarity_topk_brute
-    return similarity_topk_brute
-
-
 # kNN label propagation over the learned IVF index: classify held-out
 # vectors by majority vote of their k nearest LABELED neighbors, with
 # the candidate scan restricted to the query's nprobe nearest cells.
 KNN_HOLDOUT_MOD = 23   # vec_id % 23 == 0 → the unlabeled holdout
 KNN_K = 5
 KNN_NPROBE = 2
+
+
+def nn_of(col: str):
+    """Exact int64 self-dot of a quantized vector, carried as double."""
+    return F.expr(f"CAST(aggregate(zip_with({col}, {col}, (x, y) -> x * y),"
+                  f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
 
 
 def _knn_classify_oracle_sql(k: int = 8, iters: int = 3) -> str:
@@ -580,12 +583,6 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("top_cos").alias("top_cosine"),
                     F.when(F.col("label") == F.col("true_label"), 1)
                      .otherwise(0).cast("long").alias("is_correct")))
-
-
-def nn_of(col: str):
-    """Exact int64 self-dot of a quantized vector, carried as double."""
-    return F.expr(f"CAST(aggregate(zip_with({col}, {col}, (x, y) -> x * y),"
-                  f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)")
 
 
 # SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then

@@ -54,6 +54,38 @@ _CMS_W = 1024               # cells per row (ε = e/w ≈ 0.27% of mass)
 _CMS_TOPK = 20
 
 
+def cms_token_hashes(docs: DataFrame) -> DataFrame:
+    """(w, h): one 60-bit md5 per token occurrence — the shared
+    tokenize+hash transform of the batch sketch and its streaming twin
+    (streaming/frequency.py), so both count in the identical cell
+    space."""
+    from .text import tokens as _tokens
+
+    return (docs.select(F.explode(_tokens("text")).alias("w"))
+            .filter(F.length("w") > 0)
+            .select("w", F.expr("CAST(conv(substring(md5(w), 1, 15), 16, 10)"
+                                " AS BIGINT)").alias("h")))
+
+
+def cms_probe_cells(col: str = "h"):
+    """The d probe (j, cell) structs for a bound hash column — disjoint
+    15-bit slices mod w (see the operator docstring for why one md5
+    supplies all rows)."""
+    return F.array(
+        *[F.struct(F.lit(j).alias("j"),
+                   F.expr(f"({col} >> {15 * j}) & {_CMS_W - 1}")
+                   .alias("cell"))
+          for j in range(_CMS_D)])
+
+
+def cms_cell_counts(tw: DataFrame) -> DataFrame:
+    """(j, cell, c): the d×w counter table for a (w, h) token frame —
+    partial-aggregatable (≤ d·w rows per map partition on the wire)."""
+    cells = (tw.select(F.explode(cms_probe_cells()).alias("jc"))
+             .select("jc.j", "jc.cell"))
+    return cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+
 @q("corpus_token_cms_topk", f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -105,28 +137,13 @@ def corpus_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k (the grading branch) is one token groupBy +
     TakeOrdered; the estimate probe joins k rows against the broadcast
     {_CMS_D * _CMS_W}-row counter table."""
-    from .text import tokens as _tokens
-
     d = load_table(spark, sf_dir, "documents")
-    tw = (d.select(F.explode(_tokens("text")).alias("w"))
-          .filter(F.length("w") > 0)
-          .select("w", F.expr("CAST(conv(substring(md5(w), 1, 15), 16, 10)"
-                              " AS BIGINT)").alias("h"))
-          .cache())
-    cells = (tw.select(F.explode(F.array(
-                 *[F.struct(F.lit(j).alias("j"),
-                            F.expr(f"(h >> {15 * j}) & {_CMS_W - 1}")
-                            .alias("cell"))
-                   for j in range(_CMS_D)])).alias("jc"))
-             .select("jc.j", "jc.cell"))
-    cms = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+    tw = cms_token_hashes(d).cache()
+    cms = cms_cell_counts(tw)
     top = (tw.groupBy("w", "h").agg(F.count(F.lit(1)).alias("n_exact"))
            .orderBy(F.col("n_exact").desc(), "w").limit(_CMS_TOPK))
-    probes = (top.select("w", "n_exact", F.explode(F.array(
-                  *[F.struct(F.lit(j).alias("j"),
-                             F.expr(f"(h >> {15 * j}) & {_CMS_W - 1}")
-                             .alias("cell"))
-                    for j in range(_CMS_D)])).alias("jc"))
+    probes = (top.select("w", "n_exact",
+                         F.explode(cms_probe_cells()).alias("jc"))
               .select("w", "n_exact", "jc.j", "jc.cell"))
     est = (probes.join(F.broadcast(cms), ["j", "cell"])
            .groupBy("w", "n_exact").agg(F.min("c").alias("cms_estimate")))

@@ -176,6 +176,14 @@ def main() -> int:
         # hashed-tf kmeans: one shuffle per Lloyd iteration, 64-int
         # payload per doc regardless of vocab size
         ("corpus_topic_clusters", build_scaled_documents),
+        # CCNet perplexity terciles: the LM chain reduces to one
+        # doc-keyed row before the per-lang rank window — flat rows/s =
+        # the window input stays doc-count-sized as the corpus grows
+        ("corpus_perplexity_buckets", build_scaled_documents),
+        # SCD2 intervals: row_number+lead share ONE keyed window sort;
+        # key cardinality grows with the data (shifted user_ids), so
+        # flat rows/s = the single exchange carries the scale-up
+        ("events_scd2_history", build_scaled),
     ]
     llm_rows = []
     for name, builder in llm_probes:
