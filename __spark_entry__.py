@@ -40,8 +40,11 @@ _DRIVER_PRIORITY = [
     # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
+    "events_type_pivot",            # NEW in r5
     "corpus_source_scorecard",      # NEW in r5
     "similarity_ann_recall",        # NEW in r5
+    "score_unigram_logprob",        # refactored in r5 (shared LM chain)
+    "corpus_sample_by_quality",     # touched in r5 (import hoist)
     "events_scd2_history",          # NEW in r5
     "corpus_perplexity_buckets",    # NEW in r5
     "corpus_stats_report",          # NEW in r5

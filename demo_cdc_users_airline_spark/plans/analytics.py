@@ -981,3 +981,45 @@ def orders_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.grouping("o_orderstatus").cast("long").alias("g_status"))
             .select("o_orderpriority", "o_orderstatus", "g_priority",
                     "g_status", "n_orders", "total_price"))
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q("events_type_pivot", f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+                  f" AS n_{t}" for t in _PIVOT_TYPES)},
+       {" + ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}')"
+                   f" AS BIGINT)" for t in _PIVOT_TYPES)} AS n_profiled
+FROM events GROUP BY user_id
+""")
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-entity activity profile via the relational PIVOT: one
+    row per user with a count column per event type — the
+    feature-table shape (one entity row, one column per behavior)
+    that activation dashboards and feature stores consume.
+
+    Spark's ``groupBy().pivot(values).agg`` with an EXPLICIT value list
+    compiles to a single Expand-free hash aggregate of conditional
+    counts (exactly the FILTER-clause formulation the oracle uses) —
+    one combinable shuffle, no second pass to discover the pivot
+    domain. An implicit pivot (no value list) would add a
+    collect-distinct job and make the output schema data-dependent —
+    both wrong at 100 TB, so the explicit list is the only form
+    offered. Integer counts end to end; absent cells coalesce to 0;
+    ``n_profiled`` sums the listed columns on BOTH sides (a plain
+    count(*) would silently diverge if an unlisted type appeared)."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", _PIVOT_TYPES)
+            .agg(F.count(F.lit(1))))
+    n_total = None
+    for t in _PIVOT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        n_total = c if n_total is None else n_total + c
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _PIVOT_TYPES],
+        n_total.cast("long").alias("n_profiled"))
