@@ -41,6 +41,8 @@ _DRIVER_PRIORITY = [
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
     "events_type_pivot",            # NEW in r5
+    "events_type_hour_cube",        # NEW in r5
+    "dedup_cluster_keep_best",      # NEW in r5
     "corpus_source_scorecard",      # NEW in r5
     "similarity_ann_recall",        # NEW in r5
     "score_unigram_logprob",        # refactored in r5 (shared LM chain)

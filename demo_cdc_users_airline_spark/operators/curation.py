@@ -465,6 +465,53 @@ def corpus_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_total", "n_chars_retained")
 
 
+@q("dedup_cluster_keep_best", f"""
+WITH labels AS ({_dd._cluster_oracle_sql()}),
+quality AS ({_tx.ORACLE["text_quality_score"]}),
+ranked AS (
+  SELECT l.doc_id, l.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+  FROM labels l JOIN quality q USING (doc_id)
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, quality_score,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept_best
+FROM ranked
+""")
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup canonicalization: within each near-dup
+    cluster, survive the member with the highest quality score (min
+    doc_id breaks exact ties) — the production alternative to
+    min-id canonical (dedup_cluster_labels): when near-duplicates
+    differ (truncation, boilerplate variants), a pipeline keeps the
+    best copy, not an arbitrary one (the FineWeb/RefinedWeb policy).
+
+    Composes the memoized cluster-label frame (one CC fixpoint per
+    session) with the map-only quality scores; the policy itself is a
+    doc_id-keyed join + one cluster-keyed window over doc-count-sized
+    rows. Determinism: quality_score is a ratio of exact integers
+    (identical doubles both engines), and (score DESC, doc_id) totally
+    orders every cluster."""
+    labels = _dd.dedup_cluster_labels(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    quality = _tx.text_quality_score(spark, sf_dir) \
+        .select("doc_id", "quality_score")
+    j = labels.join(quality, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    rn = F.row_number().over(
+        wc.orderBy(F.col("quality_score").desc(), "doc_id"))
+    return (j.withColumn("rn", rn)
+            .withColumn("n_members", F.count(F.lit(1)).over(wc))
+            .select("doc_id",
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    "quality_score",
+                    F.col("n_members").cast("long").alias("n_members"),
+                    F.when(F.col("rn") == 1, 1).otherwise(0).cast("long")
+                    .alias("is_kept_best")))
+
+
 # ---------------------------------------------------------------------------
 # eval-side n-gram coverage (the reverse direction of decontamination)
 # ---------------------------------------------------------------------------

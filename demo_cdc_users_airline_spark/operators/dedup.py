@@ -815,6 +815,9 @@ SELECT doc_id, min(r) AS cluster_id,
 FROM reach GROUP BY doc_id"""
 
 
+_LABELS_MEMO: dict = {}
+
+
 @q("dedup_cluster_labels", _cluster_oracle_sql())
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final dedup stage: near-dup PAIRS (simhash banded Hamming)
@@ -830,7 +833,19 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singleton documents join in once at the end (label = themselves).
     Exact integer mins ⇒ engine-identical to the oracle's recursive
     reachability CTE.
-    """
+
+    The label frame is memoized per (session, dataset) and cached: the
+    CC fixpoint runs eagerly at build time, so every downstream
+    consumer (curation verdict, keep-best policy) reuses ONE run — the
+    in-session stand-in for the persisted cluster-label table a
+    production dedup pipeline writes once and reads everywhere."""
+    import os as _os
+
+    from ..sources.loader import _session_key
+
+    key = (_session_key(spark), _os.path.abspath(sf_dir))
+    if key in _LABELS_MEMO:
+        return _LABELS_MEMO[key]
     edges = (dedup_simhash_pairs(spark, sf_dir)
              .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
     # label universe = sig, as in the oracle; dedup_simhash builds the
@@ -838,10 +853,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager serves it from memory rather than recomputing
     nodes = dedup_simhash(spark, sf_dir).select("doc_id")
     labels = connected_components(edges, nodes)
-    return labels.select(
+    out = labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
-        .cast("long").alias("is_canonical"))
+        .cast("long").alias("is_canonical")).cache()
+    _LABELS_MEMO[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

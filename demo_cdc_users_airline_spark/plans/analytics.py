@@ -1023,3 +1023,36 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
           for t in _PIVOT_TYPES],
         n_total.cast("long").alias("n_profiled"))
+
+
+@q("events_type_hour_cube", """
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hr,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(hour(ts)) AS BIGINT) AS g_hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+""")
+def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heat-map aggregation via GROUP BY CUBE: event counts
+    and decimal-exact value mass per (type, hour-of-day) cell, both
+    one-dimensional marginals, and the grand total — completing the
+    multi-level-aggregation family (ROLLUP: orders_rollup_summary,
+    GROUPING SETS: corpus_stats_report; CUBE is GROUPING SETS over the
+    full power set). grouping() indicators disambiguate marginal rows.
+
+    Scale path: one Expand (×4) + one partially-aggregatable hash
+    exchange for all four levels — key space types × 24 cells, so the
+    combine collapses each map partition to ≤ 4·|cells| rows
+    regardless of event volume."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_type", F.hour("ts").alias("hr"), "value"))
+    return (e.cube("event_type", "hr")
+            .agg(F.grouping("event_type").cast("long").alias("g_type"),
+                 F.grouping("hr").cast("long").alias("g_hour"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 dec_sum("value").alias("total_value"))
+            .select("event_type", F.col("hr").cast("long").alias("hr"),
+                    "g_type", "g_hour", "n_events", "total_value"))

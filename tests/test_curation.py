@@ -133,3 +133,24 @@ def test_source_scorecard_matches_verdict_rollup(spark):
         for k, v in e.items():
             assert g[k] == v, (src, k)
         assert g["retained_ppm"] == e["n_retained"] * 1_000_000 // e["n_docs"]
+
+
+def test_keep_best_policy_per_cluster(spark):
+    from demo_cdc_users_airline_spark.operators.curation import (
+        dedup_cluster_keep_best,
+    )
+
+    rows = dedup_cluster_keep_best(spark, SF).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_kept_best"] == 1]
+        assert len(keepers) == 1                     # exactly one survivor
+        k = keepers[0]
+        assert len(members) == k["n_members"]
+        best = max(members,
+                   key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]         # highest quality wins
+        assert all(k["quality_score"] >= r["quality_score"]
+                   for r in members)

@@ -213,3 +213,54 @@ def test_scd2_latest_matches_argmax_state(spark):
         if e["user_id"] not in latest or key > latest[e["user_id"]][0]:
             latest[e["user_id"]] = (key, e["event_id"])
     assert cur == {u: eid for u, ((_, _), eid) in latest.items()}
+
+
+def test_scd2_property_random_streams(spark):
+    """Hypothesis: for ANY event stream, SCD2 intervals equal a serial
+    Python replay (versions by (ts, id) order, valid_to = successor)."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),              # user
+                  st.integers(0, 5),              # coarse ts (collisions!)
+                  st.integers(0, 99)),            # event id
+        min_size=1, max_size=40, unique_by=lambda t: t[2]))
+    def run(rows):
+        df = spark.createDataFrame(
+            [(u, 1_700_000_000 + t * 60, e) for u, t, e in rows],
+            "user_id long, epoch long, event_id long"
+        ).select("user_id", F.timestamp_seconds("epoch").alias("ts"),
+                 "event_id", F.lit("t").alias("event_type"),
+                 F.lit(0.0).alias("value"))
+        # run the operator's window construction on the in-memory frame
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        got = {(r["user_id"], r["event_id"]): (r["version"], r["valid_to"])
+               for r in df.select(
+                   "user_id", "event_id",
+                   F.row_number().over(w).cast("long").alias("version"),
+                   nxt.alias("valid_to")).collect()}
+        # serial replay
+        by_user = {}
+        ts_of = {}
+        for u, t, e in rows:
+            by_user.setdefault(u, []).append((t, e))
+        for u, evs in by_user.items():
+            evs.sort()
+            for i, (t, e) in enumerate(evs):
+                v_expected = i + 1
+                nxt_t = evs[i + 1][0] if i + 1 < len(evs) else None
+                version, valid_to = got[(u, e)]
+                assert version == v_expected
+                # compare in epoch seconds to avoid tz ambiguity
+                exp_sec = (None if nxt_t is None
+                           else 1_700_000_000 + nxt_t * 60)
+                got_sec = (None if valid_to is None
+                           else int(valid_to.timestamp()))
+                assert got_sec == exp_sec
+
+    run()
