@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
     # memoization, BPE lit() binding, percentile NULLS LAST) — their
     # driver rows must certify the SHIPPING code.
+    "score_bigram_logprob",         # NEW in r5
+    "corpus_source_divergence",     # NEW in r5
     "events_type_pivot",            # NEW in r5
     "events_type_hour_cube",        # NEW in r5
     "dedup_cluster_keep_best",      # NEW in r5

@@ -338,3 +338,172 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     natural.alias("natural_share"),
                     sampled.alias("sampled_share"),
                     (sampled / natural).alias("repeat_factor")))
+
+
+@q("score_bigram_logprob", """
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toksrc, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+),
+term AS (
+  SELECT b.doc_id, b.tf,
+         CAST(floor(1000000.0 * ln(
+           CAST(c2.c + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE)
+         )) AS BIGINT) AS lp_micro
+  FROM btf b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * lp_micro) AS BIGINT) AS logprob_micro_sum
+  FROM term GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.logprob_micro_sum, 0) AS BIGINT)
+         AS logprob_micro_sum,
+       CASE WHEN a.n_bigrams IS NULL THEN NULL
+            ELSE CAST(a.logprob_micro_sum AS DOUBLE)
+                 / (1000000.0 * CAST(a.n_bigrams AS DOUBLE)) END
+         AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: add-one-smoothed conditional
+    probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) learned from the
+    corpus, scoring each document by its average bigram
+    log-probability — one Markov order above score_unigram_logprob and
+    a materially sharper fluency signal (word-salad scores far below
+    real prose under a bigram model while fooling a unigram one).
+
+    Scale path: the in-row index transform emits consecutive pairs
+    without a self-join (the duplicate-spans pattern); ONE exploded
+    bigram frame feeds the per-doc tf AND both count tables; the
+    scoring join is co-partitioned on the bigram key and the unigram
+    context join on w1; V rides a broadcast scalar. Exactness: per-pair
+    log-probs floor to int64 micros before any cross-row sum (the
+    repo's fixed-point rule); single-token docs surface with zero
+    bigrams via the left join, NULL average on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toksrc = d.select("doc_id", tokens("text").alias("toks"))
+    bg = (toksrc.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
+        .select("doc_id", "b.w1", "b.w2"))
+    btf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (d.select(F.explode(tokens("text")).alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    term = (btf.join(c2, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", "tf", F.expr(
+                "CAST(floor(1000000.0 * ln("
+                "CAST(c + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)"
+                ")) AS BIGINT)").alias("lp_micro")))
+    agg = (term.groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
+                 .alias("logprob_micro_sum")))
+    return (d.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                .alias("n_bigrams"),
+                F.coalesce("logprob_micro_sum", F.lit(0)).cast("long")
+                .alias("logprob_micro_sum"),
+                F.when(F.col("n_bigrams").isNull(), F.lit(None).cast("double"))
+                 .otherwise(F.col("logprob_micro_sum").cast("double")
+                            / (F.lit(1000000.0)
+                               * F.col("n_bigrams").cast("double")))
+                .alias("avg_logprob")))
+
+
+@q("corpus_source_divergence", f"""
+WITH t AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT source, {_salted_hash_sql("dsir_", "w")} % {DSIR_BUCKETS} AS b
+  FROM t
+),
+sb AS (SELECT source, b, count(*) AS cs FROM feat GROUP BY 1, 2),
+gb AS (SELECT b, sum(cs) AS cc FROM sb GROUP BY 1),
+st AS (SELECT source, sum(cs) AS ts FROM sb GROUP BY 1),
+gt AS (SELECT sum(cc) AS tc FROM gb),
+term AS (
+  SELECT s.source, s.cs,
+         CAST(floor(1000000.0 * (
+           ln(CAST(s.cs + 1 AS DOUBLE) / CAST(st.ts + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(g.cc + 1 AS DOUBLE) / CAST(gt.tc + {DSIR_BUCKETS} AS DOUBLE))
+         )) AS BIGINT) AS lr_micro
+  FROM sb s JOIN gb g USING (b) JOIN st USING (source) CROSS JOIN gt
+)
+SELECT source,
+       CAST(sum(cs) AS BIGINT) AS n_tokens,
+       CAST(sum(cs * lr_micro) AS BIGINT) AS kl_micro_sum,
+       CAST(sum(cs * lr_micro) AS DOUBLE)
+         / (1000000.0 * CAST(sum(cs) AS DOUBLE)) AS kl_nats
+FROM term GROUP BY source
+""")
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source ‖ corpus) over the
+    256-bucket hashed-unigram feature space — the corpus-mix diagnostic
+    that flags which crawl sources deviate from the pool (spam farms,
+    wrong-language slices, template sites score high; conforming
+    sources near zero). Complements the scorecard's per-source
+    retention accounting with a DISTRIBUTIONAL health signal, on the
+    same reproducible feature hash as DSIR.
+
+    Construction: the empirical source distribution weights add-one-
+    smoothed log-ratios — Σ_b (c_b/T) · [ln p̂_src(b) − ln p̂_corpus(b)];
+    zero-count buckets contribute exactly zero. Scale path: ONE
+    exploded pass reduces to (source × 256) rows; every later frame is
+    sources×256 or smaller, the global distribution derives from the
+    per-source one (no second corpus scan), totals ride broadcast
+    scalars. Exactness: the DSIR pattern — each bucket's log-ratio is
+    the DIFFERENCE of two ratio-lns (each argument a ratio of int64s,
+    bit-identical both engines), floored to int64 micros before the
+    weighted sum."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = (d.select("source", F.explode(tokens("text")).alias("w"))
+            .select("source",
+                    (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)
+                    .alias("b")))
+    sb = feat.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cs"))
+    gb = sb.groupBy("b").agg(F.sum("cs").alias("cc"))
+    st = sb.groupBy("source").agg(F.sum("cs").alias("ts"))
+    gt = gb.agg(F.sum("cc").alias("tc"))
+    term = (sb.join(F.broadcast(gb), "b")
+            .join(F.broadcast(st), "source")
+            .crossJoin(F.broadcast(gt))
+            .select("source", "cs", F.expr(
+                f"CAST(floor(1000000.0 * ("
+                f"ln(CAST(cs + 1 AS DOUBLE) / CAST(ts + {DSIR_BUCKETS} AS DOUBLE))"
+                f" - ln(CAST(cc + 1 AS DOUBLE) / CAST(tc + {DSIR_BUCKETS} AS DOUBLE))"
+                f")) AS BIGINT)").alias("lr_micro")))
+    return (term.groupBy("source")
+            .agg(F.sum("cs").cast("long").alias("n_tokens"),
+                 F.sum(F.col("cs") * F.col("lr_micro")).cast("long")
+                 .alias("kl_micro_sum"))
+            .select("source", "n_tokens", "kl_micro_sum",
+                    (F.col("kl_micro_sum").cast("double")
+                     / (F.lit(1000000.0)
+                        * F.col("n_tokens").cast("double")))
+                    .alias("kl_nats")))

@@ -119,3 +119,85 @@ def test_perplexity_buckets_tercile_structure(spark):
         order = {"head": 0, "middle": 1, "tail": 2}
         buckets = [order[r["ppl_bucket"]] for r in rs]
         assert buckets == sorted(buckets)
+
+
+def _py_tokens(text):
+    import re
+
+    return [w for w in re.split(r"\s+", text.lower().strip()) if w != ""] \
+        if text.strip() else [""]
+
+
+def test_bigram_logprob_python_replay(spark):
+    """Exact integer replay of the bigram LM on the gate corpus."""
+    import math
+
+    from demo_cdc_users_airline_spark.operators.importance import (
+        score_bigram_logprob,
+    )
+
+    got = {r["doc_id"]: r for r in score_bigram_logprob(spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, SF, "documents").collect()}
+    c2, c1, vocab = {}, {}, set()
+    bigrams = {}
+    for doc_id, text in docs.items():
+        toks = _py_tokens(text)
+        vocab.update(toks)
+        bg = list(zip(toks, toks[1:]))
+        bigrams[doc_id] = bg
+        for p in bg:
+            c2[p] = c2.get(p, 0) + 1
+            c1[p[0]] = c1.get(p[0], 0) + 1
+    V = len(vocab)
+    for doc_id, bg in bigrams.items():
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(bg)
+        expect = sum(
+            math.floor(1_000_000.0 * math.log((c2[p] + 1) / (c1[p[0]] + V)))
+            for p in bg)
+        assert r["logprob_micro_sum"] == expect
+        if len(bg) == 0:
+            assert r["avg_logprob"] is None
+
+
+def test_source_divergence_python_replay(spark):
+    """Exact integer replay of the per-source KL over hashed buckets."""
+    import hashlib
+    import math
+
+    from demo_cdc_users_airline_spark.operators.importance import (
+        DSIR_BUCKETS,
+        corpus_source_divergence,
+    )
+
+    got = {r["source"]: r
+           for r in corpus_source_divergence(spark, SF).collect()}
+    rows = load_table(spark, SF, "documents").collect()
+
+    def bucket(w):
+        return int(hashlib.md5(("dsir_" + w).encode()).hexdigest()[:8],
+                   16) % DSIR_BUCKETS
+
+    sb = {}
+    for r in rows:
+        for w in _py_tokens(r["text"]):
+            key = (r["source"], bucket(w))
+            sb[key] = sb.get(key, 0) + 1
+    gb, st = {}, {}
+    for (src, b), c in sb.items():
+        gb[b] = gb.get(b, 0) + c
+        st[src] = st.get(src, 0) + c
+    tc = sum(gb.values())
+    assert set(got) == set(st)
+    for src, r in got.items():
+        assert r["n_tokens"] == st[src]
+        expect = 0
+        for (s, b), cs in sb.items():
+            if s != src:
+                continue
+            lr = math.floor(1_000_000.0 * (
+                math.log((cs + 1) / (st[src] + DSIR_BUCKETS))
+                - math.log((gb[b] + 1) / (tc + DSIR_BUCKETS))))
+            expect += cs * lr
+        assert r["kl_micro_sum"] == expect
