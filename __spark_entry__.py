@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     # driver rows must certify the SHIPPING code.
     "score_bigram_logprob",         # NEW in r5
     "corpus_source_divergence",     # NEW in r5
+    "corpus_curriculum_order",      # NEW in r5
     "events_type_pivot",            # NEW in r5
     "events_type_hour_cube",        # NEW in r5
     "dedup_cluster_keep_best",      # NEW in r5
@@ -91,10 +92,10 @@ _DRIVER_PRIORITY = [
     "similarity_kmeans_ivf",
     "similarity_topk_ivf_learned",
     "similarity_topk_ivf_nprobe",
-    "multimodal_decode_pipeline",
-    "corpus_vocabulary",
-    "dataset_sample_split",
-    "events_asof_last_purchase",
+    # dropped from the 50-slot window (r03-verified, unchanged since —
+    # their old driver rows still certify the shipping code):
+    # multimodal_decode_pipeline, corpus_vocabulary,
+    # dataset_sample_split, events_asof_last_purchase
 ]
 
 

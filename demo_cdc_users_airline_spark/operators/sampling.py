@@ -273,3 +273,85 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_tokens", "n_chars",
                     (F.col("n_tokens").cast("double") / F.col("n_docs"))
                     .alias("avg_doc_tokens")))
+
+
+_CURRICULUM_STAGES = 4
+
+
+def _curriculum_oracle_sql() -> str:
+    from .text import ORACLE as _TX_ORACLE
+
+    return f"""
+WITH q AS ({_TX_ORACLE["text_quality_score"]}),
+ranked AS (
+  SELECT doc_id, quality_score, n_tokens,
+         row_number() OVER (ORDER BY quality_score DESC, n_tokens, doc_id)
+           AS curriculum_rank,
+         count(*) OVER () AS n
+  FROM q
+)
+SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+       CAST(least((curriculum_rank - 1) * {_CURRICULUM_STAGES} // n,
+                  {_CURRICULUM_STAGES - 1}) AS BIGINT) AS stage
+FROM ranked
+"""
+
+
+@q("corpus_curriculum_order", _curriculum_oracle_sql())
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL training sequence over the corpus —
+    cleanest-and-shortest documents first (quality DESC, length ASC,
+    doc_id) — plus the integer training stage each document lands in.
+
+    The point is HOW the global rank is computed. The oracle's
+    partition-less ``row_number() OVER (ORDER BY ...)`` would move the
+    whole corpus through ONE task — the straggler the repo's plan
+    invariants reject. The scalable recipe is the two-pass
+    range-partitioned rank promised in corpus_perplexity_buckets'
+    docstring: (1) ``repartitionByRange`` + ``sortWithinPartitions``
+    on the full ordering key — each partition holds a contiguous,
+    internally-sorted slice; (2) ``monotonically_increasing_id``
+    (partition_id·2³³ + row-in-partition, assigned in sorted task
+    order — no window at all) yields in-partition offsets, and a
+    #partitions-row count aggregate (collected — bounded by the
+    partition count, not the data) supplies each slice's global base.
+    Global rank = base[pid] + local + 1. The rank is invariant to
+    WHERE the range sampler happens to place boundaries: moving a row
+    between adjacent slices changes (pid, local) but never
+    base + local, because the key is totally ordered. Stage edges are
+    integer arithmetic on exact ranks."""
+    from .text import with_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = (with_quality_score(d)
+              .select("doc_id", "quality_score",
+                      F.col("n_tokens").cast("long").alias("n_tokens")))
+    order = [F.col("quality_score").desc(), F.col("n_tokens").asc(),
+             F.col("doc_id").asc()]
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    sliced = (scored.repartitionByRange(n_parts, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("__mid", F.monotonically_increasing_id())
+              .withColumn("__pid", F.expr("shiftright(__mid, 33)"))
+              .withColumn("__row", F.col("__mid") % F.lit(1 << 33)))
+    # pass 2: per-slice sizes -> global base offsets (bounded by the
+    # partition count; the one driver round-trip of the recipe)
+    sizes = {r["__pid"]: r["c"] for r in
+             sliced.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    base, acc = {}, 0
+    for pid in sorted(sizes):
+        base[pid] = acc
+        acc += sizes[pid]
+    n_total = acc
+    base_map = F.create_map(
+        *[F.lit(x) for pid in sorted(base) for x in (pid, base[pid])])
+    rank = (base_map[F.col("__pid")] + F.col("__row") + 1).cast("long")
+    return (sliced
+            .withColumn("curriculum_rank", rank)
+            .select("doc_id", "quality_score", "n_tokens", "curriculum_rank",
+                    F.expr(f"CAST(least((curriculum_rank - 1)"
+                           f" * {_CURRICULUM_STAGES} DIV {n_total},"
+                           f" {_CURRICULUM_STAGES - 1}) AS BIGINT)")
+                    .alias("stage")))

@@ -187,3 +187,25 @@ def test_stats_report_marginals_consistent(spark):
             assert m[metric] == sum(r[metric] for r in cells if r["source"] == src)
     for r in rows:
         assert r["avg_doc_tokens"] == r["n_tokens"] / r["n_docs"]
+
+
+def test_curriculum_order_matches_global_sort(spark):
+    from demo_cdc_users_airline_spark.operators.sampling import (
+        _CURRICULUM_STAGES,
+        corpus_curriculum_order,
+    )
+
+    rows = corpus_curriculum_order(spark, SF).collect()
+    # global rank == driver-side sort of the same keys (total order)
+    order = sorted(rows, key=lambda r: (-r["quality_score"], r["n_tokens"],
+                                        r["doc_id"]))
+    n = len(rows)
+    assert sorted(r["curriculum_rank"] for r in rows) == list(range(1, n + 1))
+    for i, r in enumerate(order):
+        assert r["curriculum_rank"] == i + 1
+        assert r["stage"] == min(i * _CURRICULUM_STAGES // n,
+                                 _CURRICULUM_STAGES - 1)
+    # stages are contiguous, monotone along the rank order
+    stages = [r["stage"] for r in order]
+    assert stages == sorted(stages)
+    assert set(stages) == set(range(_CURRICULUM_STAGES))
