@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "score_bigram_logprob",         # NEW in r5
     "corpus_source_divergence",     # NEW in r5
     "corpus_curriculum_order",      # NEW in r5
+    "text_lang_id_confusion",       # NEW in r5
     "events_type_pivot",            # NEW in r5
     "events_type_hour_cube",        # NEW in r5
     "dedup_cluster_keep_best",      # NEW in r5

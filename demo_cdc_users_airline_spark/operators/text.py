@@ -608,3 +608,51 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii_redaction(d.select("doc_id", "text")).select(
         "doc_id", "n_emails", "n_ips", "n_phones", "redacted_text",
         "n_pii", "has_pii")
+
+
+def _lang_confusion_oracle_sql() -> str:
+    return f"""
+WITH preds AS ({ORACLE["text_lang_id"]}),
+cells AS (
+  SELECT actual_lang, pred_lang, count(*) AS n_docs
+  FROM preds GROUP BY 1, 2
+),
+rows_t AS (
+  SELECT actual_lang, sum(n_docs) AS row_total FROM cells GROUP BY 1
+)
+SELECT c.actual_lang, c.pred_lang,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(r.row_total AS BIGINT) AS row_total,
+       CAST(c.n_docs * 1000000 // r.row_total AS BIGINT) AS cell_ppm,
+       CAST(CASE WHEN c.actual_lang = c.pred_lang THEN 1 ELSE 0 END
+            AS BIGINT) AS is_diagonal
+FROM cells c JOIN rows_t r USING (actual_lang)
+"""
+
+
+@q("text_lang_id_confusion", _lang_confusion_oracle_sql())
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: per (labeled, predicted) pair, the
+    document count, the labeled row's total, the cell's share in exact
+    ppm, and a diagonal flag — the accuracy report that grades the
+    classifier against the labeled corpus (the evaluation-harness
+    completion for lang-ID, as similarity_ann_recall grades the ANN
+    index and the sketch reports grade their estimators; diagonal
+    cell_ppm IS per-language recall).
+
+    Composes text_lang_id verbatim, then reduces to a langs×langs
+    frame in one combinable aggregate; the row-total join runs on that
+    tiny frame. Integer counts and a floor-div ppm — engine-exact."""
+    preds = text_lang_id(spark, sf_dir).select("actual_lang", "pred_lang")
+    cells = (preds.groupBy("actual_lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    rows_t = cells.groupBy("actual_lang").agg(
+        F.sum("n_docs").alias("row_total"))
+    return (cells.join(rows_t, "actual_lang")
+            .select("actual_lang", "pred_lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("row_total").cast("long").alias("row_total"),
+                    F.expr("CAST(n_docs * 1000000 DIV row_total AS BIGINT)")
+                    .alias("cell_ppm"),
+                    F.when(F.col("actual_lang") == F.col("pred_lang"), 1)
+                     .otherwise(0).cast("long").alias("is_diagonal")))
