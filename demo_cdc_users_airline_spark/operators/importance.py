@@ -486,7 +486,12 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source",
                     (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)
                     .alias("b")))
-    sb = feat.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cs"))
+    # cache the (source × 256)-row distribution table: four consumers
+    # (global dist, per-source totals, grand total, scoring) would each
+    # re-run the corpus explode+aggregate otherwise — one corpus pass,
+    # then everything derives from this bounded artifact
+    sb = (feat.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cs"))
+          .cache())
     gb = sb.groupBy("b").agg(F.sum("cs").alias("cc"))
     st = sb.groupBy("source").agg(F.sum("cs").alias("ts"))
     gt = gb.agg(F.sum("cc").alias("tc"))

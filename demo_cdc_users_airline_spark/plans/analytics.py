@@ -1000,16 +1000,17 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-table shape (one entity row, one column per behavior)
     that activation dashboards and feature stores consume.
 
-    Spark's ``groupBy().pivot(values).agg`` with an EXPLICIT value list
-    compiles to a single Expand-free hash aggregate of conditional
-    counts (exactly the FILTER-clause formulation the oracle uses) —
-    one combinable shuffle, no second pass to discover the pivot
-    domain. An implicit pivot (no value list) would add a
-    collect-distinct job and make the output schema data-dependent —
-    both wrong at 100 TB, so the explicit list is the only form
-    offered. Integer counts end to end; absent cells coalesce to 0;
-    ``n_profiled`` sums the listed columns on BOTH sides (a plain
-    count(*) would silently diverge if an unlisted type appeared)."""
+    Spark's ``groupBy().pivot(values).agg`` with an EXPLICIT value
+    list plans the standard two-phase pivot: a combinable
+    (user, type) aggregate collapses raw events map-side, then the
+    pivot aggregate regroups the already-aggregated ≤ users×types
+    rows — the second exchange never carries event-sized data. An
+    implicit pivot (no value list) would add a collect-distinct job
+    and make the output schema data-dependent — both wrong at 100 TB,
+    so the explicit list is the only form offered. Integer counts end
+    to end; absent cells coalesce to 0; ``n_profiled`` sums the
+    listed columns on BOTH sides (a plain count(*) would silently
+    diverge if an unlisted type appeared)."""
     e = load_table(spark, sf_dir, "events")
     wide = (e.groupBy("user_id")
             .pivot("event_type", _PIVOT_TYPES)
