@@ -330,11 +330,19 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("quality_score").desc(), F.col("n_tokens").asc(),
              F.col("doc_id").asc()]
     n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    # localCheckpoint PINS one materialization of the range exchange:
+    # the size collect (action 1) and the final read (action 2) must
+    # see the SAME partition contents, and repartitionByRange samples
+    # its boundaries — recomputing it per action could legally place
+    # boundary-adjacent rows differently between the two actions,
+    # de-syncing base offsets from pids. Truncating the lineage makes a
+    # silent recompute impossible (a lost block fails loudly instead).
     sliced = (scored.repartitionByRange(n_parts, *order)
               .sortWithinPartitions(*order)
               .withColumn("__mid", F.monotonically_increasing_id())
               .withColumn("__pid", F.expr("shiftright(__mid, 33)"))
-              .withColumn("__row", F.col("__mid") % F.lit(1 << 33)))
+              .withColumn("__row", F.col("__mid") % F.lit(1 << 33))
+              .localCheckpoint(eager=True))
     # pass 2: per-slice sizes -> global base offsets (bounded by the
     # partition count; the one driver round-trip of the recipe)
     sizes = {r["__pid"]: r["c"] for r in

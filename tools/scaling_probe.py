@@ -184,6 +184,19 @@ def main() -> int:
         # key cardinality grows with the data (shifted user_ids), so
         # flat rows/s = the single exchange carries the scale-up
         ("events_scd2_history", build_scaled),
+        # bigram LM: pair vocab grows with the corpus (disjoint token
+        # spaces per copy) — flat rows/s = the co-partitioned
+        # bigram⋈count joins stay proportional to the corpus
+        ("score_bigram_logprob", build_scaled_documents),
+        # 2-pass global rank: range exchange + in-partition ids + a
+        # #partitions-row collect — flat rows/s = no single-task sort
+        # emerges as the corpus grows (the partition-less-window
+        # failure mode this recipe exists to avoid)
+        ("corpus_curriculum_order", build_scaled_documents),
+        # per-source KL: one corpus pass to the cached (source×256)
+        # table; everything after is bounded — flat rows/s = the
+        # reduce dominates and scales with the scan
+        ("corpus_source_divergence", build_scaled_documents),
     ]
     llm_rows = []
     for name, builder in llm_probes:
