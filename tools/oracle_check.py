@@ -6,6 +6,11 @@ row count, column names, and order-insensitive values (exact — floats
 must be bit-identical, which the engine guarantees via decimal sums).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+
+Partition-independence sweep: set SPARK_GRAFT_CHECK_CPUS /
+SPARK_GRAFT_CHECK_SHUFFLE to hostile values (odd, small) and re-run —
+every hash must be identical at ANY parallelism, which is what the
+decimal-sum / int64-micro / total-order rules exist to guarantee.
 """
 
 from __future__ import annotations
@@ -74,7 +79,11 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CHECK_CPUS", "0") or 0) or None
+    shuf = int(os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "0") or 0) or None
+    spark = get_spark("oracle_check", cpus=cpus, shuffle_partitions=shuf)
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
