@@ -129,6 +129,27 @@ def fitted_codebook(spark: SparkSession, sf_dir: str,
         lambda: kmeans_fit(_quantized_vectors(spark, sf_dir), k=k, iters=iters))
 
 
+def save_codebook(spark: SparkSession, path: str,
+                  centroids: list[tuple[int, list[int]]]) -> None:
+    """Persist a trained codebook as a (cid, cvec) parquet table — the
+    actual production artifact lifecycle the fitted_codebook memo
+    stands in for: train once, write the k-row table, every later job
+    (probes, encoders, other sessions) loads it instead of retraining.
+    Quantized int64 components round-trip losslessly."""
+    (spark.createDataFrame(
+        [(int(cid), [int(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<bigint>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_codebook(spark: SparkSession,
+                  path: str) -> list[tuple[int, list[int]]]:
+    """Load a persisted codebook; inverse of save_codebook (cid order
+    restored, so assignment tiebreaks are identical to the fresh fit)."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return [(int(r["cid"]), [int(x) for x in r["cvec"]]) for r in rows]
+
+
 def _kmeans_ctes(k: int = 8, iters: int = 3, dims_sql: str | None = None,
                  ids_sql: str = "SELECT vec_id FROM embeddings") -> str:
     """The deterministic Lloyd run unrolled into DuckDB CTEs, ending at

@@ -156,3 +156,25 @@ def test_ann_recall_consistent_with_search_operators(spark):
         assert got[qid]["k"] == RECALL_K
         assert got[qid]["recall_at_k"] == hits / RECALL_K
         assert 0.0 <= got[qid]["recall_at_k"] <= 1.0
+
+
+def test_codebook_roundtrip_preserves_assignments(spark, tmp_path):
+    """Persisted codebook == in-session artifact: assignments (and so
+    every downstream probe) are identical from a reloaded table."""
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _quantized_vectors,
+        assign_cells,
+        fitted_codebook,
+        load_codebook,
+        save_codebook,
+    )
+
+    cb = fitted_codebook(spark, SF, k=8, iters=3)
+    path = str(tmp_path / "codebook")
+    save_codebook(spark, path, cb)
+    cb2 = load_codebook(spark, path)
+    assert cb2 == [(int(c), [int(x) for x in v]) for c, v in cb]
+    vq = _quantized_vectors(spark, SF)
+    a = {r["id"]: r["cell"] for r in assign_cells(vq, cb).collect()}
+    b = {r["id"]: r["cell"] for r in assign_cells(vq, cb2).collect()}
+    assert a == b
