@@ -38,11 +38,23 @@ from ..sources.tables import AppendTable
 @dataclass
 class StreamingAttributionJoin:
     """clicks stream ⋈ purchases stream → append-only edge table of
-    in-window attribution pairs."""
+    in-window attribution pairs.
+
+    ``join_type="left_outer"`` additionally emits every UNCONVERTED
+    click exactly once (NULL purchase columns) — but only after the
+    purchase-side watermark proves no match can still arrive, i.e. an
+    outer row for a click at t appears once the watermark passes
+    t + window (+ delay). Inner matches still emit eagerly; only the
+    null rows wait. That deferred emission is the Structured Streaming
+    outer-join contract: correctness requires waiting out the window,
+    so a conversion-rate dashboard reads complete data exactly
+    watermark-delay behind real time — the honest latency/completeness
+    trade, made explicit."""
 
     out_table: AppendTable
     attribution_window: str = "1 hour"
     watermark_delay: str = "10 minutes"
+    join_type: str = "inner"
 
     def plan(self, clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         """Shared by the stream and its batch-parity twin: the same
@@ -59,7 +71,7 @@ class StreamingAttributionJoin:
             f"c.user_id = p.user_id AND"
             f" p.purchase_ts >= c.click_ts AND"
             f" p.purchase_ts <= c.click_ts + INTERVAL {self.attribution_window}")
-        return (c.alias("c").join(p.alias("p"), cond, "inner")
+        return (c.alias("c").join(p.alias("p"), cond, self.join_type)
                 .select(F.col("c.user_id").alias("user_id"),
                         "click_id", "click_ts",
                         "purchase_id", "purchase_ts",

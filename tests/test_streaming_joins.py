@@ -95,3 +95,43 @@ def test_streamed_edges_match_batch_join_and_restart(spark, tmp_path):
     assert edges(aj.out_table) == exp_all
     assert any(c == 101 and p == 502 for _, c, p, _ in exp_all)  # cross-run
     assert len(exp_all) > len(exp_a)
+
+
+def test_left_outer_emits_unconverted_clicks_after_watermark(spark, tmp_path):
+    """Outer rows (click, NULL purchase) may only appear once the
+    purchase watermark proves the window closed — and then exactly
+    once."""
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+    aj = StreamingAttributionJoin(
+        out_table=AppendTable(spark, str(tmp_path / "edges")),
+        join_type="left_outer")
+
+    # user 10's click 900 never converts; user 9's click 901 does
+    write_rows(clicks_dir / "a.json", [(10, 900, 0), (9, 901, 5)])
+    write_rows(purch_dir / "a.json", [(9, 700, 20)])
+    run_once(spark, aj, clicks_dir, purch_dir, tmp_path / "ckpt")
+
+    first = edges(aj.out_table)
+    # the in-window inner match emits eagerly
+    assert any(c == 901 and p == 700 for _, c, p, _ in first)
+    # click 900's fate is still open (watermark hasn't passed 0+60+10)
+    assert not any(c == 900 and p is None for _, c, p, _ in first)
+
+    # advance the watermark far past every open window on both sides
+    write_rows(clicks_dir / "b.json", [(8, 902, 500)])
+    write_rows(purch_dir / "b.json", [(8, 701, 500)])
+    run_once(spark, aj, clicks_dir, purch_dir, tmp_path / "ckpt")
+    # one more cycle: outer rows flush on the trigger AFTER the
+    # watermark update takes effect
+    write_rows(purch_dir / "c.json", [(7, 702, 501)])
+    run_once(spark, aj, clicks_dir, purch_dir, tmp_path / "ckpt")
+
+    final = edges(aj.out_table)
+    outer_900 = [(u, c, p, l) for u, c, p, l in final
+                 if c == 900 and p is None]
+    assert len(outer_900) == 1          # exactly one NULL-purchase row
+    assert outer_900[0][3] is None      # no lag for an unconverted click
+    # converted clicks never get a spurious outer row
+    assert not any(c == 901 and p is None for _, c, p, _ in final)
