@@ -7,7 +7,11 @@ driver checks, in dependency order, failing fast.
    reliance on get_spark confs — the driver uses its own session)
 4. bench smoke at sf0.01 (validates the one-line JSON contract)
 
-Usage: python tools/verify_all.py [--fast]   (--fast skips pytest)
+Usage: python tools/verify_all.py [--fast] [--sweep]
+  --fast   skip pytest
+  --sweep  ALSO re-run the oracle gate at hostile parallelism
+           (5 cpus / 7 shuffle partitions) to prove every hash is
+           partition-independent
 """
 
 from __future__ import annotations
@@ -55,6 +59,13 @@ def main() -> int:
     if not fast:
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q", "-x"])
     run("oracle gate (sf0.01)", [sys.executable, "tools/oracle_check.py"])
+    if "--sweep" in sys.argv:
+        # partition-independence: same gate at hostile parallelism —
+        # every hash must be invariant to cpu/shuffle-partition counts
+        run("oracle gate @ 5 cpus / 7 shuffle partitions",
+            [sys.executable, "tools/oracle_check.py"],
+            env={"SPARK_GRAFT_CHECK_CPUS": "5",
+                 "SPARK_GRAFT_CHECK_SHUFFLE": "7"})
     run("vanilla driver contract", [sys.executable, "-c", VANILLA_SIM])
     out = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, capture_output=True, text=True,
