@@ -58,6 +58,26 @@ class StreamingExactDedup:
                     "fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
                 .dropDuplicates(["fingerprint"]))
 
+    @staticmethod
+    def plan_with_ttl(docs: DataFrame, ts_col: str,
+                      ttl_delay: str) -> DataFrame:
+        """Bounded-state variant: ``dropDuplicatesWithinWatermark`` —
+        the identity set forgets a fingerprint once the event-time
+        watermark moves ``ttl_delay`` past its last sighting, so state
+        is O(traffic within the TTL), not O(all fingerprints ever).
+
+        This is the right mode when ingest-time RE-SENDS are the only
+        duplicate source (at-least-once upstream delivery): a re-send
+        arrives within seconds-to-minutes of the original, so a short
+        TTL absorbs it, while a legitimately re-published document far
+        later is admitted AGAIN (by design — it is new content to a
+        bounded-memory pipeline). The unbounded ``plan`` remains the
+        corpus-identity mode."""
+        return (docs.withColumn(
+                    "fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
+                .withWatermark(ts_col, ttl_delay)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):
         writer = (self.plan(docs).writeStream

@@ -101,3 +101,65 @@ def test_first_writer_wins_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_ttl_dedup_absorbs_resends_then_forgets(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a re-send
+    inside the TTL is dropped; the same content far past the TTL is
+    admitted again (bounded state forgets — by design)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("epoch", T.LongType())])
+    t0 = 1_700_000_000
+
+    def write(path, rows):
+        path.write_text("\n".join(
+            _json.dumps({"doc_id": i, "text": t, "epoch": t0 + m * 60})
+            for i, t, m in rows) + "\n")
+
+    def src(directory):
+        return (spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 1)
+                .load(str(directory))
+                .select(F.from_json(F.col("value"), schema).alias("j"))
+                .select("j.doc_id", "j.text",
+                        F.timestamp_seconds("j.epoch").alias("ts")))
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    out = AppendTable(spark, str(tmp_path / "kept"))
+
+    def sink(df, bid):
+        out.append_idempotent(df, bid)
+
+    def run():
+        q = (StreamingExactDedup.plan_with_ttl(src(src_dir), "ts",
+                                               "10 minutes")
+             .writeStream.outputMode("append")
+             .foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # original + in-TTL re-send (dropped), then far-future re-publish
+    # of the same text after the watermark evicted its fingerprint
+    write(src_dir / "a.json", [(1, "alpha beta", 0)])
+    write(src_dir / "b.json", [(2, "alpha beta", 5), (3, "gamma", 6)])
+    run()
+    docs = [r["doc_id"] for r in out.read().collect()]
+    assert sorted(docs) == [1, 3]          # re-send 2 absorbed
+
+    # advance event time far past TTL (own run, so the watermark
+    # update commits), then re-publish the same text
+    write(src_dir / "c.json", [(4, "unrelated", 600)])
+    run()
+    write(src_dir / "d.json", [(5, "alpha beta", 601)])
+    run()
+    docs = sorted(r["doc_id"] for r in out.read().collect())
+    assert 5 in docs                       # state forgot -> re-admitted
+    assert docs == [1, 3, 4, 5]
