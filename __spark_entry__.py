@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "corpus_source_divergence",     # NEW in r5
     "corpus_curriculum_order",      # NEW in r5
     "text_lang_id_confusion",       # NEW in r5
+    "events_activity_streaks",      # NEW in r5
     "events_type_pivot",            # NEW in r5
     "events_type_hour_cube",        # NEW in r5
     "dedup_cluster_keep_best",      # NEW in r5
@@ -92,11 +93,11 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     "similarity_kmeans_ivf",
     "similarity_topk_ivf_learned",
-    "similarity_topk_ivf_nprobe",
     # dropped from the 50-slot window (r03-verified, unchanged since —
     # their old driver rows still certify the shipping code):
     # multimodal_decode_pipeline, corpus_vocabulary,
-    # dataset_sample_split, events_asof_last_purchase
+    # dataset_sample_split, events_asof_last_purchase,
+    # similarity_topk_ivf_nprobe
 ]
 
 

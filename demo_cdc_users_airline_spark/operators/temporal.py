@@ -521,3 +521,76 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
         (F.unix_micros(nxt) - F.unix_micros("ts")).alias("valid_micros"))
+
+
+@q("events_activity_streaks", """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, count(*) AS len, min(d) AS start_d
+  FROM isl GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(max(len) AS BIGINT) AS longest_streak,
+         CAST(sum(len) AS BIGINT) AS active_days
+  FROM runs GROUP BY 1
+),
+first_longest AS (
+  SELECT r.user_id, min(r.start_d) AS fs
+  FROM runs r JOIN agg a ON a.user_id = r.user_id
+                        AND r.len = a.longest_streak
+  GROUP BY 1
+)
+SELECT a.user_id, a.n_streaks, a.longest_streak, a.active_days,
+       CAST(f.fs AS BIGINT) AS longest_streak_start_day
+FROM agg a JOIN first_longest f USING (user_id)
+""")
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks per user — the islands-and-gaps pattern: on the
+    distinct (user, active-day) frame, ``day − row_number`` is constant
+    exactly along a consecutive-day run, so one grouped count per
+    (user, constant) yields every streak; per user we report streak
+    count, the longest streak, total active days, and the first day of
+    the (earliest) longest streak — the retention/engagement KPI shape
+    (login streaks) warehouses compute daily.
+
+    Plan: ``repartition(user_id)`` → ``dropDuplicates([user_id, day])``
+    → per-user window rides ONE exchange (HashPartitioning(user_id)
+    satisfies clustering for the superset dedup key and the window —
+    the repo's documented one-exchange shape); everything after the
+    distinct runs on active-day-sized data. Integer day numbers and
+    counts end to end — engine-exact, no timezone arithmetic beyond
+    the shared UTC date_trunc."""
+    e = load_table(spark, sf_dir, "events")
+    days = (e.select("user_id",
+                     F.datediff(F.date_trunc("day", F.col("ts")),
+                                F.lit("1970-01-01")).alias("d"))
+            .repartition("user_id")
+            .dropDuplicates(["user_id", "d"]))
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = (isl.groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).alias("len"),
+                 F.min("d").alias("start_d")))
+    agg = (runs.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                F.max("len").cast("long").alias("longest_streak"),
+                F.sum("len").cast("long").alias("active_days")))
+    first_longest = (runs.join(agg, "user_id")
+                     .filter(F.col("len") == F.col("longest_streak"))
+                     .groupBy("user_id")
+                     .agg(F.min("start_d").cast("long")
+                          .alias("longest_streak_start_day")))
+    return (agg.join(first_longest, "user_id")
+            .select("user_id", "n_streaks", "longest_streak",
+                    "active_days", "longest_streak_start_day"))
