@@ -355,7 +355,9 @@ JOIN clusters cl USING (doc_id)
 """
 
 
-_VERDICT_MEMO: dict = {}
+from ..sources.loader import register_memo as _register_memo
+
+_VERDICT_MEMO: dict = _register_memo({})
 
 
 def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -815,7 +815,9 @@ SELECT doc_id, min(r) AS cluster_id,
 FROM reach GROUP BY doc_id"""
 
 
-_LABELS_MEMO: dict = {}
+from ..sources.loader import register_memo as _register_memo
+
+_LABELS_MEMO: dict = _register_memo({})
 
 
 @q("dedup_cluster_labels", _cluster_oracle_sql())

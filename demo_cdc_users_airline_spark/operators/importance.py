@@ -401,7 +401,9 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toksrc = d.select("doc_id", tokens("text").alias("toks"))
     bg = (toksrc.select("doc_id", F.explode(F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        "transform(CASE WHEN size(toks) >= 2"
+        " THEN sequence(1, size(toks) - 1)"
+        " ELSE array() END,"
         " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
         .select("doc_id", "b.w1", "b.w2"))
     btf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))

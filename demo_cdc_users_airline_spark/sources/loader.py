@@ -40,6 +40,42 @@ def _nanos_columns(path: str) -> set[str]:
 
 _df_cache: dict[tuple, DataFrame] = {}
 
+# Session-keyed memo dicts registered by operator modules (curation
+# verdict, dedup cluster labels, …).  They hold cached DataFrames per
+# (session, dataset) for the life of the driver by design — the
+# in-session stand-in for persisted artifact tables — but a long-lived
+# driver iterating many datasets can evict them explicitly via
+# ``clear_session_memos`` (ADVICE r5).
+_memo_registry: list[dict] = [_df_cache]
+
+
+def register_memo(memo: dict) -> dict:
+    """Register a session-keyed memo dict for ``clear_session_memos``."""
+    _memo_registry.append(memo)
+    return memo
+
+
+def clear_session_memos(spark: SparkSession | None = None) -> int:
+    """Evict memoized per-(session, dataset) frames and scalars.
+
+    With ``spark`` given, only that session's entries go (and their
+    persisted blocks are unpersisted); with ``None``, everything goes.
+    Returns the number of evicted entries."""
+    skey = _session_key(spark) if spark is not None else None
+    n = 0
+    for memo in _memo_registry:
+        for key in [k for k in memo
+                    if skey is None
+                    or (isinstance(k, tuple) and k and k[0] == skey)]:
+            val = memo.pop(key)
+            if isinstance(val, DataFrame):
+                try:
+                    val.unpersist()
+                except Exception:
+                    pass
+            n += 1
+    return n
+
 
 def _session_key(spark: SparkSession) -> tuple[str, int]:
     # applicationId alone would alias sibling sessions from newSession()
@@ -111,7 +147,7 @@ def normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-_scalar_cache: dict[tuple, object] = {}
+_scalar_cache: dict[tuple, object] = register_memo({})
 
 
 def cached_scalar(spark: SparkSession, sf_dir: str, tag: str, compute) -> object:

@@ -52,6 +52,13 @@ class StreamingValueHistogram:
     key: str = "event_type"
     val: str = "value"
 
+    def __post_init__(self) -> None:
+        # width <= 0 would make floor((v - lo) / width) NULL or inverted,
+        # silently corrupting every bin — fail at construction instead.
+        if not self.hi > self.lo:
+            raise ValueError(
+                f"histogram range requires hi > lo, got [{self.lo}, {self.hi}]")
+
     def _bins(self, df: DataFrame) -> DataFrame:
         """Map rows to fixed-range bins (clamped at the edges) and
         reduce to per-(key, bin) partial counts — ≤ keys × bins rows

@@ -201,3 +201,62 @@ def test_source_divergence_python_replay(spark):
                 - math.log((gb[b] + 1) / (tc + DSIR_BUCKETS))))
             expect += cs * lr
         assert r["kl_micro_sum"] == expect
+
+
+def test_bigram_logprob_degenerate_docs(spark, tmp_path_factory):
+    """Single-token and whitespace-only docs must yield zero bigrams —
+    not phantom pairs or an out-of-bounds index.  Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], so an unguarded
+    sequence(1, greatest(size-1, 0)) indexes past the array for
+    size<=1 docs (crash under ANSI, phantom NULL bigrams otherwise);
+    the operator guards it with an explicit size>=2 CASE."""
+    from demo_cdc_users_airline_spark.operators.importance import (
+        score_bigram_logprob,
+    )
+
+    d = tmp_path_factory.mktemp("bigramdegen")
+    docs = [
+        (0, "solo"),             # single token
+        (1, "   "),              # whitespace-only
+        (2, "two words"),        # exactly one bigram
+        (3, "a b a b"),          # repeated bigrams
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r
+           for r in score_bigram_logprob(spark, str(d)).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for did in (0, 1):
+        assert got[did]["n_bigrams"] == 0
+        assert got[did]["logprob_micro_sum"] == 0
+        assert got[did]["avg_logprob"] is None
+    assert got[2]["n_bigrams"] == 1
+    assert got[3]["n_bigrams"] == 3
+    assert got[2]["avg_logprob"] < 0 and got[3]["avg_logprob"] < 0
+
+
+def test_clear_session_memos_evicts_and_recomputes(spark):
+    """The memo eviction hook: registered per-(session, dataset) frames
+    and scalars go away, and a later call rebuilds them."""
+    from demo_cdc_users_airline_spark.operators.curation import (
+        _VERDICT_MEMO,
+        curation_verdict,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import (
+        clear_session_memos,
+        load_table,
+    )
+
+    curation_verdict(spark, SF)
+    load_table(spark, SF, "documents")
+    assert len(_VERDICT_MEMO) >= 1
+    n = clear_session_memos(spark)
+    assert n >= 2
+    assert len(_VERDICT_MEMO) == 0
+    # rebuild works and re-memoizes
+    curation_verdict(spark, SF)
+    assert len(_VERDICT_MEMO) == 1

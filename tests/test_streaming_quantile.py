@@ -110,3 +110,13 @@ def test_compact_preserves_histogram(spark, tmp_path):
     assert _hist(h) == before
     raw = spark.read.parquet(str(tmp_path / "hist_state"))
     assert raw.select("ingest_batch_id").distinct().count() == 1
+
+
+def test_histogram_rejects_degenerate_range(spark, tmp_path):
+    import pytest
+
+    for lo, hi in ((10.0, 10.0), (10.0, 5.0)):
+        with pytest.raises(ValueError, match="hi > lo"):
+            StreamingValueHistogram(
+                state_table=AppendTable(spark, str(tmp_path / "s")),
+                lo=lo, hi=hi)
