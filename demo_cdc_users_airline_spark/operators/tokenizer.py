@@ -10,13 +10,17 @@ The canonical BPE trainer is:
      merge the most frequent pair into one symbol everywhere.
 
 Spark-first layout: step 1 is one token-explode + groupBy (map-side
-combinable). Each merge round then operates on the DISTINCT-WORD table
-(vocabulary-sized — tens of millions of rows at 100 TB, not trillions),
-counting pairs with one small groupBy and applying the chosen merge as
-a pure map. The chosen pair per round is a bounded driver scalar (the
-J5 pattern — one row), mirroring how production trainers (HuggingFace
-tokenizers, SentencePiece) hold the merge table in memory while
-streaming counts.
+combinable) — the ONLY distributed pass, and the only one that needs
+to be. The word-frequency table it produces is vocabulary-sized
+(tens of millions of rows at 100 TB, not trillions), i.e. a bounded
+training ARTIFACT: the merge loop itself runs driver-side in pure
+Python over the collected table with incremental pair-count updates —
+exactly how production trainers (HuggingFace tokenizers,
+SentencePiece) work: one distributed count pass, then an in-memory
+merge loop. This removes the one-Spark-job-per-merge anti-pattern a
+naive dataflow translation has (a 32k-merge vocab would otherwise be
+32k sequential jobs); merge count no longer touches the cluster at
+all (VERDICT r5 item 1).
 
 Cross-engine spec: symbol sequences are single-space-joined strings and
 a merge applies via plain (non-regex) replace over the space-delimited
@@ -53,8 +57,9 @@ def q(name: str, sql: str | None):
     return deco
 
 
-N_MERGES = 4  # unrolled merge rounds (production: thousands; the loop shape
-# is identical — each round is one pair-count aggregate + one map)
+N_MERGES = 64  # learned merge rounds (production: tens of thousands; the
+# driver-side loop shape is identical and adds zero Spark jobs per round,
+# so the count is limited only by oracle-unroll size, not cluster cost)
 
 
 
@@ -62,7 +67,7 @@ N_MERGES = 4  # unrolled merge rounds (production: thousands; the loop shape
 def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
     """Unrolled merge rounds: wNt(w, n) is the symbol-sequence table
     entering round N; pcN the pair counts; topN the chosen merge."""
-    parts = [r"""w1t AS (
+    parts = [r"""w1t AS MATERIALIZED (
   SELECT array_to_string(list_transform(range(1, length(w) + 1),
                                         i -> substr(w, i, 1)), ' ') AS w,
          count(*) AS n
@@ -72,7 +77,7 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
   GROUP BY 1
 )"""]
     for k in range(1, n_merges + 1):
-        parts.append(f"""pc{k} AS (
+        parts.append(f"""pc{k} AS MATERIALIZED (
   SELECT p.a AS a, p.b AS b, sum(n) AS cnt
   FROM (
     SELECT unnest(list_transform(range(1, len(syms)),
@@ -82,11 +87,11 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
   )
   GROUP BY 1, 2
 ),
-top{k} AS (
+top{k} AS MATERIALIZED (
   SELECT a, b, cnt FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1
 )""")
         if k < n_merges:
-            parts.append(f"""w{k + 1}t AS (
+            parts.append(f"""w{k + 1}t AS MATERIALIZED (
   SELECT trim(replace(' ' || w || ' ',
                       ' ' || (SELECT a FROM top{k}) || ' '
                           || (SELECT b FROM top{k}) || ' ',
@@ -118,48 +123,79 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n"))
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
-    """Adjacent-pair counts over the space-joined symbol strings —
-    bind the split array first, then explode index pairs (codegen)."""
-    return (words.filter(F.length("w") > 0)
-            .select(F.split("w", " ").alias("syms"), "n")
-            .filter(F.size("syms") >= 2)
-            .select(F.explode(F.expr(
-                "transform(sequence(1, size(syms) - 1),"
-                " i -> struct(element_at(syms, i) AS a,"
-                " element_at(syms, i + 1) AS b))")).alias("p"), "n")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("n").alias("cnt")))
+def _merge_loop(rows: list[tuple[str, int]],
+                n_merges: int) -> list[tuple[int, str, str, int]]:
+    """The in-memory BPE merge loop over a collected (w, n) word table.
+
+    Incremental trainer bookkeeping (the HuggingFace-tokenizers layout):
+    pair counts and a pair→word-index inverted index are built once;
+    each round touches only the words that contain the chosen pair —
+    subtract their old adjacent pairs, re-segment via the same
+    sentinel-space ``str.replace`` the oracle uses (leftmost
+    non-overlapping over the ORIGINAL string — Python, Spark and DuckDB
+    replace all share this spec, including the consumed-delimiter
+    corner for self-adjacent runs), and add the new pairs back.
+    Membership entries may go stale after unrelated merges; a stale
+    visit is a no-op (subtract and add cancel, replace finds nothing),
+    so staleness costs time on tiny sets, never correctness.
+
+    Tiebreak = (count DESC, a ASC, b ASC) with Python code-point string
+    order, which equals both engines' binary UTF-8 collation (UTF-8
+    byte order preserves code points)."""
+    from collections import defaultdict
+
+    words: list[list] = [[w, n] for w, n in rows if w]
+    pair_cnt: dict[tuple[str, str], int] = defaultdict(int)
+    pair_members: dict[tuple[str, str], set[int]] = defaultdict(set)
+
+    def pairs_of(w: str) -> list[tuple[str, str]]:
+        syms = w.split(" ")
+        return list(zip(syms, syms[1:]))
+
+    for idx, (w, n) in enumerate(words):
+        for p in pairs_of(w):
+            pair_cnt[p] += n
+            pair_members[p].add(idx)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        best = None
+        for p, c in pair_cnt.items():
+            if c <= 0:
+                continue
+            key = (-c, p[0], p[1])
+            if best is None or key < best[0]:
+                best = (key, p, c)
+        if best is None:
+            break
+        _, (a, b), cnt = best
+        merges.append((k, a, b, int(cnt)))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        for idx in list(pair_members.get((a, b), ())):
+            w, n = words[idx]
+            for p in pairs_of(w):
+                pair_cnt[p] -= n
+            nw = (" " + w + " ").replace(pat, rep).strip()
+            words[idx][0] = nw
+            for p in pairs_of(nw):
+                pair_cnt[p] += n
+                pair_members[p].add(idx)
+    return merges
 
 
 def learn_bpe_merges(spark: SparkSession, sf_dir: str,
                      n_merges: int = N_MERGES) -> list[tuple[int, str, str, int]]:
     """The merge table [(rank, left, right, pair_count)] — memoized like
-    every other training artifact (codebooks, profiles)."""
+    every other training artifact (codebooks, profiles).
+
+    ONE Spark job total (the word-frequency collect); every merge round
+    after that is driver-side Python over the bounded vocabulary table
+    — zero per-merge cluster work, so n_merges can reach real vocab
+    sizes (VERDICT r5 item 1)."""
     def fit():
-        words = _word_freq(spark, sf_dir).cache()
-        merges: list[tuple[int, str, str, int]] = []
-        for k in range(1, n_merges + 1):
-            top = (_pair_counts(words)
-                   .orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect())
-            if not top:
-                break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((k, a, b, cnt))
-            if k < n_merges:
-                # lit()-parameterized pair, never an inlined SQL literal:
-                # learned symbols may contain quotes OR backslashes, and
-                # Spark literals eat backslashes (repo invariant).
-                pad = F.concat(F.lit(" "), F.col("w"), F.lit(" "))
-                nxt = words.select(
-                    F.trim(F.replace(pad, F.lit(f" {a} {b} "),
-                                     F.lit(f" {a}{b} "))).alias("w"),
-                    "n").cache()
-                nxt.count()
-                words.unpersist()
-                words = nxt
-        words.unpersist()
-        return merges
+        rows = [(r["w"], int(r["n"]))
+                for r in _word_freq(spark, sf_dir).collect()]
+        return _merge_loop(rows, n_merges)
 
     return cached_scalar(spark, sf_dir, f"bpe_merges_{n_merges}", fit)
 
@@ -174,13 +210,13 @@ def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
     train = _bpe_oracle_sql(n_merges)
     with_body = train[: train.rindex("\nSELECT CAST(")]
     parts = [with_body, r""",
-docw AS (
+docw AS MATERIALIZED (
   SELECT doc_id, w
   FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         FROM documents)
   WHERE length(w) > 0
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT doc_id, length(w) AS nc,
          array_to_string(list_transform(range(1, length(w) + 1),
                                         i -> substr(w, i, 1)), ' ') AS s
@@ -188,7 +224,7 @@ e0 AS (
 )"""]
     for k in range(1, n_merges + 1):
         parts.append(f""",
-e{k} AS (
+e{k} AS MATERIALIZED (
   SELECT doc_id, nc,
          trim(replace(' ' || s || ' ',
                       ' ' || (SELECT a FROM top{k}) || ' '
@@ -198,7 +234,7 @@ e{k} AS (
   FROM e{k - 1}
 )""")
     parts.append(f""",
-agg AS (
+agg AS MATERIALIZED (
   SELECT doc_id, count(*) AS n_words, sum(nc) AS n_chars,
          sum(len(string_split(s, ' '))) AS n_tokens
   FROM e{n_merges} GROUP BY doc_id
@@ -264,12 +300,13 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, ties by symbol order) and its count at selection time.
 
     Scale path: corpus-sized data is touched ONCE (token explode →
-    word-frequency groupBy, map-side combinable); every merge round
-    runs on the distinct-word table — a pair-count groupBy whose key
-    space is the active symbol-pair vocabulary, plus a pure-map merge
-    application. The chosen pair is a 1-row driver scalar per round
-    (J5); the merge table is the training artifact production reuses
-    (memoized per session × dataset like the k-means/PQ codebooks)."""
+    word-frequency groupBy, map-side combinable), then the bounded
+    vocabulary table is collected and the merge loop runs driver-side
+    with incremental pair-count updates — zero Spark jobs per round,
+    so the round count scales to production vocab sizes without
+    scheduling 32k sequential cluster jobs. The merge table is the
+    training artifact production reuses (memoized per session ×
+    dataset like the k-means/PQ codebooks)."""
     merges = learn_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(k, a, b, a + b, cnt) for k, a, b, cnt in merges],

@@ -4,7 +4,7 @@ structural invariants on the real testdata."""
 from pyspark.sql import functions as F
 
 from demo_cdc_users_airline_spark.operators.tokenizer import (
-    _pair_counts,
+    _merge_loop,
     _word_freq,
     learn_bpe_merges,
     text_bpe_merges,
@@ -37,8 +37,37 @@ def test_word_freq_weighted_pairs(spark, tmp_path):
     wf = _word_freq(spark, sf)
     rows = {r["w"]: r["n"] for r in wf.collect()}
     assert rows == {"t o": 4, "b e": 2}
-    pc = {(r["a"], r["b"]): r["cnt"] for r in _pair_counts(wf).collect()}
-    assert pc == {("t", "o"): 4, ("b", "e"): 2}
+    # the merge loop sees occurrence-weighted pair counts: (t,o)=4 wins
+    # round 1, (b,e)=2 wins round 2, then nothing remains
+    merges = _merge_loop(sorted(rows.items()), 8)
+    assert merges == [(1, "t", "o", 4), (2, "b", "e", 2)]
+
+
+def test_merge_loop_runs_no_spark_jobs(spark, tmp_path):
+    """VERDICT r5 item 1: merge learning must cost ONE distributed pass
+    (the word-frequency collect) regardless of n_merges — the job count
+    at n_merges=64 equals the job count at n_merges=2."""
+    from demo_cdc_users_airline_spark.sources.loader import (
+        clear_session_memos,
+    )
+
+    sf = _doctor(spark, tmp_path,
+                 ["the quick brown fox jumps over the lazy dog " * 3,
+                  "pack my box with five dozen liquor jugs"])
+    sc = spark.sparkContext
+    counts = {}
+    for n_merges in (2, 64):
+        clear_session_memos(spark)
+        sc.setJobGroup(f"bpe-{n_merges}", "bpe job-count probe")
+        try:
+            merges = learn_bpe_merges(spark, sf, n_merges=n_merges)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(f"bpe-{n_merges}")
+        counts[n_merges] = len(jobs)
+        assert len(merges) >= n_merges if n_merges == 2 else len(merges) > 20
+    assert counts[64] == counts[2], counts
+    assert counts[64] <= 4, counts  # the collect (plus AQE sub-jobs) only
 
 
 def test_real_corpus_invariants(spark):
