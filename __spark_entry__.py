@@ -36,68 +36,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Modified in round 5 (int64 GEMM pair cosine, CC local finish +
-    # 2-exchange rounds, shared hashed-shingle cache, lang-id profile
-    # memoization, BPE lit() binding, percentile NULLS LAST) — their
-    # driver rows must certify the SHIPPING code.
-    "score_bigram_logprob",         # NEW in r5
-    "corpus_source_divergence",     # NEW in r5
-    "corpus_curriculum_order",      # NEW in r5
-    "text_lang_id_confusion",       # NEW in r5
-    "events_activity_streaks",      # NEW in r5
-    "events_type_pivot",            # NEW in r5
-    "events_type_hour_cube",        # NEW in r5
-    "dedup_cluster_keep_best",      # NEW in r5
-    "corpus_source_scorecard",      # NEW in r5
-    "similarity_ann_recall",        # NEW in r5
-    "score_unigram_logprob",        # refactored in r5 (shared LM chain)
-    "corpus_sample_by_quality",     # touched in r5 (import hoist)
-    "events_scd2_history",          # NEW in r5
-    "corpus_perplexity_buckets",    # NEW in r5
-    "corpus_stats_report",          # NEW in r5
-    "embedding_knn_classify",       # NEW in r5
-    "corpus_decontaminate_bloom",   # NEW in r5
-    "text_bpe_encode",              # NEW in r5
-    "events_hll_distinct",          # NEW in r5
-    "corpus_token_cms_topk",        # NEW in r5
-    "events_value_quantile_sketch", # NEW in r5
-    "similarity_neardup_cosine",
-    "similarity_semdedup",
-    "dedup_cluster_labels",
-    "dedup_ngram_jaccard",
-    "corpus_curation_pipeline",
-    "corpus_decontaminate",
-    "corpus_ngram_overlap",
-    "text_lang_id_ngram",
+    # Round 6 changed queries whose last driver-green row predates r5
+    # (stale row + changed implementation — highest certification value).
+    "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
+    "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
+    "dedup_minhash_estimate",       # r6: parallel corpus scan
+    "corpus_pack_chunks",
+    "text_token_stats",
+    "corpus_topic_clusters",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_rerank_topk",
+    "score_dsir_importance",
+    "corpus_mixture_weights",
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "dataset_sample_split",
+    "corpus_vocabulary",
+    # Round 6 rewrites (driver-side BPE merge loop at N_MERGES=64,
+    # broadcast-join lang-ID serving, degenerate-doc bigram guard).
     "text_bpe_merges",
-    "events_value_percentiles",
-    # Rewritten in round 4 AFTER their last driver row (VERDICT r4
-    # "what's missing": commits 578e599, 50eba64, 6b68f5c).
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    "text_bpe_encode",
+    "text_lang_id_ngram",
+    "score_bigram_logprob",
+    # Round 6 parallel_scan plan changes (r5-verified rows exist, but
+    # the shipping plan changed — re-earn the row on current code).
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_labels",
     "dedup_duplicate_spans",
-    # Remaining queries whose only driver-green rows are r03 or earlier.
+    "dedup_cluster_keep_best",
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "corpus_ngram_overlap",
+    "corpus_curation_pipeline",
+    "corpus_source_scorecard",
     "text_quality_score",
     "text_lang_id",
     "text_rolling_hash",
     "text_fingerprint",
     "text_repetition_stats",
     "text_pii_redact",
+    "text_lang_id_confusion",
     "similarity_topk_brute",
     "similarity_topk_ivf",
+    "similarity_neardup_cosine",
     "similarity_lsh_buckets",
     "similarity_lsh_neardup",
     "embedding_quantize_int8",
+    "similarity_semdedup",
     "similarity_kmeans_ivf",
-    "similarity_topk_ivf_learned",
-    # dropped from the 50-slot window (r03-verified, unchanged since —
-    # their old driver rows still certify the shipping code):
-    # multimodal_decode_pipeline, corpus_vocabulary,
-    # dataset_sample_split, events_asof_last_purchase,
-    # similarity_topk_ivf_nprobe
+    # r6 changed but deferred to the r7 window (r5-verified, only the
+    # upstream parallel_scan changed): similarity_topk_ivf_learned,
+    # similarity_ann_recall, embedding_knn_classify,
+    # score_unigram_logprob, corpus_perplexity_buckets,
+    # corpus_source_divergence, corpus_sample_by_quality,
+    # corpus_curriculum_order, corpus_stats_report.
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 from . import dedup as _dd
 from . import text as _tx
 
@@ -302,7 +302,8 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed pretraining tokenizers actually shard the corpus. A
     single global ORDER BY would serialize on one task; the shard
     count is the parallelism dial."""
-    toks = (load_table(spark, sf_dir, "documents")
+    toks = (parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                          "doc_id")
             .select("doc_id",
                     (F.col("doc_id") % _N_SHARDS).alias("shard"),
                     F.size(_tx.tokens("text")).alias("n_tokens")))

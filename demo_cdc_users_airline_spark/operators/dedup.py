@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -56,9 +56,13 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same corpus). At 100 TB this is 'write the tokenized
     column once, derive everything from it' — the standard staged-
     corpus layout."""
-    return (load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text",
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+    return (parallel_scan(
+                spark,
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text",
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                        .alias("toks")),
+                "doc_id")
             .cache())
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 from .sampling import _salted_hash, _salted_hash_sql
 from .text import tokens
 
@@ -64,7 +64,8 @@ lm_agg AS (
 def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, logprob_micro_sum): the add-one-smoothed
     unigram-LM document score — the Spark twin of ``_LM_CTES``."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toks = (d.select("doc_id", F.explode(tokens("text")).alias("w")))
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -151,7 +152,8 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     'en' slice is one partition's sort, the known CCNet shape; at 100 TB
     the rank can fall back to a 2-pass range-partitioned rank if a
     single language outgrows an executor sort)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     agg = _doc_logprob(spark, sf_dir)
     scored = (d.select("doc_id", "lang").join(agg, "doc_id")
               .withColumn("avg_logprob",
@@ -239,7 +241,8 @@ def score_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive as dataset_sample_split, so features are reproducible
     across engines, partitionings, and cluster sizes).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     feat = (d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
             .select("doc_id", "lang",
                     (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)
@@ -320,7 +323,8 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: sqrt is the one libm-free power (correctly rounded in
     IEEE-754, verified identical), floored to int64 micros before the
     normalizing sum, so shares are ratios of exact integers."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     c = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"))
@@ -398,7 +402,8 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probs floor to int64 micros before any cross-row sum (the
     repo's fixed-point rule); single-token docs surface with zero
     bigrams via the left join, NULL average on both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toksrc = d.select("doc_id", tokens("text").alias("toks"))
     bg = (toksrc.select("doc_id", F.explode(F.expr(
         "transform(CASE WHEN size(toks) >= 2"
@@ -483,7 +488,8 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DIFFERENCE of two ratio-lns (each argument a ratio of int64s,
     bit-identical both engines), floored to int64 micros before the
     weighted sum."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     feat = (d.select("source", F.explode(tokens("text")).alias("w"))
             .select("source",
                     (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -105,7 +105,8 @@ def kmeans_fit(vectors: DataFrame, k: int = 8, iters: int = 3):
 
 
 def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     # cache: the Lloyd loop scans these 3×(assign + update) + once per
     # downstream consumer — without it every pass re-reads the parquet
     # and re-quantizes (at 100 TB: persist DISK_ONLY or write the
@@ -353,16 +354,10 @@ def similarity_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn"))
 
 
-@q("similarity_topk_ivf_nprobe", _nprobe_oracle_sql(k=8, iters=3, nprobe=2, topk=3))
-def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned IVF with nprobe=2: each query probes its TWO nearest
-    cells, recovering near-boundary neighbors that single-cell probing
-    misses — the standard IVF recall dial (cost scales as
-    nprobe/k of the data; here 2/8 instead of 1/8).
-
-    The probe-cell expansion is the same shuffle-free broadcast-codebook
-    map as assignment; candidates join on their (unique) assigned cell,
-    so no pair is scored twice."""
+def _ivf_nprobe_topk(spark: SparkSession, sf_dir: str,
+                     nprobe: int, topk: int) -> DataFrame:
+    """Learned-IVF nprobe search, parameterized — the shared engine
+    behind similarity_topk_ivf_nprobe and the recall curve."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -373,7 +368,8 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("id").alias("vec_id"), "cell"))
     dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    queries = (probe_cells(vq.filter(F.col("id") < 8), centroids, nprobe=2)
+    queries = (probe_cells(vq.filter(F.col("id") < 8), centroids,
+                           nprobe=nprobe)
                .select(F.col("id").alias("query_id"), "probe_cell")
                .join(emb.select(F.col("vec_id").alias("query_id"),
                                 F.col("emb").alias("q_emb")), "query_id"))
@@ -390,8 +386,21 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                F.col("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 3)
+            .filter(F.col("__rn") <= topk)
             .drop("__rn"))
+
+
+@q("similarity_topk_ivf_nprobe", _nprobe_oracle_sql(k=8, iters=3, nprobe=2, topk=3))
+def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned IVF with nprobe=2: each query probes its TWO nearest
+    cells, recovering near-boundary neighbors that single-cell probing
+    misses — the standard IVF recall dial (cost scales as
+    nprobe/k of the data; here 2/8 instead of 1/8).
+
+    The probe-cell expansion is the same shuffle-free broadcast-codebook
+    map as assignment; candidates join on their (unique) assigned cell,
+    so no pair is scored twice."""
+    return _ivf_nprobe_topk(spark, sf_dir, nprobe=2, topk=3)
 
 
 # ANN index-quality evaluation: recall@k of the learned-IVF nprobe
@@ -477,6 +486,105 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)).cast("double")
                      / F.lit(float(RECALL_K))).alias("recall_at_k")))
+
+
+CURVE_NPROBES = (1, 2, 4)
+
+
+def _ann_recall_curve_oracle_sql(k: int = 8, iters: int = 3,
+                                 topk: int = RECALL_K) -> str:
+    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    parts = ["WITH " + _kmeans_ctes(k, iters) + f""",
+brute AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY cosine DESC, b.vec_id) <= {topk}
+),
+nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM brute)"""]
+    for n in CURVE_NPROBES:
+        parts.append(f""",
+probe{n} AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM dfin WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {n}
+),
+approx{n} AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probe{n} p
+  JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {topk}
+),
+hits{n} AS (
+  SELECT count(*) AS n_hits
+  FROM brute t JOIN approx{n} x USING (query_id, neighbor_id)
+)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS nprobe, CAST({topk} AS BIGINT) AS k,"
+        f" CAST(nq.n_queries AS BIGINT) AS n_queries,"
+        f" CAST(h.n_hits AS BIGINT) AS n_hits,"
+        f" CAST(h.n_hits AS DOUBLE)"
+        f" / CAST({topk} * nq.n_queries AS DOUBLE) AS recall_at_k"
+        f" FROM hits{n} h CROSS JOIN nq"
+        for n in CURVE_NPROBES)
+    return "".join(parts) + "\n" + rows
+
+
+@q("similarity_ann_recall_curve", _ann_recall_curve_oracle_sql())
+def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING report: aggregate recall@{RECALL_K} of the
+    learned-IVF search at nprobe ∈ {CURVE_NPROBES} against the exact
+    brute-force top-k — one row per operating point, so index tuning
+    (recall vs fraction-of-data-scanned, nprobe/nlist) is a single
+    query instead of N manual runs (VERDICT r5 item 8; the per-query
+    breakdown at the production operating point stays in
+    similarity_ann_recall).
+
+    Exactness: hit counts are integers; recall divides once by the
+    exact k·n_queries product (one IEEE rounding, engine-identical).
+    Scale path: ONE brute ground-truth pass (cached, queries × k rows)
+    serves every curve point; each point reuses the memoized codebook
+    and cached quantized vectors, scanning nprobe/nlist of the data —
+    the whole curve costs Σ nprobe cell scans, not |curve| full
+    searches."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from .similarity import similarity_topk_brute
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("neighbor_id"))
+    brute = (similarity_topk_brute(spark, sf_dir)
+             .withColumn("__rn", F.row_number().over(wq))
+             .filter(F.col("__rn") <= RECALL_K)
+             .select("query_id", "neighbor_id")
+             .cache())
+    nq = brute.agg(F.countDistinct("query_id").alias("n_queries"))
+    points = []
+    for n in CURVE_NPROBES:
+        approx = (_ivf_nprobe_topk(spark, sf_dir, nprobe=n, topk=RECALL_K)
+                  .select("query_id", "neighbor_id"))
+        points.append(
+            brute.join(approx, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(n).cast("long").alias("nprobe"),
+                    F.col("n_hits").cast("long").alias("n_hits")))
+    curve = reduce(lambda x, y: x.unionByName(y), points)
+    return (curve.crossJoin(F.broadcast(nq))
+            .select("nprobe",
+                    F.lit(RECALL_K).cast("long").alias("k"),
+                    F.col("n_queries").cast("long").alias("n_queries"),
+                    "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / (F.lit(RECALL_K) * F.col("n_queries")).cast("double"))
+                    .alias("recall_at_k")))
 
 
 # kNN label propagation over the learned IVF index: classify held-out
@@ -694,7 +802,8 @@ def _topic_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _salted_hash
     from .text import tokens as _tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     feat = (d.select("doc_id", F.explode(_tokens("text")).alias("w"))
             .select("doc_id",
                     (_salted_hash("clust_", F.col("w")) % TOPIC_BUCKETS)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 from .kmeans_ivf import (
     SCALE,
     _kmeans_ctes,
@@ -67,7 +67,8 @@ ADC_TOPK = 5
 def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, sub, svec: array<bigint>) — micro-unit subvectors, cached
     (the Lloyd loop scans them 2×iters times)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     vq = e.select(
         F.col("vec_id").alias("id"),
         F.expr(f"transform(CAST(embedding AS ARRAY<DOUBLE>),"

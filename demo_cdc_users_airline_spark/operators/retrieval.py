@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 from .text import tokens
 
 QUERIES: dict[str, object] = {}
@@ -117,7 +117,8 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, score_micro) for the fixed query term set —
     shared by the plain BM25 top-k and the hybrid RRF fusion."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     base = d.select("doc_id", tokens("text").alias("__toks")).select(
         "doc_id", F.size("__toks").alias("dl"),
         *[F.expr(f"size(filter(__toks, w -> w = '{t}'))").alias(f"tf_{t}")
@@ -221,7 +222,8 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_top = (_bm25_scored(spark, sf_dir)
                 .orderBy(F.col("score_micro").desc(), "doc_id")
                 .limit(RRF_POOL).select("doc_id").collect())
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     qv = (e.filter(F.col("vec_id") == _HYBRID_QVEC)
           .select(F.col("embedding").alias("q_emb")))
     from .similarity import dot

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 from .text import _STOPWORDS, tokens
 
 QUERIES: dict[str, object] = {}
@@ -88,7 +88,8 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grand total folds in as a broadcast scalar. Integer counts +
     one double division — engine-exact.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -133,7 +134,8 @@ def dataset_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an independent salted hash. Integer compares end to end —
     hash-exact vs the oracle, and bit-stable under any repartitioning.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     stratum = (F.when(n_tokens <= SHORT_MAX, "short")
                .when(n_tokens <= MEDIUM_MAX, "medium")
@@ -204,7 +206,8 @@ def corpus_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only, zero shuffle, partition-independent: the keep decision is
     an integer compare between a per-doc salted hash and an integer
     rate derived from integer check counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toks = tokens("text")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     s = d.select(
@@ -258,7 +261,8 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is groups×levels partial rows, not one job per report level;
     token counting stays inside the aggregate's map side.
     avg_doc_tokens divides two exact int64s once."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     base = d.select("lang", "source",
                     F.size(tokens("text")).cast("long").alias("n_toks"),
                     "n_chars")
@@ -323,7 +327,8 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on exact ranks."""
     from .text import with_quality_score
 
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     scored = (with_quality_score(d)
               .select("doc_id", "quality_score",
                       F.col("n_tokens").cast("long").alias("n_tokens")))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -206,7 +206,8 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (e.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb")))
-    cand = (e.select(F.col("vec_id").alias("neighbor_id"),
+    cand = (parallel_scan(spark, e, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
                      F.col("embedding").alias("c_emb"))
             .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
     joined = cand.crossJoin(F.broadcast(queries)).filter(
@@ -245,7 +246,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        F.col("label").alias("cell"),
                        F.col("embedding").alias("q_emb")))
-    cand = (e.select(F.col("vec_id").alias("neighbor_id"),
+    cand = (parallel_scan(spark, e, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
                      F.col("label").alias("c_cell"),
                      F.col("embedding").alias("c_emb"))
             .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
@@ -288,7 +290,8 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_dot_product on the quantized lists. Quantization at 1e-6 on
     unit-scale embeddings perturbs the metric ~1e-6 — far below the
     0.4 threshold's resolution — and identically on both engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     qn = e.select("vec_id", F.col("label").cast("long").alias("cell"),
                   quantize_expr("embedding").alias("qv"))
     return int_pair_cosines(qn, 0.4)
@@ -363,6 +366,7 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     n_dims = len(e.select("embedding").first()[0])
+    e = parallel_scan(spark, e, "vec_id")
     sm = spark.createDataFrame([(_sign_matrix(n_dims),)],
                                "__signs array<array<bigint>>")
     # per plane p: dot_h = Σ_dims qval · sign (exact int64); bit = dot_h > 0
@@ -406,7 +410,8 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs) pay the verify dot; the bucket join shuffles 8-byte
     keys, and the verify-side joins carry quantized int arrays."""
     buckets = _lsh_buckets(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     qn = (e.select("vec_id", quantize_expr("embedding").alias("qv"))
           .withColumn("nn", qdot("qv", "qv")))
     a = buckets.select(F.col("vec_id").alias("vec1"), "bucket")
@@ -456,7 +461,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (vec_id, dim) so every quantized component is value-checked;
     the production form keeps the int8 array in-row (the exploded and
     in-row forms share the same per-element expression)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
     scale = F.array_max(F.transform("embedding", F.abs)).cast("double")
     ex = (e.select("vec_id", scale.alias("scale"),
                    F.posexplode("embedding").alias("dim_idx", "x")))

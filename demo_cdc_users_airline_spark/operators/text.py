@@ -55,7 +55,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation
     (north-star text ops). Pure map — no shuffle, scales to 100 TB as a
     single pass."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toks = tokens("text")
     return d.select(
         "doc_id",
@@ -131,7 +132,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring via length / stopword-ratio / lexical-diversity
     heuristics (Gopher-style document filters). Integer-derived ratios →
     deterministic doubles; single map pass, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     return with_quality_score(d).select(
         "doc_id", "lang", "n_chars", "n_tokens",
         "stopword_ratio", "distinct_ratio", "quality_score")
@@ -178,7 +180,8 @@ FROM scores
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification by n-gram/marker-token profile scoring
     (fastText-style, deterministic argmax with fixed tie-break order)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     t = d.select("doc_id", F.col("lang").alias("actual_lang"), tokens("text").alias("toks"))
 
     def score(lang: str) -> Column:
@@ -216,7 +219,8 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     style, base 31 mod 2^31-1) over token codes — order-SENSITIVE, the
     complement of the bag fingerprint below. Single per-row fold in
     whole-stage codegen; zero shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     return d.select(
         "doc_id",
         F.expr("""
@@ -242,7 +246,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact hash + order-invariant bag-of-words
     hash (catches shuffled/reordered duplicates). md5 hex is identical
     across engines; fingerprints then feed exact-dedup groupBy."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     toks = tokens("text")
     return d.select(
         "doc_id",
@@ -264,7 +269,8 @@ def _learn_lang_profiles(spark: SparkSession, sf_dir: str):
     n_langs × distinct trigrams, not occurrences) → per-language top-K
     window over that bounded table → driver collect of n_langs × K rows.
     Returns (sorted full lang list, {lang: [trigrams]})."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     tg = (d.select("lang", F.lower(F.trim(F.col("text"))).alias("s"))
           .filter(F.length("s") >= 3)
           .select("lang",
@@ -348,7 +354,8 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score, -lang_index) structs; the left-join default classifies
     trigram-less and hitless docs deterministically as the first
     language ascending — exactly the oracle grid's zero-score rank."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     # the learned profiles are a BOUNDED artifact (n_langs × K trigrams)
     # — learn them once per (session, dataset) like every other training
     # artifact (k-means/PQ codebooks, BPE merges), collect (J5 scalar
@@ -363,9 +370,8 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-trigram work out of interpreted lambda evaluation); fan the
     # scan out first — the explode/probe work below is the hot path,
     # and a one-split local file would serialize it into one task
-    tg = (parallel_scan(spark, d.select("doc_id", "lang", "text"), "doc_id")
-          .select("doc_id", "lang",
-                  F.lower(F.trim(F.col("text"))).alias("s"))
+    tg = (d.select("doc_id", "lang",
+                   F.lower(F.trim(F.col("text"))).alias("s"))
           .filter(F.length("s") >= 3)
           .select("doc_id", "lang",
                   F.explode(F.expr("sequence(1, length(s) - 2)")).alias("i"),
@@ -469,7 +475,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle it deletes is the one that matters at 100 TB. All outputs
     are ratios of exact int64 counts → engine-identical doubles.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     return with_repetition_flags(d).select(
         "doc_id", "n_tokens", "top_token_frac", "dup_2gram_frac",
         "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac",
@@ -609,7 +616,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first scan. (The synthetic corpus contains no PII by
     construction — the gate row proves engine parity of the plumbing;
     tests/test_pii.py proves the semantics on a doctored corpus.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     return with_pii_redaction(d.select("doc_id", "text")).select(
         "doc_id", "n_emails", "n_ips", "n_phones", "redacted_text",
         "n_pii", "has_pii")

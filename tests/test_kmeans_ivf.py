@@ -178,3 +178,29 @@ def test_codebook_roundtrip_preserves_assignments(spark, tmp_path):
     a = {r["id"]: r["cell"] for r in assign_cells(vq, cb).collect()}
     b = {r["id"]: r["cell"] for r in assign_cells(vq, cb2).collect()}
     assert a == b
+
+
+def test_ann_recall_curve_monotone_and_consistent(spark):
+    """The nprobe curve: recall is non-decreasing in nprobe (more cells
+    probed ⊇ fewer), each point's totals are integer-consistent, and
+    the nprobe=2 point equals the aggregate of similarity_ann_recall's
+    per-query report."""
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        CURVE_NPROBES,
+        RECALL_K,
+        similarity_ann_recall,
+        similarity_ann_recall_curve,
+    )
+
+    rows = {r["nprobe"]: r
+            for r in similarity_ann_recall_curve(spark, SF).collect()}
+    assert set(rows) == set(CURVE_NPROBES)
+    recalls = [rows[n]["recall_at_k"] for n in sorted(rows)]
+    assert recalls == sorted(recalls)  # probing more cells never hurts
+    for r in rows.values():
+        assert r["k"] == RECALL_K
+        assert 0 <= r["n_hits"] <= r["k"] * r["n_queries"]
+        assert r["recall_at_k"] == r["n_hits"] / (r["k"] * r["n_queries"])
+    per_query = similarity_ann_recall(spark, SF).collect()
+    assert rows[2]["n_hits"] == sum(r["n_hits"] for r in per_query)
+    assert rows[2]["n_queries"] == len(per_query)
