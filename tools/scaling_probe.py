@@ -197,6 +197,16 @@ def main() -> int:
         # table; everything after is bounded — flat rows/s = the
         # reduce dominates and scales with the scan
         ("corpus_source_divergence", build_scaled_documents),
+        # the heaviest join plan in the catalog (10 shuffles / 8 bhj,
+        # VERDICT r5 item 5): every join is candidate-pair-bounded
+        # (banded LSH buckets, never all-pairs) — flat rows/s = no
+        # quadratic knee as disjoint shingle spaces multiply
+        ("dedup_minhash_estimate", build_scaled_documents),
+        # the full curation composition (quality + exact dedup + CC
+        # labels + decontamination + per-source rollup) — flat rows/s
+        # = the doc-keyed verdict joins and the one CC fixpoint stay
+        # proportional to the corpus (VERDICT r5 item 5)
+        ("corpus_source_scorecard", build_scaled_documents),
     ]
     llm_rows = []
     for name, builder in llm_probes:
