@@ -549,10 +549,11 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: hit counts are integers; recall divides once by the
     exact k·n_queries product (one IEEE rounding, engine-identical).
     Scale path: ONE brute ground-truth pass (cached, queries × k rows)
-    serves every curve point; each point reuses the memoized codebook
-    and cached quantized vectors, scanning nprobe/nlist of the data —
-    the whole curve costs Σ nprobe cell scans, not |curve| full
-    searches."""
+    and ONE candidate pass at max(nprobe) with probe cells ranked by
+    the probe order — every operating point is a probe_rank prefix of
+    the same cached scored-pair frame (queries × probed-cell residents,
+    bounded), so the whole curve costs one max-nprobe search, not
+    |curve| full searches."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -567,9 +568,56 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("query_id", "neighbor_id")
              .cache())
     nq = brute.agg(F.countDistinct("query_id").alias("n_queries"))
+    # ONE candidate pass at the curve's max nprobe, probe cells RANKED
+    # by the same (d2, cid) order probe_cells slices in — the nprobe=n
+    # operating point is exactly the probe_rank < n prefix, so every
+    # point shares this single scored-pair frame instead of re-running
+    # the scan per point (the slice order makes prefixes point-exact).
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("emb"))
+    centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
+    vq = _quantized_vectors(spark, sf_dir)
+    max_np = max(CURVE_NPROBES)
+    cb = spark.createDataFrame(
+        [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
+        "__cents array<struct<cid:int,cvec:array<bigint>>>")
+    top = F.expr(
+        "slice(array_sort(transform(__cents, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        f" c.cid AS cid))), 1, {max_np})")
+    queries = (vq.filter(F.col("id") < 8)
+               .crossJoin(F.broadcast(cb))
+               .select(F.col("id").alias("query_id"),
+                       F.posexplode(top).alias("probe_rank", "__probe"))
+               .select("query_id", "probe_rank",
+                       F.col("__probe.cid").alias("probe_cell"))
+               .join(emb.select(F.col("vec_id").alias("query_id"),
+                                F.col("emb").alias("q_emb")), "query_id"))
+    assigned = (assign_cells(vq, centroids)
+                .select(F.col("id").alias("vec_id"), "cell"))
+    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    cand = (assigned.join(emb, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("cell").alias("c_cell"), F.col("emb").alias("c_emb"))
+            .withColumn("c_norm",
+                        F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
+    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
+              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb")))
+                 * F.col("c_norm")))
+    pairs = (cand.join(F.broadcast(queries),
+                       (F.col("c_cell") == F.col("probe_cell"))
+                       & (F.col("neighbor_id") != F.col("query_id")))
+             .select("query_id", "probe_rank", "neighbor_id",
+                     cosine.alias("cosine"))
+             .cache())
     points = []
     for n in CURVE_NPROBES:
-        approx = (_ivf_nprobe_topk(spark, sf_dir, nprobe=n, topk=RECALL_K)
+        approx = (pairs.filter(F.col("probe_rank") < n)
+                  .withColumn("__rn", F.row_number().over(wq))
+                  .filter(F.col("__rn") <= RECALL_K)
                   .select("query_id", "neighbor_id"))
         points.append(
             brute.join(approx, ["query_id", "neighbor_id"])

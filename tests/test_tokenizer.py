@@ -115,3 +115,52 @@ def test_encode_real_corpus_invariants(spark):
         assert r["n_chars"] >= r["n_tokens"] >= r["n_words"]
         if r["n_tokens"]:
             assert r["chars_per_token_micro"] >= 1_000_000
+
+
+def test_merge_loop_matches_naive_recount_property():
+    """Property (pure Python, no Spark): the incremental merge loop
+    (pair-delta updates + inverted index, stale-entry tolerant) must
+    equal a naive implementation that recounts every pair from scratch
+    each round — same chosen pairs, same counts, same final words."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive(rows, n_merges):
+        words = [[w, n] for w, n in rows if w]
+        merges = []
+        for k in range(1, n_merges + 1):
+            cnt = {}
+            for w, n in words:
+                syms = w.split(" ")
+                for p in zip(syms, syms[1:]):
+                    cnt[p] = cnt.get(p, 0) + n
+            if not cnt:
+                break
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((k, a, b, c))
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            for row in words:
+                row[0] = (" " + row[0] + " ").replace(pat, rep).strip()
+        return merges, [tuple(r) for r in words]
+
+    alphabet = st.sampled_from("ab c")  # tiny alphabet → many collisions
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(st.text(alphabet, min_size=0, max_size=8),
+                  st.integers(min_value=1, max_value=5)),
+        min_size=0, max_size=12),
+        st.integers(min_value=1, max_value=10))
+    def check(raw, n_merges):
+        # normalize to the _word_freq contract: space-joined symbol
+        # strings over nonempty whitespace-free words
+        rows = []
+        for t, n in raw:
+            for w in t.split():
+                rows.append((" ".join(w), n))
+        words_in = [list(r) for r in rows]
+        got = _merge_loop([tuple(r) for r in words_in], n_merges)
+        want, _ = naive([tuple(r) for r in words_in], n_merges)
+        assert got == want
+
+    check()
