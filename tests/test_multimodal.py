@@ -17,8 +17,18 @@ def test_stub_is_deterministic_and_gated():
     w2, h2 = decode_image_stub(b"payload-bytes")
     assert (w1, h1) == (w2, h2)
     assert 64 <= w1 < 64 + 1920 and 64 <= h1 < 64 + 1080
-    with pytest.raises(NotImplementedError):
+    # real_decode now dispatches to the REAL codec: unknown containers
+    # raise ValueError; genuine PNGs return their true dimensions
+    with pytest.raises(ValueError):
         decode_image_stub(b"x", real_decode=True)
+    import numpy as np
+
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        encode_png_gray,
+    )
+
+    png = encode_png_gray(np.zeros((3, 5), dtype=np.uint8))
+    assert decode_image_stub(png, real_decode=True) == (5, 3)
     assert decode_image_stub(None) == (0, 0)
 
 
