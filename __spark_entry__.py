@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     # Round 6 changed queries whose last driver-green row predates r5
     # (stale row + changed implementation — highest certification value).
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
+    "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
     "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
     "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
     "dedup_minhash_estimate",       # r6: parallel corpus scan
@@ -91,9 +92,9 @@ _DRIVER_PRIORITY = [
     "similarity_lsh_buckets",
     "similarity_lsh_neardup",
     "embedding_quantize_int8",
-    "similarity_semdedup",
     # r6 changed but deferred to the r7 window (r5-verified, only the
     # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # similarity_semdedup,
     # similarity_topk_ivf_learned,
     # similarity_ann_recall, embedding_knn_classify,
     # score_unigram_logprob, corpus_perplexity_buckets,

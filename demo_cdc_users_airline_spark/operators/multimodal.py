@@ -104,11 +104,20 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 def resize_stub(payload: bytes, width: int, height: int,
                 target_w: int, target_h: int) -> tuple[bytes, int, int]:
-    """STUB resize: real image libs unavailable; returns a deterministic
-    truncated payload with the target dimensions (the pipeline contract —
-    payload in, payload out, metadata updated — is what's exercised)."""
+    """Resize with a REAL path for real images: PNG payloads decode,
+    nearest-neighbor-resample and re-encode through
+    ``operators.media_codec`` (payload in → genuine resized PNG out).
+    Other containers keep the deterministic truncation stand-in so the
+    pipeline contract — payload in, payload out, metadata updated —
+    stays exercisable without heavyweight codecs."""
     if payload is None:
         return (b"", target_w, target_h)
+    from .media_codec import PNG_MAGIC, decode_png, encode_png_gray, resize_nearest
+
+    if bytes(payload[:8]) == PNG_MAGIC:
+        w, h, px = decode_png(payload)
+        out = resize_nearest(px[:, :, 0], target_w, target_h)
+        return (encode_png_gray(out), target_w, target_h)
     scale = max(1, (width * height) // max(1, target_w * target_h))
     return (bytes(payload[: max(1, len(payload) // scale)]), target_w, target_h)
 

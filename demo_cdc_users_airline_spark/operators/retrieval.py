@@ -251,3 +251,171 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rrf.cast("long").alias("rrf_micro"))
             .orderBy(F.col("rrf_micro").desc(), "doc_id")
             .limit(HYBRID_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein 1998) — the standard
+# redundancy-vs-relevance re-rank a RAG serving stack applies to its
+# retrieved pool before stuffing context
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 10    # relevance pool depth per query (the retrieve stage)
+MMR_K = 5        # diversified selections per query (the re-rank output)
+# λ = 0.7 favors relevance; the literals are rendered verbatim into both
+# engines so the IEEE trees are identical (the repo's literal rule)
+_MMR_LAMBDA, _MMR_ONE_MINUS = "0.7", "0.3"
+
+
+def _mmr_oracle_sql() -> str:
+    cos = "list_dot_product({a}.qv::DOUBLE[], {b}.qv::DOUBLE[]) / sqrt({a}.nn * {b}.nn)"
+    parts = [f"""WITH sq AS ({{quant}}),
+sqn AS MATERIALIZED (
+  SELECT vec_id, qv, list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM sq
+),
+pool AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos.format(a='c', b='q')} AS rel
+  FROM sqn q JOIN sqn c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY {cos.format(a='c', b='q')} DESC,
+                                      c.vec_id) <= {MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         {cos.format(a='x', b='y')} AS sim
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id
+              AND p2.neighbor_id <> p1.neighbor_id
+  JOIN sqn x ON x.vec_id = p1.neighbor_id
+  JOIN sqn y ON y.vec_id = p2.neighbor_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, {_MMR_LAMBDA} * rel AS mmr_score,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM pool
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY {_MMR_LAMBDA} * rel DESC,
+                                      neighbor_id) = 1
+),
+selu1 AS (SELECT query_id, neighbor_id FROM sel1)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f""",
+sel{k} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, mmr_score,
+         CAST({k} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT p.query_id, p.neighbor_id, p.rel,
+           {_MMR_LAMBDA} * p.rel - {_MMR_ONE_MINUS} * max(s.sim) AS mmr_score
+    FROM pool p
+    JOIN selu{k - 1} u ON u.query_id = p.query_id
+    JOIN sims s ON s.query_id = p.query_id
+               AND s.a = p.neighbor_id AND s.b = u.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM selu{k - 1} x
+                      WHERE x.query_id = p.query_id
+                        AND x.neighbor_id = p.neighbor_id)
+    GROUP BY p.query_id, p.neighbor_id, p.rel
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr_score DESC, neighbor_id) = 1
+),
+selu{k} AS (SELECT query_id, neighbor_id FROM selu{k - 1}
+            UNION ALL SELECT query_id, neighbor_id FROM sel{k})""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT query_id, mmr_rank, neighbor_id, rel AS relevance,"
+        f" mmr_score FROM sel{k}" for k in range(1, MMR_K + 1))
+    return "".join(parts) + "\n" + rows
+
+
+from .similarity import QUANT_SQL as _QUANT_SQL
+
+
+@q("retrieval_mmr_rerank", _mmr_oracle_sql().format(quant=_QUANT_SQL))
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's
+    top-{MMR_POOL} cosine pool, greedily select {MMR_K} items by
+    score(c) = λ·rel(c, q) − (1−λ)·max_{{s∈selected}} sim(c, s) — the
+    classic relevance-vs-redundancy re-rank (λ=0.7) that keeps a RAG
+    context window from filling with near-duplicates of one hit.
+
+    Exactness: rel/sim are the repo's quantized-int64 cosines computed
+    IN SPARK (identical doubles to the oracle's list_dot_product
+    form); the greedy runs driver-side over the collected bounded pool
+    (queries × {MMR_POOL} rows + pairwise sims — the same J5
+    bounded-artifact pattern as the RRF fusion) combining those doubles
+    with the same literal λ arithmetic the oracle's unrolled
+    {MMR_K}-step CTE chain uses; selection is totally ordered by
+    (mmr_score DESC, neighbor_id). Greedy MMR is inherently sequential
+    in k — k is tiny and per-query pools are bounded, so the driver
+    loop is the honest production layout (serving stacks re-rank
+    per-request pools in process, never via cluster jobs).
+
+    Scale path: the only corpus-sized work is the pool retrieve (one
+    candidate scan against the broadcast query set + per-query top-k
+    window); the pairwise-sim stage joins pool×pool per query
+    (queries × {MMR_POOL}² rows, bounded)."""
+    from .similarity import qdot, quantize_expr
+
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
+    qn = (e.select("vec_id", quantize_expr("embedding").alias("qv"))
+          .withColumn("nn", qdot("qv", "qv")))
+    queries = (qn.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("q_qv"), F.col("nn").alias("q_nn")))
+    rel = qdot("qv", "q_qv") / F.sqrt(F.col("nn") * F.col("q_nn"))
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(),
+                                                F.col("neighbor_id"))
+    pool = (qn.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(F.col("query_id"), F.col("vec_id").alias("neighbor_id"),
+                    rel.alias("rel"), "qv", "nn")
+            .withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= MMR_POOL)
+            .drop("__rn"))
+    a = pool.select("query_id", F.col("neighbor_id").alias("a"),
+                    F.col("qv").alias("a_qv"), F.col("nn").alias("a_nn"))
+    b = pool.select("query_id", F.col("neighbor_id").alias("b"),
+                    F.col("qv").alias("b_qv"), F.col("nn").alias("b_nn"))
+    sim = qdot("a_qv", "b_qv") / F.sqrt(F.col("a_nn") * F.col("b_nn"))
+    sims_rows = (a.join(b, "query_id")
+                 .filter(F.col("a") != F.col("b"))
+                 .select("query_id", "a", "b", sim.alias("sim"))
+                 .collect())
+    pool_rows = pool.select("query_id", "neighbor_id", "rel").collect()
+
+    sims = {}
+    for r in sims_rows:
+        sims[(r["query_id"], r["a"], r["b"])] = r["sim"]
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rel"]))
+    out = []
+    lam, one_minus = float(_MMR_LAMBDA), float(_MMR_ONE_MINUS)
+    for qid, cands in by_q.items():
+        selected: list[int] = []
+        remaining = dict(cands)
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for nid, r in remaining.items():
+                if selected:
+                    score = lam * r - one_minus * max(
+                        sims[(qid, nid, s)] for s in selected)
+                else:
+                    score = lam * r
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, r, score)
+            if best is None:      # pool smaller than MMR_K: emit what exists
+                break             # (the oracle's step CTEs go empty the same way)
+            _, nid, r, score = best
+            selected.append(nid)
+            del remaining[nid]
+            out.append((int(qid), rank, int(nid), float(r), float(score)))
+    return spark.createDataFrame(
+        out, "query_id: long, mmr_rank: long, neighbor_id: long,"
+             " relevance: double, mmr_score: double")

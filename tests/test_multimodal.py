@@ -69,3 +69,22 @@ def test_resize_and_frame_sampling(spark):
     assert set(per_media) == {0, 1, 2, 3, 4}
     assert all(len(v) >= 2 for v in per_media.values())
     assert all(r["frame_bytes"] == len(r["frame"]) for r in out)
+
+
+def test_resize_real_png_path():
+    """PNG payloads take the REAL resize path: decode -> nearest-neighbor
+    -> re-encode; the output is a valid PNG whose pixels equal the exact
+    (2y, 2x) sampling rule."""
+    import numpy as np
+
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    px = np.arange(8 * 16, dtype=np.uint8).reshape(8, 16)
+    payload, w, h = resize_stub(encode_png_gray(px), 16, 8, 8, 4)
+    assert (w, h) == (8, 4)
+    got_w, got_h, out = decode_png(payload)
+    assert (got_w, got_h) == (8, 4)
+    assert np.array_equal(out[:, :, 0], px[::2][:, ::2])

@@ -68,3 +68,66 @@ def test_matches_independent_python_bm25(spark):
     got_top = retrieval_bm25_topk(spark, SF).agg(
         F.max("score_micro")).collect()[0][0]
     assert abs(got_top - top) <= 1
+
+
+def test_mmr_rerank_invariants(spark):
+    """Structural MMR properties on the real corpus: one block of
+    MMR_K distinct selections per query, rank 1 = the pure-relevance
+    argmax scored at λ·rel, every later score bounded by λ·rel of its
+    own pick (the redundancy term only ever subtracts when sims are
+    non-negative; with signed cosines it can add, so rank-monotonicity
+    is deliberately NOT asserted)."""
+    from demo_cdc_users_airline_spark.operators.retrieval import (
+        MMR_K,
+        retrieval_mmr_rerank,
+    )
+
+    rows = retrieval_mmr_rerank(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 8
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rs] == list(range(1, MMR_K + 1))
+        assert len({r["neighbor_id"] for r in rs}) == MMR_K
+        assert rs[0]["mmr_score"] == 0.7 * rs[0]["relevance"]
+        assert rs[0]["relevance"] == max(r["relevance"] for r in rs)
+
+
+def test_mmr_skips_redundant_hit(spark, tmp_path):
+    """The point of MMR: with a near-duplicate of the best hit in the
+    pool, pure relevance ranks it second but MMR demotes it. Doctored
+    geometry: query q=e0; c1≈c2 both very similar to q; c3 moderately
+    similar to q but orthogonal to c1/c2 — MMR must pick c3 second."""
+    import pytest
+
+    from demo_cdc_users_airline_spark.operators.retrieval import (
+        retrieval_mmr_rerank,
+    )
+
+    d = tmp_path / "mmr"
+    d.mkdir()
+    # geometry: c10 == c11 exactly (sim = 1, full λ-penalty) while c12
+    # is almost as relevant but in an orthogonal residual direction:
+    # score2(c11) = 0.7·0.95 − 0.3·1 ≈ 0.365 < score2(c12) ≈
+    # 0.7·0.93 − 0.3·0.88 ≈ 0.386 — pure relevance would rank c11
+    # second, MMR must not
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),          # the query (vec_id < 8)
+        (10, [0.95, 0.3122, 0.0, 0.0], 0),     # best hit
+        (11, [0.95, 0.3122, 0.0, 0.0], 0),     # its EXACT duplicate
+        (12, [0.93, 0.0, 0.3676, 0.0], 0),     # relevant AND diverse
+        (13, [0.1, 0.0, 0.0, 0.99], 0),        # filler
+    ]
+    (spark.createDataFrame(vecs, "vec_id long, embedding array<float>,"
+                                 " label int")
+     .coalesce(1).write.parquet(str(d / "embeddings.parquet")))
+    rows = sorted((r for r in retrieval_mmr_rerank(spark, str(d)).collect()
+                   if r["query_id"] == 0), key=lambda r: r["mmr_rank"])
+    picked = [r["neighbor_id"] for r in rows]
+    assert len(picked) == 4               # pool smaller than MMR_K
+    assert picked[0] in (10, 11)          # relevance argmax first
+    assert picked[1] == 12, picked        # diversity beats the near-dup
+    # the near-dup IS eventually admitted (MMR re-ranks, never drops)
+    assert 11 in picked
