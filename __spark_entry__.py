@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     # (stale row + changed implementation — highest certification value).
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
     "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
+    "text_bpe_vocab",               # NEW in r6 (learned vocab artifact)
     "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
     "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
     "dedup_minhash_estimate",       # r6: parallel corpus scan
@@ -88,12 +89,12 @@ _DRIVER_PRIORITY = [
     "text_lang_id_confusion",
     "similarity_topk_brute",
     "similarity_topk_ivf",
-    "similarity_neardup_cosine",
     "similarity_lsh_buckets",
     "similarity_lsh_neardup",
     "embedding_quantize_int8",
     # r6 changed but deferred to the r7 window (r5-verified, only the
     # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # similarity_neardup_cosine,
     # similarity_semdedup,
     # similarity_topk_ivf_learned,
     # similarity_ann_recall, embedding_knn_classify,

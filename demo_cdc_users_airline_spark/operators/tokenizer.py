@@ -312,3 +312,56 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, a, b, a + b, cnt) for k, a, b, cnt in merges],
         "merge_rank: long, left_sym: string, right_sym: string,"
         " merged: string, pair_count: long")
+
+
+def _vocab_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """The learned VOCABULARY: every symbol of the fully-encoded corpus
+    with its corpus-weighted occurrence count — the artifact a trained
+    tokenizer ships (base characters + merged subwords)."""
+    enc = _encode_oracle_sql(n_merges)
+    # reuse the encode SQL up to (and including) e{n}: cut at the agg CTE
+    body = enc[: enc.index(",\nagg AS MATERIALIZED")]
+    return body + f""",
+vocab AS (
+  SELECT unnest(string_split(s, ' ')) AS symbol FROM e{n_merges}
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(length(symbol) AS BIGINT) AS sym_len,
+       CAST(CASE WHEN length(symbol) > 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_merged
+FROM vocab GROUP BY symbol"""
+
+
+@q("text_bpe_vocab", _vocab_oracle_sql())
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's VOCABULARY table: after applying all
+    {N_MERGES} learned merges to every corpus word occurrence, the
+    distinct symbols (base characters + merged subwords) with their
+    corpus-weighted occurrence counts — the artifact a tokenizer
+    training run actually publishes alongside the merge table
+    (text_bpe_merges) and the encoder (text_bpe_encode).
+
+    Scale path: identical to the encode sweep — one word explode, the
+    bound-literal replace chain in whole-stage codegen, then ONE
+    map-side-combinable groupBy whose key space is the (bounded)
+    vocabulary itself."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0))
+    sexp = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+                  " i -> substring(w, i, 1)))")
+    sexp = F.concat(F.lit(" "), sexp, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        sexp = F.replace(sexp, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return (words.select(F.explode(F.split(F.trim(sexp), " "))
+                         .alias("symbol"))
+            .groupBy("symbol")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .select("symbol", "n_occurrences",
+                    F.length("symbol").cast("long").alias("sym_len"),
+                    F.when(F.length("symbol") > 1, 1).otherwise(0)
+                     .cast("long").alias("is_merged")))
+

@@ -164,3 +164,27 @@ def test_merge_loop_matches_naive_recount_property():
         assert got == want
 
     check()
+
+
+def test_vocab_consistent_with_encode(spark, tmp_path):
+    """The vocabulary is the encode sweep viewed symbol-wise: total
+    occurrences == total BPE tokens, total symbol chars == total corpus
+    chars, merged symbols are exactly the distinct survivors of the
+    merge table, single chars cover the rest."""
+    from demo_cdc_users_airline_spark.operators.tokenizer import (
+        text_bpe_encode,
+        text_bpe_vocab,
+    )
+
+    sf = _doctor(spark, tmp_path, ["aaab aaab aaab", "xy aaab"])
+    vocab = {r["symbol"]: r for r in text_bpe_vocab(spark, sf).collect()}
+    enc = text_bpe_encode(spark, sf).collect()
+    assert sum(r["n_occurrences"] for r in vocab.values()) == \
+        sum(r["n_tokens"] for r in enc)
+    assert sum(r["n_occurrences"] * r["sym_len"] for r in vocab.values()) \
+        == sum(r["n_chars"] for r in enc)
+    for sym, r in vocab.items():
+        assert r["sym_len"] == len(sym)
+        assert r["is_merged"] == (1 if len(sym) > 1 else 0)
+    # 'aaab' merges to one 4-char token (see test_encode_hand_computed)
+    assert vocab["aaab"]["n_occurrences"] == 4
