@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
     "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
     "text_bpe_vocab",               # NEW in r6 (learned vocab artifact)
+    "supplier_part_coverage",       # r6: decomposed-aggregate rewrite
     "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
     "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
     "dedup_minhash_estimate",       # r6: parallel corpus scan
@@ -82,7 +83,6 @@ _DRIVER_PRIORITY = [
     "corpus_source_scorecard",
     "text_quality_score",
     "text_lang_id",
-    "text_rolling_hash",
     "text_fingerprint",
     "text_repetition_stats",
     "text_pii_redact",
@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     # r6 changed but deferred to the r7 window (r5-verified, only the
     # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # text_rolling_hash,
     # similarity_neardup_cosine,
     # similarity_semdedup,
     # similarity_topk_ivf_learned,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec_sum, to_start_of_minute
-from ..sources.loader import cached_scalar, load_table
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 from .framework import Context, Node, Pipe, Registry
 
 QUERIES: dict[str, object] = {}
@@ -803,20 +803,43 @@ GROUP BY n.n_name
 """)
 def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2/A2 on the supplier dimension (completes coverage of every
-    testdata table): broadcast dim joins + two exact count-distincts.
-
-    Note the sum is over the per-(supplier,lineitem) expansion — the
-    left join multiplies s_acctbal by the supplier's lineitem count, as
-    in the SQL; decimal sum keeps it exact under any partitioning."""
+    testdata table), decomposed instead of expanded: the SQL's left
+    join multiplies s_acctbal by the supplier's lineitem count and runs
+    two count-distincts over the 2×|lineitem| expansion (×3 again via
+    the multi-distinct Expand). Here the fact table reduces FIRST —
+    per-supplier lineitem counts and distinct (suppkey, partkey) pairs
+    ride ONE suppkey exchange — and the outer-join arithmetic becomes
+    acctbal × max(1, c) per supplier, exact in DECIMAL (integer-scaled
+    decimal multiplication IS repeated addition, so the oracle's
+    expansion-sum matches bit-for-bit). Nothing lineitem-sized is ever
+    joined or expanded; the preserved-small-side outer join (which no
+    engine can broadcast) disappears entirely."""
     s = load_table(spark, sf_dir, "supplier")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    li = load_table(spark, sf_dir, "lineitem")
-    return (s.join(n, s["s_nationkey"] == n["n_nationkey"])
-             .join(li, li["l_suppkey"] == s["s_suppkey"], "left")
-             .groupBy(F.col("n_name").alias("nation"))
-             .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
-                  F.countDistinct("l_partkey").alias("n_parts_shipped"),
-                  dec_sum("s_acctbal").alias("total_acctbal")))
+    sn = (s.join(n, s["s_nationkey"] == n["n_nationkey"])
+          .select("s_suppkey", F.col("n_name").alias("nation"),
+                  "s_acctbal"))
+    li = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey"),
+        "l_suppkey")
+    per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("__c"))
+    pairs = li.dropDuplicates(["l_suppkey", "l_partkey"])
+    bal = (sn.join(per_supp, sn["s_suppkey"] == per_supp["l_suppkey"], "left")
+           .groupBy("nation")
+           .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)")
+                      * F.coalesce("__c", F.lit(1)).cast("long"))
+                 .cast("double").alias("total_acctbal")))
+    parts = (pairs.join(F.broadcast(sn.select("s_suppkey", "nation")),
+                        pairs["l_suppkey"] == sn["s_suppkey"])
+             .groupBy("nation")
+             .agg(F.countDistinct("l_partkey").alias("n_parts_shipped")))
+    return (bal.join(parts, "nation", "left")
+            .select("nation", "n_suppliers",
+                    F.coalesce("n_parts_shipped", F.lit(0)).cast("long")
+                    .alias("n_parts_shipped"),
+                    "total_acctbal"))
 
 
 @q("pipe_node_dag", """
