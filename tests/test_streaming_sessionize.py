@@ -116,3 +116,49 @@ def test_streaming_matches_batch_sessionization(spark, tmp_path):
     got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
            for r in out.read().collect()}
     assert got == expect  # every session closed; closed set == batch set
+
+
+def test_sessionize_on_rocksdb_state_store(spark, tmp_path):
+    """applyInPandasWithState sessionization on the RocksDB provider
+    (ROADMAP note: the dedup suite exercised RocksDB, the pandas-state
+    operator did not): identical session semantics, state surviving a
+    restart against the same RocksDB checkpoint, and real RocksDB
+    artifacts in the state directory."""
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        out = AppendTable(spark, str(tmp_path / "sessions"))
+        sess = StreamingSessionize(out_table=out, gap_micros=GAP_US,
+                                   watermark_delay="5 minutes")
+        write_events(src / "a.json", [(1, 0), (1, 10), (2, 0), (2, 5)])
+        write_events(src / "b.json", [(9, 600)])
+        write_events(src / "c.json", [(9, 601)])
+        run_once(spark, sess, src, tmp_path / "ckpt")
+        rows = {(r["user_id"], r["session_start"].minute): r
+                for r in out.read().collect()}
+        assert rows[(1, 0)]["n_events"] == 2
+        assert rows[(2, 0)]["n_events"] == 2
+        assert not any(u == 9 for u, _ in rows)  # still open in state
+
+        # restart on the SAME RocksDB checkpoint: user 9's open session
+        # closes when a later watermark arrives -> state really survived
+        write_events(src / "d.json", [(7, 2000)])
+        write_events(src / "e.json", [(7, 2001)])
+        run_once(spark, sess, src, tmp_path / "ckpt")
+        nine = [r for r in out.read().collect() if r["user_id"] == 9]
+        assert len(nine) == 1 and nine[0]["n_events"] == 2
+
+        state = tmp_path / "ckpt" / "state"
+        files = [p.name for p in state.rglob("*") if p.is_file()]
+        assert any(n.endswith((".zip", ".sst", ".changelog"))
+                   or "rocksdb" in n.lower() for n in files), files
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
