@@ -74,7 +74,9 @@ def encode_png_gray(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         rows.append(bytes([filter_type]) + filt.tobytes())
         prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    idat = zlib.compress(b"".join(rows))
+    # level 1: encode throughput over ratio — the decoder and every
+    # pixel value are identical at any level
+    idat = zlib.compress(b"".join(rows), 1)
     return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
