@@ -207,3 +207,172 @@ def resize_nearest(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     ys = (np.arange(target_h) * h) // target_h
     xs = (np.arange(target_w) * w) // target_w
     return px[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# GIF (89a): the multi-frame container — REAL LZW codec, pure Python.
+# Makes frame sampling genuine for an actual video-ish format (each GIF
+# frame is an independently decodable image); see
+# multimodal.sample_frames / multimodal_gif_frame_sample.
+# ---------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF89a"
+
+
+def _lzw_encode_uncompressed(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW, 'uncompressed' strategy: emit every index as a
+    literal code and a CLEAR every 250 literals so the decoder's
+    dictionary never forces the code width past min_code_size+1 — the
+    classic always-valid GIF writer (decoders run their normal LZW)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cnt = 0
+    for b in indices:
+        emit(b)
+        cnt += 1
+        if cnt == 250:           # 249 dict adds since CLEAR: 258+249 < 512
+            emit(clear)
+            cnt = 0
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """Standard GIF LZW decode (variable width, CLEAR/EOI, the KwKwK
+    corner) → index stream, truncated at max_pixels."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+    bitpos, total = 0, len(data) * 8
+    while len(out) < max_pixels:
+        if bitpos + width > total:
+            break
+        i, o = divmod(bitpos, 8)
+        code = (int.from_bytes(data[i:i + 3], "little") >> o) & ((1 << width) - 1)
+        bitpos += width
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([j]) for j in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: LZW code before CLEAR context")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]          # the KwKwK case
+            else:
+                raise ValueError("GIF: invalid LZW code")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def encode_gif_gray(frames: "list[np.ndarray]") -> bytes:
+    """Write a REAL multi-frame GIF89a from (h, w) uint8 arrays: 256-gray
+    global palette, one image descriptor + LZW data stream per frame."""
+    if not frames:
+        raise ValueError("encode_gif_gray needs at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(GIF_MAGIC)
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        if px.shape != (h, w):
+            raise ValueError("GIF frames must share dimensions")
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)                                 # LZW min code size
+        lzw = _lzw_encode_uncompressed(px.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)                                 # block terminator
+    out.append(0x3B)                                  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, "list[np.ndarray]"]:
+    """Decode a GIF89a/87a → (width, height, [(h, w, 3) uint8 RGB
+    frames]). Real decode: palette handling (global + local), full LZW,
+    extension-block walk; interlaced images raise (out of subset)."""
+    data = bytes(payload or b"")
+    if len(data) < 13 or data[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:                                  # trailer
+            break
+        if b == 0x21:                                  # extension
+            pos += 1                                   # label
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        fx, fy, fw, fh, fflags = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        if fflags & 0x40:
+            raise ValueError("GIF: interlaced frames unsupported")
+        pal = gct
+        if fflags & 0x80:
+            n = 2 ** ((fflags & 0x07) + 1)
+            pal = np.frombuffer(data[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), mcs, fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF: truncated frame data")
+        indices = np.frombuffer(bytes(idx[:fw * fh]),
+                                dtype=np.uint8).reshape(fh, fw)
+        frames.append(pal[indices])
+    if not frames:
+        raise ValueError("GIF: no frames")
+    return w, h, frames

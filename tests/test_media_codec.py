@@ -160,3 +160,44 @@ def test_png_roundtrip_property():
         assert np.array_equal(out[:, :, 0], px)
 
     check()
+
+
+def test_gif_multiframe_roundtrip():
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        decode_gif,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(17)
+    frames = [rng.randint(0, 256, (6, 9)).astype(np.uint8) for _ in range(5)]
+    w, h, out = decode_gif(encode_gif_gray(frames))
+    assert (w, h) == (9, 6) and len(out) == 5
+    for a, b in zip(frames, out):
+        # grayscale palette: every RGB channel equals the index
+        for ch in range(3):
+            assert np.array_equal(b[:, :, ch], a)
+
+
+def test_gif_lzw_crosses_clear_and_subblock_boundaries():
+    """A 64x64 frame forces many LZW CLEAR cycles and multiple 255-byte
+    sub-blocks — the decoder must reassemble and resync exactly."""
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        decode_gif,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(23)
+    big = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    w, h, out = decode_gif(encode_gif_gray([big]))
+    assert (w, h) == (64, 64)
+    assert np.array_equal(out[0][:, :, 0], big)
+
+
+def test_gif_rejects_garbage():
+    from demo_cdc_users_airline_spark.operators.media_codec import decode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG...")
+    with pytest.raises(ValueError,
+                       match="not a GIF|no frames|truncated|unexpected"):
+        decode_gif(b"GIF89a" + b"\x00" * 20)

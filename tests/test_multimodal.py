@@ -88,3 +88,23 @@ def test_resize_real_png_path():
     got_w, got_h, out = decode_png(payload)
     assert (got_w, got_h) == (8, 4)
     assert np.array_equal(out[:, :, 0], px[::2][:, ::2])
+
+
+def test_sample_frames_real_gif_path():
+    """GIF payloads take the REAL frame-sample path: LZW decode, every
+    k-th frame re-encoded as a valid PNG with the exact source pixels."""
+    import numpy as np
+
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        decode_png,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(29)
+    frames = [rng.randint(0, 256, (4, 5)).astype(np.uint8) for _ in range(6)]
+    out = sample_frames_stub(encode_gif_gray(frames), n_frames=6, every_k=2)
+    assert len(out) == 3                      # frames 0, 2, 4
+    for png, src in zip(out, frames[::2]):
+        w, h, px = decode_png(png)
+        assert (w, h) == (5, 4)
+        assert np.array_equal(px[:, :, 0], src)
