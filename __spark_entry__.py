@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     # (stale row + changed implementation — highest certification value).
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
     "multimodal_gif_frame_sample",  # NEW in r6 (REAL GIF/LZW frame walk)
+    "multimodal_wav_roundtrip",     # NEW in r6 (REAL RIFF/PCM audio)
     "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
     "text_bpe_vocab",               # NEW in r6 (learned vocab artifact)
     "supplier_part_coverage",       # r6: decomposed-aggregate rewrite
@@ -91,9 +92,9 @@ _DRIVER_PRIORITY = [
     "similarity_topk_brute",
     "similarity_topk_ivf",
     "similarity_lsh_neardup",
-    "embedding_quantize_int8",
     # r6 changed but deferred to the r7 window (r5-verified, only the
     # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # embedding_quantize_int8,
     # similarity_lsh_buckets,
     # text_rolling_hash,
     # similarity_neardup_cosine,

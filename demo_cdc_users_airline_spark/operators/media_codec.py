@@ -376,3 +376,55 @@ def decode_gif(payload: bytes) -> tuple[int, int, "list[np.ndarray]"]:
     if not frames:
         raise ValueError("GIF: no frames")
     return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM16): the audio container — real chunk walk + sample codec.
+# With PNG/BMP (image) and GIF (frames), every modality the pipeline
+# models has at least one genuine codec; only lossy formats (JPEG, mp3,
+# mp4) remain stand-ins.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = 16000,
+                     channels: int = 1) -> bytes:
+    """Write a REAL RIFF/WAVE file: PCM, 16-bit little-endian."""
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode RIFF/WAVE PCM16 → (sample_rate, channels, int16 samples).
+    Real decode: RIFF chunk walk (odd-size padding respected), fmt
+    validation, sample reinterpretation; non-PCM16 raises."""
+    data = bytes(payload or b"")
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = channels = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WAV: truncated chunk")
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"WAV: unsupported format/bits {fmt_code}/{bits}")
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)      # chunks pad to even offsets
+    if rate is None or samples is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    return rate, channels, samples

@@ -438,3 +438,94 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_kernel,
         "media_id long, frame_no long, width long, height long,"
         " pix_sum long")
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV round-trip: audio features from genuinely decoded samples
+# ---------------------------------------------------------------------------
+
+WAV_N, WAV_RATE = 256, 16000
+
+# sample i = (text byte (i mod len) - 128) << 8 as int16 — full-range
+# PCM derived from the same ASCII-byte convention as the image queries
+_WAV_SAMPLE = (f"((ascii(substr(text, CAST(i % strlen(text) AS INT) + 1, 1))"
+               f" - 128) * 256)")
+
+_WAV_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST({WAV_N} AS BIGINT) AS n_samples,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE
+         list_sum(list_transform(range({WAV_N}),
+                  i -> {_WAV_SAMPLE} * {_WAV_SAMPLE}))
+       END AS BIGINT) AS energy,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE
+         list_max(list_transform(range({WAV_N}), i -> abs({_WAV_SAMPLE})))
+       END AS BIGINT) AS peak_abs
+FROM documents
+"""
+
+
+@q("multimodal_wav_roundtrip", _WAV_ORACLE)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, end to end: per document, synthesize 256 PCM16
+    samples from its text bytes, write a genuine RIFF/WAVE file, decode
+    it back inside the Arrow stage (chunk walk, fmt validation, sample
+    reinterpretation) and emit exact integer features — energy (sum of
+    squares) and peak amplitude. The oracle recomputes both from the
+    generative byte rule, so any bit error in the RIFF writer or reader
+    breaks the hash. Together with PNG/BMP (image) and GIF (frames),
+    every modality now has a genuine codec path; only lossy formats
+    (JPEG/mp3/mp4) remain stand-ins.
+
+    Scale path: two Arrow-batched mapInPandas stages, per-row CPU work,
+    no shuffle."""
+    import numpy as np
+
+    from ..sources.loader import load_table, parallel_scan
+    from .media_codec import decode_wav, encode_wav_pcm16
+
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                if b:
+                    src = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+                    idx = np.arange(WAV_N) % len(b)
+                    samples = ((src[idx] - 128) * 256).astype(np.int16)
+                else:
+                    samples = np.zeros(WAV_N, dtype=np.int16)
+                payloads.append(encode_wav_pcm16(samples, WAV_RATE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    media = d.mapInPandas(encode_kernel, "media_id long, payload binary")
+
+    def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, energies, peaks = [], [], [], []
+            for payload in pdf["payload"]:
+                rate, _ch, samples = decode_wav(payload)
+                s = samples.astype(np.int64)
+                rates.append(rate)
+                ns.append(len(s))
+                energies.append(int((s * s).sum()))
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.Series(rates, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "peak_abs": pd.Series(peaks, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        decode_kernel,
+        "media_id long, sample_rate long, n_samples long,"
+        " energy long, peak_abs long")

@@ -201,3 +201,25 @@ def test_gif_rejects_garbage():
     with pytest.raises(ValueError,
                        match="not a GIF|no frames|truncated|unexpected"):
         decode_gif(b"GIF89a" + b"\x00" * 20)
+
+
+def test_wav_roundtrip_and_validation():
+    from demo_cdc_users_airline_spark.operators.media_codec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(31)
+    s = rng.randint(-32768, 32767, 777).astype(np.int16)  # odd size: pad path
+    rate, ch, out = decode_wav(encode_wav_pcm16(s, 44100))
+    assert (rate, ch) == (44100, 1) and np.array_equal(out, s)
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"RIFFxxxxAVI ")
+    with pytest.raises(ValueError, match="unsupported"):
+        # 8-bit fmt chunk
+        import struct as st
+
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", 0))
+        decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
