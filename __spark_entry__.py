@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
     "multimodal_gif_frame_sample",  # NEW in r6 (REAL GIF/LZW frame walk)
     "multimodal_wav_roundtrip",     # NEW in r6 (REAL RIFF/PCM audio)
+    "corpus_quality_classifier",    # NEW in r6 (learned quality filter)
     "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
     "text_bpe_vocab",               # NEW in r6 (learned vocab artifact)
     "supplier_part_coverage",       # r6: decomposed-aggregate rewrite
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = [
     "corpus_source_scorecard",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "text_repetition_stats",
     "text_pii_redact",
     "text_lang_id_confusion",
@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "similarity_lsh_neardup",
     # r6 changed but deferred to the r7 window (r5-verified, only the
     # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # text_fingerprint,
     # embedding_quantize_int8,
     # similarity_lsh_buckets,
     # text_rolling_hash,

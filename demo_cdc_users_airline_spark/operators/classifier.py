@@ -1,0 +1,229 @@
+"""Learned quality classifier: an integer perceptron trained on a
+bounded labeled subset and served over the whole corpus — the
+train/serve/evaluate lifecycle of the model-based quality filters
+production pipelines run next to heuristic rules (the fastText-style
+classifier of the Llama/CCNet data recipes, reduced to its
+engine-exact core).
+
+Why a PERCEPTRON: training is pure integer arithmetic (mistake-driven
+``w += y·x`` updates over int64 feature vectors), so the whole
+lifecycle is bit-reproducible on every engine — the same discipline
+that makes the k-means/PQ/BPE artifacts hash-exact. Logistic/fastText
+training needs exp/log over floats whose accumulation order would
+break cross-engine exactness; the perceptron is the honest exact
+stand-in with the identical pipeline shape (bounded labeled set →
+driver-side fit → broadcast weights → distributed scoring).
+
+Labeled subset: doc_id % {QC_MOD} == 0 stands in for the
+human-labeled sample a real classifier trains on — BOUNDED by
+assumption (production labels thousands of docs, not the corpus), so
+collecting its feature vectors driver-side is the J5 bounded-artifact
+pattern, exactly like the BPE word-frequency table.
+
+Features are exact integers: a bias, the token count, and micro-unit
+stopword/distinct ratios (floor-divided — identical on both engines).
+The target label is the repo's quality heuristic in EXACT integer
+form (cross-multiplied comparisons, no float ratios), so the
+classifier learns to imitate the heuristic — precisely how production
+bootstraps a learned filter from rules before human labels arrive.
+
+The DuckDB oracle replays training with a RECURSIVE CTE carrying the
+weight vector through every (epoch × sample) step — same mistake
+condition, same update, same deterministic doc_id order — then scores
+every document with the final weights; margins are int64-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import cached_scalar, load_table, parallel_scan
+from .text import tokens
+
+QUERIES: dict[str, object] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+QC_MOD = 17      # labeled subset: doc_id % 17 == 0 (~6% of docs)
+QC_EPOCHS = 8    # fixed deterministic training epochs
+QC_BIAS = 1_000_000  # bias feature magnitude: micro-unit scale, so the
+# intercept moves at the same per-mistake rate as the ratio features
+# (a unit bias needs ~1e6 mistakes to matter against micro features)
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# shared integer feature/label SQL (DuckDB) — the Spark side mirrors it
+# expression for expression
+_FEAT_SQL = f"""
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, w -> w IN {_STOPWORDS})) AS BIGINT)
+           AS n_stop,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+"""
+
+# x = (BIAS_micro, n_tokens, stop_micro, distinct_micro); label via exact
+# cross-multiplied comparisons (the quality heuristic's integer form)
+_XCOLS = """
+         CAST(1000000 AS BIGINT) AS x0,
+         n_tokens AS x1,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE n_stop * 1000000 // n_tokens END AS x2,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE n_distinct * 1000000 // n_tokens END AS x3,
+         CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN n_tokens > 0 AND 100 * n_stop >= n_tokens
+                              AND 2 * n_stop <= n_tokens
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 10 * n_distinct > 3 * n_tokens
+                         THEN 1 ELSE 0 END) >= 2
+              THEN 1 ELSE -1 END AS y
+"""
+
+
+def _qc_oracle_sql() -> str:
+    dot = "(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3)"
+    upd = "\n".join(
+        f"    CASE WHEN t.y * (s.w0 * t.x0 + s.w1 * t.x1 + s.w2 * t.x2"
+        f" + s.w3 * t.x3) <= 0"
+        f" THEN s.w{i} + t.y * t.x{i} ELSE s.w{i} END AS w{i},"
+        for i in range(4))
+    return f"""
+WITH RECURSIVE feat AS MATERIALIZED ({_FEAT_SQL}),
+fx AS MATERIALIZED (
+  SELECT doc_id, {_XCOLS}
+  FROM feat
+),
+train AS MATERIALIZED (
+  SELECT fx.*, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM fx WHERE doc_id % {QC_MOD} = 0
+),
+n AS (SELECT count(*) AS n FROM train),
+steps AS (
+  SELECT 0 AS i, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
+  UNION ALL
+  SELECT s.i + 1,
+{upd}
+  FROM steps s JOIN train t ON t.rn = (s.i % (SELECT n FROM n)) + 1
+  WHERE s.i < {QC_EPOCHS} * (SELECT n FROM n)
+),
+w AS (SELECT w0, w1, w2, w3 FROM steps
+      ORDER BY i DESC LIMIT 1)
+SELECT fx.doc_id,
+       CAST(CASE WHEN fx.y = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS heuristic_label,
+       CAST({dot} AS BIGINT) AS margin,
+       CAST(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(CASE WHEN (CASE WHEN {dot} > 0 THEN 1 ELSE -1 END) = fx.y
+                 THEN 1 ELSE 0 END AS BIGINT) AS agrees,
+       CAST(CASE WHEN fx.doc_id % {QC_MOD} = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS in_train
+FROM fx CROSS JOIN w
+"""
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x0..x3, y): exact integer features + the heuristic's
+    integer-form label — the Spark twin of the oracle's fx CTE."""
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+         .cast("long").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"))
+    stop_ok = ((F.col("n_tokens") > 0)
+               & (100 * F.col("n_stop") >= F.col("n_tokens"))
+               & (2 * F.col("n_stop") <= F.col("n_tokens")))
+    terms = (F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+             + F.when(stop_ok, 1).otherwise(0)
+             + F.when(10 * F.col("n_distinct") > 3 * F.col("n_tokens"), 1)
+               .otherwise(0))
+    micro = ("CASE WHEN n_tokens = 0 THEN 0"
+             " ELSE {c} * 1000000 DIV n_tokens END")
+    return base.select(
+        "doc_id",
+        F.lit(QC_BIAS).cast("long").alias("x0"),
+        F.col("n_tokens").alias("x1"),
+        F.expr(micro.format(c="n_stop")).cast("long").alias("x2"),
+        F.expr(micro.format(c="n_distinct")).cast("long").alias("x3"),
+        F.when(terms >= 2, 1).otherwise(-1).cast("long").alias("y"))
+
+
+def train_quality_perceptron(spark: SparkSession,
+                             sf_dir: str) -> list[int]:
+    """Fit the integer perceptron on the labeled subset — memoized per
+    (session, dataset) like every other training artifact. ONE Spark
+    job (the bounded labeled-feature collect); the epoch loop is pure
+    driver-side integer arithmetic."""
+    def fit():
+        rows = sorted(
+            ((int(r["doc_id"]), int(r["x0"]), int(r["x1"]), int(r["x2"]),
+              int(r["x3"]), int(r["y"]))
+             for r in (_features(spark, sf_dir)
+                       .filter(F.col("doc_id") % QC_MOD == 0).collect())),
+        )
+        w = [0, 0, 0, 0]
+        for _ in range(QC_EPOCHS):
+            for _doc, x0, x1, x2, x3, y in rows:
+                if y * (w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * x3) <= 0:
+                    w[0] += y * x0
+                    w[1] += y * x1
+                    w[2] += y * x2
+                    w[3] += y * x3
+        return w
+
+    return cached_scalar(spark, sf_dir,
+                         f"qc_perceptron_{QC_MOD}_{QC_EPOCHS}", fit)
+
+
+@q("corpus_quality_classifier", _qc_oracle_sql())
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, train → serve → evaluate in one query:
+    fit the integer perceptron on the bounded labeled subset
+    (driver-side exact loop over collected features, memoized), then
+    score EVERY document distributed with the broadcast weights —
+    emitting the exact int64 margin, the prediction, agreement with
+    the heuristic label, and the train-set membership flag (so
+    held-out agreement is one filter away).
+
+    Exactness: features, labels, updates and margins are all int64;
+    the oracle replays the identical mistake-driven training with a
+    recursive CTE stepping (epoch × sample) times in the same doc_id
+    order. Scale path: ONE corpus scan for features (map-only), a
+    bounded labeled collect, and a weight-literal scoring projection —
+    the serve side is zero-shuffle."""
+    w = train_quality_perceptron(spark, sf_dir)
+    fx = _features(spark, sf_dir)
+    margin = (F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+              + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
+    return fx.select(
+        "doc_id",
+        F.when(F.col("y") == 1, 1).otherwise(0).cast("long")
+         .alias("heuristic_label"),
+        margin.cast("long").alias("margin"),
+        F.when(margin > 0, 1).otherwise(0).cast("long").alias("pred"),
+        F.when((F.when(margin > 0, 1).otherwise(-1)) == F.col("y"), 1)
+         .otherwise(0).cast("long").alias("agrees"),
+        F.when(F.col("doc_id") % QC_MOD == 0, 1).otherwise(0).cast("long")
+         .alias("in_train"))
