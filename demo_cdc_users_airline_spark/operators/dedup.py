@@ -868,6 +868,85 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Jaccard CONTAINMENT (asymmetric near-dup: subset / quote detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.5  # report pairs where either side is ≥ half-contained
+
+
+@q("dedup_jaccard_containment", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+hh AS (SELECT doc_id, {_HASH_SQL} AS hsh FROM sh),
+kept AS (
+  SELECT doc_id, hsh FROM hh
+  QUALIFY count(*) OVER (PARTITION BY hsh) <= {_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2, CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(p.n_common AS DOUBLE) / sa.n AS c_doc1_in_doc2,
+       CAST(p.n_common AS DOUBLE) / sb.n AS c_doc2_in_doc1,
+       CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard,
+       CASE WHEN sa.n <= sb.n THEN p.doc1 ELSE p.doc2 END AS contained_doc
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc1
+JOIN sizes sb ON sb.doc_id = p.doc2
+WHERE greatest(CAST(p.n_common AS DOUBLE) / sa.n,
+               CAST(p.n_common AS DOUBLE) / sb.n) >= {_CONTAIN_MIN}
+""")
+def dedup_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A in B) = |A∩B| / |A| over the
+    df-capped hashed-shingle space — the Broder containment coefficient.
+    Symmetric Jaccard misses a short document quoted inside a much
+    longer one (|A∩B|/|A∪B| stays small when |B| ≫ |A|); containment
+    flags it at ~1.0. ``contained_doc`` names the smaller-set side —
+    the one a quote-dedup pass would drop or trim (integer set-size
+    comparison, no float tie hazard).
+
+    Scale path: identical to dedup_ngram_jaccard — the same ONE
+    posting-list shuffle (bounded by the df cap, so pair fan-out is
+    ≤ Σ min(df, cap)², linear in corpus size), the same 8-byte hash
+    keys; the two containments and the Jaccard all derive from the one
+    (pairs ⋈ sizes ⋈ sizes) plan. Sharing _hashed_shingles means a
+    session running both symmetric and asymmetric reports pays the
+    shingle scan once."""
+    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
+    posts = (hh.groupBy("hsh")
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+             .filter(F.size("docs") <= _DF_CAP)
+             .cache())
+    posts.count()  # sizes + pairs share it (see dedup_ngram_jaccard)
+    sizes = (posts.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    pairs = (posts.select(F.explode(F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
+    )).alias("p"))
+        .filter(F.col("p.doc1") < F.col("p.doc2"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c1 = F.col("n_common").cast("double") / F.col("sa.n")
+    c2 = F.col("n_common").cast("double") / F.col("sb.n")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")))
+    return (pairs.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+            .select("doc1", "doc2",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    c1.alias("c_doc1_in_doc2"),
+                    c2.alias("c_doc2_in_doc1"),
+                    jac.alias("jaccard"),
+                    F.when(F.col("sa.n") <= F.col("sb.n"), F.col("doc1"))
+                    .otherwise(F.col("doc2")).alias("contained_doc"))
+            .filter(F.greatest(c1, c2) >= _CONTAIN_MIN))
+
+
+# ---------------------------------------------------------------------------
 # substring-level duplicate spans (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better" — the exact-substring
 # family, expressed over bounded n-gram keys instead of a suffix array)
