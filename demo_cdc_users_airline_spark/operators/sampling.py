@@ -21,7 +21,7 @@ language/quality/source as needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table, parallel_scan
@@ -228,6 +228,52 @@ def corpus_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.col("q_passed").cast("long").alias("q_passed"),
                     rate.cast("long").alias("keep_rate_bp")))
+
+
+# ---------------------------------------------------------------------------
+# leakage-free (cluster-aware) train/val/test split
+# ---------------------------------------------------------------------------
+
+from . import dedup as _dd  # noqa: E402  (cluster labels feed the split key)
+
+
+@q("corpus_cluster_split", f"""
+WITH labels AS ({_dd._cluster_oracle_sql()}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CASE WHEN {_salted_hash_sql("gsplit_", "l.cluster_id")} % 10 < 8
+            THEN 'train'
+            WHEN {_salted_hash_sql("gsplit_", "l.cluster_id")} % 10 = 8
+            THEN 'val' ELSE 'test' END AS split
+FROM labels l JOIN sizes s USING (cluster_id)
+""")
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the salted split hash keys on
+    the near-dup CLUSTER label, not the document id, so every member of
+    a near-duplicate cluster lands in the SAME split — a doc-keyed
+    split (dataset_sample_split) can put two near-identical documents
+    on opposite sides of the train/test boundary, and that leakage
+    inflates eval scores (the group-aware split every serious
+    pretraining/eval pipeline uses). ``cluster_size`` rides along as
+    the leakage diagnostic (size > 1 ⇒ the cluster-keyed hash actually
+    mattered for those rows).
+
+    Scale path: labels is the memoized cluster table (ONE CC fixpoint
+    per session — the persisted artifact in production); the split
+    decision is a map over it, and cluster_size is a count over the
+    cluster-keyed window — one 16-byte-row exchange. Integer hash
+    compares end to end: partition-independent, engine-exact."""
+    labels = _dd.dedup_cluster_labels(spark, sf_dir) \
+        .select("doc_id", "cluster_id")
+    v = _salted_hash("gsplit_", F.col("cluster_id")) % 10
+    split = (F.when(v < 8, "train").when(v == 8, "val").otherwise("test"))
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        split.alias("split"))
 
 
 @q("corpus_stats_report", r"""
