@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     # (stale row + changed implementation — highest certification value).
     "dedup_jaccard_containment",    # NEW in r6 (asymmetric quote/subset dedup)
     "corpus_cluster_split",         # NEW in r6 (leakage-free cluster split)
+    "text_winnowing",               # NEW in r6 (MOSS fingerprint selection)
     "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
     "multimodal_gif_frame_sample",  # NEW in r6 (REAL GIF/LZW frame walk)
     "multimodal_wav_roundtrip",     # NEW in r6 (REAL RIFF/PCM audio)

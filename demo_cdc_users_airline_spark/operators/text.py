@@ -257,6 +257,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robust winnowing (Schleimer/Wilkerson/Aiken, MOSS): guaranteed-recall
+# fingerprint selection — any shared span of >= _WIN_W + 2 tokens shares
+# at least one selected fingerprint, at ~2/(_WIN_W+1) the full density
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # grams per winnowing window (guarantee span = _WIN_W + 3 - 1)
+
+
+@q("text_winnowing", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                   1, 15))::BIGINT)
+         ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id, hs,
+         CASE WHEN len(hs) >= 1 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(hs) - {_WIN_W} + 1, 1) + 1),
+             i -> i + len(hs[i:i+{_WIN_W - 1}])
+                  - list_position(list_reverse(hs[i:i+{_WIN_W - 1}]),
+                                  list_min(hs[i:i+{_WIN_W - 1}]))))
+         ELSE CAST([] AS BIGINT[]) END AS poss
+  FROM h
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[p] AS fp
+FROM sel, unnest(poss) AS u(p)
+""")
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprint selection (the MOSS algorithm): hash
+    every 3-token gram, slide a {_WIN_W}-gram window, keep the window
+    minimum (rightmost on ties), dedupe positions. The selection
+    guarantee: two documents sharing a span of ≥ {_WIN_W}+2 tokens
+    ALWAYS share a selected fingerprint value (a full window fits
+    inside the shared region and both sides pick the same minimum), at
+    ~2/{_WIN_W + 1} of the full gram density — the index a plagiarism /
+    near-copy detector probes instead of every gram (text_rolling_hash
+    keeps ALL grams; this is its sub-sampled, recall-guaranteed twin).
+
+    Scale path: entirely in-row (bind the gram-hash array once, then a
+    transform computes each window's rightmost argmin via
+    reverse+array_position — no per-window sort), zero shuffle, output
+    ~2/{_WIN_W + 1} of gram count. Selection is exact integer
+    comparison on md5-derived 60-bit hashes — engine-identical."""
+    d = parallel_scan(spark,
+                      load_table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"),
+                      "doc_id")
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.expr("transform(sequence(1, size(toks) - 2),"
+               " i -> CAST(conv(substring(md5(concat_ws(' ',"
+               " slice(toks, i, 3))), 1, 15), 16, 10) AS BIGINT))")
+    ).otherwise(F.array().cast("array<bigint>"))
+    poss = F.when(
+        F.size("hs") >= 1,
+        F.array_distinct(F.expr(f"""
+          transform(sequence(1, greatest(size(hs) - {_WIN_W} + 1, 1)),
+            i -> CAST(i AS BIGINT) + size(slice(hs, i, {_WIN_W}))
+                 - array_position(reverse(slice(hs, i, {_WIN_W})),
+                                  array_min(slice(hs, i, {_WIN_W}))))"""))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (d.select("doc_id", tokens("text").alias("toks"))
+            .select("doc_id", grams.alias("hs"))
+            .select("doc_id", "hs", F.explode(poss).alias("pos"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.element_at("hs", F.col("pos").cast("int")).alias("fp")))
+
+
+# ---------------------------------------------------------------------------
 # learned char-n-gram language ID (the scale path past _LANG_MARKERS)
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ MAX_SHUFFLES = {
     "lineitem_ship_minute_projection": 0,
     "embedding_quantize_int8": 0,
     "text_repetition_stats": 0,   # in-row sorted-run counting, no explode
+    "text_winnowing": 0,          # in-row window-min selection, then explode
     "text_pii_redact": 0,         # regex scans + replace, pure map
     "corpus_sample_by_quality": 0,  # integer keep-rate vs salted hash, map
     "retrieval_bm25_topk": 1,     # the 1-row stats agg; scoring is a map
