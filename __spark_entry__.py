@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round 6 changed queries whose last driver-green row predates r5
     # (stale row + changed implementation — highest certification value).
+    "multimodal_image_phash",       # NEW in r6 (aHash/dHash via real codec)
+    "multimodal_phash_neardup",     # NEW in r6 (banded image near-dup)
     "dedup_jaccard_containment",    # NEW in r6 (asymmetric quote/subset dedup)
     "corpus_cluster_split",         # NEW in r6 (leakage-free cluster split)
     "text_winnowing",               # NEW in r6 (MOSS fingerprint selection)
@@ -90,13 +92,10 @@ _DRIVER_PRIORITY = [
     "text_quality_score",
     "text_lang_id",
     "text_repetition_stats",
-    "text_pii_redact",
-    "text_lang_id_confusion",
-    "similarity_topk_brute",
-    "similarity_topk_ivf",
-    "similarity_lsh_neardup",
     # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): similarity_kmeans_ivf,
+    # upstream parallel_scan changed): text_pii_redact, text_lang_id_confusion,
+    # similarity_topk_brute, similarity_topk_ivf, similarity_lsh_neardup,
+    # similarity_kmeans_ivf,
     # text_fingerprint,
     # embedding_quantize_int8,
     # similarity_lsh_buckets,

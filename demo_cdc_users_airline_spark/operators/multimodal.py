@@ -341,6 +341,196 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hashing over the REAL codec path: aHash + dHash,
+# then banded-Hamming near-dup pairs (the LAION-style image dedup loop)
+# ---------------------------------------------------------------------------
+
+# 60-bit hashes on purpose: they ride the same 4×15-bit band machinery
+# as the simhash family (pigeonhole-complete for hamming <= 3) and never
+# touch the int64 sign bit, so bit packing is plain integer arithmetic
+# in both engines. aHash grid 10×6, dHash grid 11×6 -> 10 comparisons/row.
+_AH_W, _AH_H, _DH_W = 10, 6, 11
+_PH_BANDS, _PH_BITS, _PH_MAX_HAMMING = 4, 15, 3
+_PH_MASK = (1 << _PH_BITS) - 1
+
+
+def _byte_rule(src: str) -> str:
+    """DuckDB expression for the generative pixel byte at flat index
+    ``src`` of the {PNG_W}×{PNG_H} source image (0 for empty docs)."""
+    return (f"CASE WHEN strlen(text) = 0 THEN 0 ELSE"
+            f" ascii(substr(text, CAST(({src}) % strlen(text) AS INT) + 1,"
+            f" 1)) END")
+
+
+# flat index j over the 10×6 aHash grid: y = j//10 (source row y*8//6),
+# x = j%10 (source col x*16//10); dHash reads the 11-wide grid's
+# adjacent columns at x*16//11 and (x+1)*16//11 on the same rows
+_A_SRC = f"(((j // {_AH_W}) * {PNG_H}) // {_AH_H}) * {PNG_W}" \
+         f" + (((j % {_AH_W}) * {PNG_W}) // {_AH_W})"
+_DL_SRC = f"(((j // {_AH_W}) * {PNG_H}) // {_AH_H}) * {PNG_W}" \
+          f" + (((j % {_AH_W}) * {PNG_W}) // {_DH_W})"
+_DR_SRC = f"(((j // {_AH_W}) * {PNG_H}) // {_AH_H}) * {PNG_W}" \
+          f" + ((((j % {_AH_W}) + 1) * {PNG_W}) // {_DH_W})"
+
+_PHASH_CTES = f"""arrs AS (
+  SELECT doc_id,
+         list_transform(range(60), j -> {_byte_rule(_A_SRC)}) AS a60,
+         list_transform(range(60), j -> {_byte_rule(_DL_SRC)}) AS dl,
+         list_transform(range(60), j -> {_byte_rule(_DR_SRC)}) AS dr
+  FROM documents
+),
+sums AS (SELECT doc_id, a60, dl, dr, list_sum(a60) AS ssum FROM arrs),
+sig AS (
+  SELECT doc_id AS media_id,
+         CAST(list_sum(list_transform(range(60), j ->
+           CASE WHEN 60 * a60[CAST(j AS INT) + 1] > ssum
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS ahash,
+         CAST(list_sum(list_transform(range(60), j ->
+           CASE WHEN dr[CAST(j AS INT) + 1] > dl[CAST(j AS INT) + 1]
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS dhash
+  FROM sums
+)"""
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, ahash, dhash) through the REAL codec: synthesize the
+    standard {PNG_W}×{PNG_H} PNG per document, decode it back, resize
+    with the real nearest-neighbor kernel to both hash grids, compare
+    integers. Cached: the hash table is the persisted artifact image
+    dedup probes repeatedly."""
+    import numpy as np
+
+    from ..sources.loader import load_table, parallel_scan
+    from .media_codec import decode_image, encode_png_gray, resize_nearest
+
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ahs, dhs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                if b:
+                    src = np.frombuffer(b, dtype=np.uint8)
+                    px = src[np.arange(PNG_H * PNG_W) % len(b)] \
+                        .reshape(PNG_H, PNG_W)
+                else:
+                    px = np.zeros((PNG_H, PNG_W), dtype=np.uint8)
+                payload = encode_png_gray(px, filter_type=int(doc_id) % 3)
+                _, _, dec = decode_image(payload)
+                g = dec[:, :, 0]
+                a60 = resize_nearest(g, _AH_W, _AH_H).astype(np.int64) \
+                    .reshape(-1)
+                s = int(a60.sum())
+                ah = 0
+                for j in range(60):
+                    if 60 * int(a60[j]) > s:
+                        ah |= 1 << j
+                d11 = resize_nearest(g, _DH_W, _AH_H).astype(np.int64)
+                dh = 0
+                for j in range(60):
+                    y, x = divmod(j, _AH_W)
+                    if int(d11[y, x + 1]) > int(d11[y, x]):
+                        dh |= 1 << j
+                ahs.append(ah)
+                dhs.append(dh)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "ahash": pd.Series(ahs, dtype="int64"),
+                "dhash": pd.Series(dhs, dtype="int64"),
+            })
+
+    return d.mapInPandas(
+        kernel, "media_id long, ahash long, dhash long").cache()
+
+
+@q("multimodal_image_phash", f"""
+WITH {_PHASH_CTES}
+SELECT media_id, ahash, dhash FROM sig
+""")
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes via the REAL codec: every document's
+    synthesized PNG is encoded, decoded (chunk walk + inflate +
+    unfilter), resized with the genuine nearest-neighbor kernel to the
+    10×6 aHash grid (bit = pixel strictly above the grid mean, as
+    integer cross-multiplication 60·px > Σpx — no division) and the
+    11×6 dHash grid (bit = right neighbor strictly brighter). The
+    DuckDB oracle replays the generative byte rule + the resize index
+    arithmetic, so any codec or index error breaks the hash.
+
+    Scale path: one Arrow-batched mapInPandas pass (per-row CPU, no
+    shuffle); the output is 24 bytes/image — the persisted fingerprint
+    table an image-dedup pipeline probes. 60-bit on purpose: rides the
+    proven 4×15 band layout and stays clear of int64 sign arithmetic."""
+    return _phash_frame(spark, sf_dir)
+
+
+@q("multimodal_phash_neardup", f"""
+WITH {_PHASH_CTES},
+bands AS (
+  SELECT media_id, b.band,
+         (ahash >> ({_PH_BITS} * b.band)) & {_PH_MASK} AS band_key, ahash, dhash
+  FROM sig CROSS JOIN (SELECT unnest(range({_PH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.media_id < b.media_id
+)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(s1.ahash, s2.ahash)) AS BIGINT) AS hamming_a,
+       CAST(bit_count(xor(s1.dhash, s2.dhash)) AS BIGINT) AS hamming_d
+FROM cand c
+JOIN sig s1 ON s1.media_id = c.id1
+JOIN sig s2 ON s2.media_id = c.id2
+WHERE bit_count(xor(s1.ahash, s2.ahash)) <= {_PH_MAX_HAMMING}
+""")
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: band-bucketed
+    candidates on the 60-bit aHash (4×15 bands — pigeonhole-complete
+    for hamming ≤ {_PH_MAX_HAMMING}), verified by exact Hamming
+    distance, with the dHash distance riding along as the secondary
+    signal (a pair close in BOTH is a strong visual duplicate; aHash
+    alone can collide on flat images). This is the LAION-style image
+    dedup loop, end to end through a real codec.
+
+    Scale path: identical to dedup_simhash_pairs — the hash table is
+    one map pass (cached, 24-byte rows), banding shuffles 8-byte keys,
+    verification joins touch candidates only. Never all-pairs."""
+    sig = _phash_frame(spark, sf_dir)
+    sig.count()  # one codec pass serves bands + both verify joins
+    bands = sig.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"(ahash >> ({_PH_BITS} * {b})) & {_PH_MASK}")
+                     .alias("band_key"))
+            for b in range(_PH_BANDS)])).alias("bd")) \
+        .select("media_id", "bd.band", "bd.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("id1"),
+                    F.col("b.media_id").alias("id2"))
+            .distinct())
+    s1 = sig.select(F.col("media_id").alias("id1"),
+                    F.col("ahash").alias("a1"), F.col("dhash").alias("d1"))
+    s2 = sig.select(F.col("media_id").alias("id2"),
+                    F.col("ahash").alias("a2"), F.col("dhash").alias("d2"))
+    ham_a = F.bit_count(F.expr("a1 ^ a2")).cast("long")
+    ham_d = F.bit_count(F.expr("d1 ^ d2")).cast("long")
+    return (cand.join(s1, "id1").join(s2, "id2")
+            .select("id1", "id2", ham_a.alias("hamming_a"),
+                    ham_d.alias("hamming_d"))
+            .filter(F.col("hamming_a") <= _PH_MAX_HAMMING))
+
+
+# ---------------------------------------------------------------------------
 # REAL GIF round-trip: multi-frame encode -> LZW decode -> frame sample
 # ---------------------------------------------------------------------------
 
