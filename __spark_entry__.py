@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round 6 changed queries whose last driver-green row predates r5
     # (stale row + changed implementation — highest certification value).
+    "similarity_hard_negatives",    # NEW in r6 (contrastive pair mining)
+    "corpus_token_spectrum",        # NEW in r6 (count-of-counts / hapax)
+    "corpus_chunk_overlap",         # NEW in r6 (RAG sliding-window chunks)
     "multimodal_image_phash",       # NEW in r6 (aHash/dHash via real codec)
     "multimodal_phash_neardup",     # NEW in r6 (banded image near-dup)
     "dedup_jaccard_containment",    # NEW in r6 (asymmetric quote/subset dedup)
@@ -89,11 +92,9 @@ _DRIVER_PRIORITY = [
     "corpus_ngram_overlap",
     "corpus_curation_pipeline",
     "corpus_source_scorecard",
-    "text_quality_score",
-    "text_lang_id",
-    "text_repetition_stats",
     # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): text_pii_redact, text_lang_id_confusion,
+    # upstream parallel_scan changed): text_quality_score, text_lang_id,
+    # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
     # similarity_topk_brute, similarity_topk_ivf, similarity_lsh_neardup,
     # similarity_kmeans_ivf,
     # text_fingerprint,

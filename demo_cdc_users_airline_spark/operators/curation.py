@@ -325,6 +325,66 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# retrieval chunking (sliding window with overlap)
+# ---------------------------------------------------------------------------
+
+_CH_SIZE = 32     # tokens per retrieval chunk
+_CH_STRIDE = 24   # window stride → _CH_SIZE - _CH_STRIDE tokens of overlap
+
+
+@q("corpus_chunk_overlap", rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), {_CH_STRIDE})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {_CH_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({_CH_SIZE}, n - start_tok) AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(toks, start_tok + 1,
+                                  least(start_tok + {_CH_SIZE}, n)),
+                       ' ') AS chunk_text
+FROM c
+""")
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking: each document is cut into
+    {_CH_SIZE}-token chunks every {_CH_STRIDE} tokens, so consecutive
+    chunks share {_CH_SIZE - _CH_STRIDE} tokens of overlap — the
+    standard RAG indexing transform (overlap keeps answers that
+    straddle a cut retrievable; contrast corpus_pack_chunks, which
+    packs for TRAINING with no overlap and cross-doc concat).
+
+    Scale path: pure per-row explode — the token array binds in a
+    prior projection (one split per doc, not per chunk), chunk starts
+    come from sequence()+posexplode, and the slice/join runs in-row.
+    Zero shuffles; output is ~n_tokens/{_CH_STRIDE} rows per doc,
+    written straight to the chunk index. Chunk ids are deterministic
+    (start // stride), so re-runs upsert cleanly."""
+    t = (parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                       "doc_id")
+         .select("doc_id", _tx.tokens("text").alias("toks"))
+         .withColumn("n", F.size("toks")))
+    c = t.select(
+        "doc_id", "toks", "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1,
+                                F.lit(_CH_STRIDE)))
+        .alias("chunk_id", "start_tok"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(_CH_SIZE), F.col("n") - F.col("start_tok"))
+        .cast("long").alias("chunk_tokens"),
+        F.array_join(F.slice(F.col("toks"), F.col("start_tok") + 1,
+                             F.lit(_CH_SIZE)), " ").alias("chunk_text"))
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation verdict
 # ---------------------------------------------------------------------------
 

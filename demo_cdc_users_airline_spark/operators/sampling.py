@@ -101,6 +101,56 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.lit(float(total))).alias("frequency")))
 
 
+@q("corpus_token_spectrum", """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS tok_count FROM toks GROUP BY token
+),
+spec AS (
+  SELECT tok_count AS freq, count(*) AS n_types,
+         tok_count * count(*) AS token_mass
+  FROM freq GROUP BY tok_count
+),
+tot AS (SELECT CAST(sum(token_mass) AS BIGINT) AS total FROM spec)
+SELECT freq, CAST(n_types AS BIGINT) AS n_types,
+       CAST(token_mass AS BIGINT) AS token_mass,
+       CAST(token_mass AS DOUBLE) / (SELECT total FROM tot) AS mass_share
+FROM spec
+""")
+def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency spectrum (count-of-counts): for each occurrence
+    count f, how many distinct token types occur exactly f times and
+    what share of the total token mass they carry. The freq=1 row is
+    the hapax-legomenon count — the classic Zipf/Heaps corpus
+    diagnostic an LM-data curator reads before choosing vocabulary
+    size and rare-token cutoffs (Good-Turing smoothing consumes this
+    exact table).
+
+    Scale path: two chained partial-aggregatable groupBys — token
+    counts (map-side combine shrinks the shuffle to |vocab| per
+    partition), then the spectrum over |vocab| rows collapses to
+    |distinct counts| (≈ hundreds) rows. The grand total folds in as a
+    broadcast scalar, not a partition-less window. Integer counts +
+    one double division — engine-exact."""
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+    spec = (freq.groupBy(F.col("tok_count").alias("freq"))
+            .agg(F.count(F.lit(1)).alias("n_types"))
+            .select("freq", "n_types",
+                    (F.col("freq") * F.col("n_types")).alias("token_mass")))
+    total = spec.agg(F.sum("token_mass")).collect()[0][0]
+    return spec.select(
+        "freq", "n_types", "token_mass",
+        (F.col("token_mass").cast("double")
+         / F.lit(float(total))).alias("mass_share"))
+
+
 @q("dataset_sample_split", f"""
 WITH toks AS (
   SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens

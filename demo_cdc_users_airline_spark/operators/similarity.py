@@ -262,6 +262,76 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn"))
 
 
+# Hard-negative mining (contrastive training data): for each anchor in
+# a bounded probe set, the k most-similar vectors whose class label
+# DIFFERS from the anchor's — the "hard" negatives a contrastive or
+# retrieval trainer pairs with each anchor (easy negatives are random;
+# hard ones are the near-misses that carry the gradient signal).
+HN_K = 5
+HN_N_ANCHORS = 8
+
+
+@q("similarity_hard_negatives", f"""
+WITH sq AS ({QUANT_SQL}),
+sqn AS (
+  SELECT vec_id, label, qv,
+         list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM sq
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, CAST(a.label AS BIGINT) AS query_label,
+         b.vec_id AS neighbor_id, CAST(b.label AS BIGINT) AS neighbor_label,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM sqn a JOIN sqn b ON b.label <> a.label
+  WHERE a.vec_id < {HN_N_ANCHORS}
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {HN_K}
+""")
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-{HN_K} highest-cosine candidates with a DIFFERENT label.
+
+    Uses the quantized-int64 cosine convention (micro-quantize once,
+    exact order-independent integer dots — see module comment), so the
+    ranking is bit-identical to the DuckDB oracle.
+
+    Scale path: identical shape to similarity_topk_brute — the bounded
+    anchor set broadcasts, the candidate table is scanned exactly once
+    (label-mismatch filter is a map-side predicate, no shuffle of the
+    big side), and per-anchor top-k partial-aggregates. At real scale
+    the anchor set is a training batch (10³-10⁴ rows — still broadcast
+    material) and the scan parallelizes over however many executors
+    hold the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qn = e.select("vec_id", F.col("label").cast("long").alias("label"),
+                  quantize_expr("embedding").alias("qv"))
+    anchors = (qn.filter(F.col("vec_id") < HN_N_ANCHORS)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("query_label"),
+                       F.col("qv").alias("q_qv"))
+               .withColumn("q_nn", qdot("q_qv", "q_qv")))
+    cand = (parallel_scan(spark, qn, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("neighbor_label"),
+                    F.col("qv").alias("c_qv"))
+            .withColumn("c_nn", qdot("c_qv", "c_qv")))
+    joined = cand.join(
+        F.broadcast(anchors),
+        F.col("neighbor_label") != F.col("query_label"))
+    cosine = qdot("q_qv", "c_qv") / F.sqrt(F.col("q_nn") * F.col("c_nn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (joined.select("query_id", "query_label", "neighbor_id",
+                          "neighbor_label", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= HN_K)
+            .drop("__rn"))
+
+
 @q("similarity_neardup_cosine", f"""
 WITH qn AS ({QUANT_SQL}),
 qnn AS (

@@ -97,6 +97,15 @@ MAX_SHUFFLES = {
     "text_lang_id_ngram": 3,  # r5: serving = doc-keyed conditional-sum agg
     # + final left join; profile learning runs once per session (separate
     # memoized jobs, not in this plan)
+    # round-6 late additions
+    "corpus_chunk_overlap": 0,      # bind-toks projection + posexplode, map
+    "corpus_token_spectrum": 2,     # token groupBy + |vocab|→|counts| agg;
+    # grand total folds in as a collected broadcast scalar
+    "similarity_hard_negatives": 1,  # anchors broadcast; per-anchor top-k
+    # window is the only exchange (bounded by the anchor set)
+    "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
+    "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the
+    # cached 24-byte/row signature frame (broadcast side)
 }
 
 
