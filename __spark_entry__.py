@@ -38,6 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round 6 changed queries whose last driver-green row predates r5
     # (stale row + changed implementation — highest certification value).
+    "dedup_graph_pagerank",         # NEW in r6 (near-dup graph centrality)
+    "retrieval_tfidf_topk",         # NEW in r6 (classic lnn TF-IDF)
+    "similarity_matryoshka_recall", # NEW in r6 (dim-truncation curve)
+    "corpus_temperature_sample",    # NEW in r6 (mixture materialization)
+    "orders_table_profile",         # NEW in r6 (column profiler card)
+    "multimodal_jpeg_roundtrip",    # NEW in r6 (REAL baseline DCT codec)
     "similarity_hard_negatives",    # NEW in r6 (contrastive pair mining)
     "corpus_token_spectrum",        # NEW in r6 (count-of-counts / hapax)
     "corpus_chunk_overlap",         # NEW in r6 (RAG sliding-window chunks)
@@ -86,14 +92,12 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_pairs",
     "dedup_cluster_labels",
     "dedup_duplicate_spans",
-    "dedup_cluster_keep_best",
-    "corpus_decontaminate",
-    "corpus_decontaminate_bloom",
-    "corpus_ngram_overlap",
-    "corpus_curation_pipeline",
-    "corpus_source_scorecard",
     # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): text_quality_score, text_lang_id,
+    # upstream parallel_scan changed): dedup_cluster_keep_best,
+    # corpus_decontaminate,
+    # corpus_decontaminate_bloom, corpus_ngram_overlap,
+    # corpus_curation_pipeline, corpus_source_scorecard,
+    # text_quality_score, text_lang_id,
     # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
     # similarity_topk_brute, similarity_topk_ivf, similarity_lsh_neardup,
     # similarity_kmeans_ivf,

@@ -520,3 +520,100 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.lit(1000000.0)
                         * F.col("n_tokens").cast("double")))
                     .alias("kl_nats")))
+
+
+# ---------------------------------------------------------------------------
+# temperature-resampled corpus materialization: APPLY the mixture weights —
+# emit each document floor/ceil(repeat_factor) times so the realized token
+# mixture matches the tau = 0.5 target (the epoch-expansion step that turns
+# DoReMi-style weights into an actual training corpus)
+# ---------------------------------------------------------------------------
+
+# repeat_factor in ppm, rendered VERBATIM into both engines so the IEEE
+# trees are identical: rf = (s_micro / s_tot) / (m / tok_tot), all four
+# inputs exact int64s (identifiers s_micro, s_tot, m, tok_tot in scope).
+_RF_PPM_SQL = """
+  CAST(floor(1000000.0 *
+    (CAST(s_micro AS DOUBLE) / CAST(s_tot AS DOUBLE))
+    / (CAST(m AS DOUBLE) / CAST(tok_tot AS DOUBLE))) AS BIGINT)
+"""
+
+
+@q("corpus_temperature_sample", f"""
+WITH c AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS m
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT source, m,
+         CAST(floor(1000000.0 * sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS s_micro
+  FROM c
+),
+t AS (
+  SELECT CAST(sum(m) AS BIGINT) AS tok_tot,
+         CAST(sum(s_micro) AS BIGINT) AS s_tot
+  FROM s
+),
+rf AS (
+  SELECT source, {_RF_PPM_SQL} AS rf_ppm FROM s CROSS JOIN t
+),
+docs AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+              AS BIGINT) AS n_tokens,
+         r.rf_ppm,
+         r.rf_ppm // 1000000
+           + CASE WHEN {_salted_hash_sql("temp_", "d.doc_id")} % 1000000
+                       < r.rf_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN rf r USING (source)
+)
+SELECT doc_id, source, n_tokens, rf_ppm, CAST(u.i AS BIGINT) AS copy
+FROM docs, unnest(range(1, copies + 1)) AS u(i)
+""")
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-sampled corpus (tau = 0.5 over
+    ``source`` token masses): each document is emitted
+    floor(rf) + Bernoulli(frac(rf)) times, where rf is its source's
+    repeat_factor — over-represented sources downsample (rf < 1 keeps
+    a deterministic salted-hash fraction), low-resource sources
+    epoch-repeat (rf > 1 duplicates rows with a ``copy`` index). The
+    expected realized token share of every source is exactly the
+    sqrt-flattened target — this is the operator that turns the
+    ``corpus_mixture_weights`` REPORT into a training dataset.
+
+    Scale path: one groupBy(source) pass builds the bounded mixture
+    table (sources × 1 rows, broadcast back); the corpus-side work is
+    a broadcast join + an in-row sequence explode — no shuffle of
+    document rows at all. Output size = Σ rf_s · |s|, the training
+    corpus the schedule demands. Exactness: rf is floored to int64 ppm
+    from exact-int inputs (one shared IEEE expression both engines);
+    the Bernoulli draw is the repo's salted-hash rule; the copy
+    explode guards Spark's DESCENDING sequence(1, 0) pitfall with an
+    explicit empty-array branch."""
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("m"))
+    s = c.select("source", "m",
+                 F.floor(F.lit(1000000.0) * F.sqrt(F.col("m").cast("double")))
+                 .cast("long").alias("s_micro"))
+    t = s.agg(F.sum("m").cast("long").alias("tok_tot"),
+              F.sum("s_micro").cast("long").alias("s_tot"))
+    rf = (s.crossJoin(F.broadcast(t))
+          .select("source", F.expr(_RF_PPM_SQL).alias("rf_ppm")))
+    bern = F.when(
+        _salted_hash("temp_", F.col("doc_id")) % 1000000
+        < F.col("rf_ppm") % 1000000, 1).otherwise(0)
+    docs = (d.select("doc_id", "source",
+                     F.size(tokens("text")).cast("long").alias("n_tokens"))
+            .join(F.broadcast(rf), "source")
+            .withColumn("copies",
+                        (F.expr("rf_ppm div 1000000") + bern).cast("long")))
+    return (docs.withColumn(
+                "copy",
+                F.explode(F.expr(
+                    "CASE WHEN copies >= 1 THEN sequence(CAST(1 AS BIGINT), copies)"
+                    " ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+            .select("doc_id", "source", "n_tokens", "rf_ppm", "copy"))

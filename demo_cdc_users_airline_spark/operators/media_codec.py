@@ -12,9 +12,9 @@ formats below, it is a genuine codec implementation:
 - **BMP** (BITMAPINFOHEADER): uncompressed 24-bit BI_RGB, bottom-up or
   top-down, with 4-byte row padding.
 
-Formats beyond these (JPEG, video, audio) still go through the stub in
-``operators.multimodal`` — implementing a DCT entropy decoder is out
-of scope — but the PIPELINE no longer needs a codec swap-in to do real
+- **GIF / WAV / JPEG** further down this module: LZW frame codec,
+  RIFF/PCM16 audio, and a baseline T.81 DCT entropy codec. Only video
+  containers (mp4/mkv) still go through the multimodal stub. The PIPELINE no longer needs a codec swap-in to do real
 work: `multimodal_png_roundtrip` (multimodal.py) encodes real PNGs
 from deterministic pixel content, decodes them back with THIS decoder
 inside the Arrow-batched stage, and hash-matches a DuckDB oracle that
@@ -381,7 +381,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, "list[np.ndarray]"]:
 # ---------------------------------------------------------------------------
 # WAV (RIFF/PCM16): the audio container — real chunk walk + sample codec.
 # With PNG/BMP (image) and GIF (frames), every modality the pipeline
-# models has at least one genuine codec; only lossy formats (JPEG, mp3,
+# models has at least one genuine codec; only lossy AUDIO/video (mp3,
 # mp4) remain stand-ins.
 # ---------------------------------------------------------------------------
 
@@ -428,3 +428,338 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     if rate is None or samples is None:
         raise ValueError("WAV: missing fmt/data chunk")
     return rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline, grayscale): a REAL DCT entropy codec —
+# marker structure, quantization, zigzag, Huffman entropy coding with
+# byte stuffing, DC prediction, and a full Huffman + dequant + IDCT
+# decoder. Pure Python/numpy; the standard Annex K Huffman tables.
+#
+# Exactness note for the oracle gate: JPEG is lossy in general, but a
+# block-CONSTANT 8x8 input has energy only in the DC coefficient (the
+# AC cosine sums cancel to ~1e-13, far under the quantization dead
+# zone), and with the all-8s quantization table declared below the DC
+# path is pure power-of-two float arithmetic — so encode→decode of
+# block-constant images is EXACTLY lossless and a SQL oracle can
+# predict every decoded pixel from the generative byte rule. General
+# images take the same code path and round-trip within normal JPEG
+# error (tested); constant blocks are simply the measurable subset.
+# ---------------------------------------------------------------------------
+
+JPEG_QUANT = 8  # all-8s table: DC = 8·(v−128) quantizes losslessly
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K (K.3.1) typical luminance Huffman specs: (BITS counts, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman code assignment (T.81 C.2): val -> (code, len)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+
+
+def _dct_matrix() -> "np.ndarray":
+    u = np.arange(8).reshape(-1, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, -1).astype(np.float64)
+    m = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] *= np.sqrt(0.125)
+    m[1:, :] *= 0.5
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)   # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
+    """Baseline sequential DCT JPEG, single grayscale component, all-8s
+    quantization table, Annex K Huffman tables. Handles any h×w ≥ 1
+    (blocks pad by edge replication)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8]
+            coef = _DCT_M @ block @ _DCT_M.T
+            q = np.floor(coef / JPEG_QUANT + 0.5).astype(np.int64)
+            zz = [int(q.flat[i]) for i in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            c, ln = _DC_ENC[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = _AC_ENC[0xF0]       # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                s = _category(v)
+                c, ln = _AC_ENC[(run << 4) | s]
+                bw.put(c, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = _AC_ENC[0x00]           # EOB
+                bw.put(c, ln)
+    qt = bytes([0]) + bytes(JPEG_QUANT for _ in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0x00, 0x3F, 0x00])
+    return (b"\xFF\xD8"
+            + _seg(0xDB, qt) + _seg(0xC0, sof)
+            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+            + _seg(0xDA, sos) + bw.flush() + b"\xFF\xD9")
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at any other
+    marker (leaving position on the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:   # RSTn: consumed by caller
+                raise _Restart()
+            else:
+                raise ValueError("JPEG: hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _Restart(Exception):
+    pass
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    return {(length, code): val
+            for val, (code, length) in _huff_codes(bits, vals).items()}
+
+
+def _read_symbol(br: "_BitReader", table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode baseline grayscale JPEG → (width, height, uint8 pixels).
+    Full marker walk (DQT/SOF0/DHT/SOS/DRI), Huffman entropy decode
+    with byte-unstuffing and restart handling, dequantize, IDCT."""
+    data = bytes(payload or b"")
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant table unsupported")
+                qtables[tq] = np.array(list(body[i + 1:i + 65]),
+                                       dtype=np.float64)
+                i += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise ValueError("JPEG: only single-component (gray)")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("JPEG: only baseline SOF0 supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+            quant = qtables[comp_q]
+            bh, bwid = -(-h // 8), -(-w // 8)
+            out = np.zeros((bh * 8, bwid * 8), dtype=np.float64)
+            br = _BitReader(data, pos)
+            prev_dc = 0
+            n_blocks = 0
+            bi = 0
+            while bi < bh * bwid:
+                try:
+                    zz = np.zeros(64, dtype=np.float64)
+                    s = _read_symbol(br, dc_tab)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    prev_dc += diff
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG: AC index overflow")
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+                except _Restart:
+                    # RSTn marker: skip it, reset the DC predictor
+                    br.pos += 2
+                    br.acc = br.n = 0
+                    prev_dc = 0
+                    continue
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * quant
+                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+                by, bx = divmod(bi, bwid)
+                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                bi += 1
+                n_blocks += 1
+                if restart_interval and n_blocks % restart_interval == 0 \
+                        and bi < bh * bwid:
+                    # expect (and consume) the restart marker
+                    try:
+                        br._fill()
+                    except _Restart:
+                        br.pos += 2
+                        br.acc = br.n = 0
+                        prev_dc = 0
+                    else:
+                        raise ValueError("JPEG: expected restart marker")
+            px = np.clip(np.floor(out + 128.0 + 0.5), 0, 255) \
+                .astype(np.uint8)
+            return w, h, px[:h, :w]
+        # APPn/COM and anything else: skipped
+    raise ValueError("JPEG: no scan data")

@@ -8,9 +8,10 @@ batch-wise through Arrow, not row-wise through pickle.
 
 PNG and BMP now decode FOR REAL via ``operators.media_codec`` (pure
 Python/numpy — zlib inflate, CRC verification, scanline unfiltering;
-hash-gated end-to-end by ``multimodal_png_roundtrip``). Containers
-needing heavyweight codecs (JPEG/ffmpeg/torchaudio) still go through
-``decode_image_stub``, which derives deterministic fake dimensions
+hash-gated end-to-end by ``multimodal_png_roundtrip``), and JPEG now
+has a REAL baseline DCT codec too (``multimodal_jpeg_roundtrip``).
+Containers needing heavyweight codecs (video/ffmpeg/torchaudio) still
+go through ``decode_image_stub``, which derives deterministic fake dimensions
 from the payload hash; the schema, batch shape, partitioning and UDF
 signatures are identical either way (tests/test_multimodal.py,
 tests/test_media_codec.py).
@@ -62,8 +63,9 @@ def decode_image_stub(payload: bytes, real_decode: bool = False) -> tuple[int, i
     ``operators.media_codec`` (pure Python/numpy: chunk walk + CRC +
     zlib inflate + unfiltering — see multimodal_png_roundtrip for the
     hash-gated end-to-end proof). This stub remains only for other
-    containers (JPEG/video/audio) where a DCT/entropy decoder is out
-    of scope: it returns deterministic fake (width, height) derived
+    containers (video formats) without a pure-Python codec here —
+    PNG/BMP/GIF/WAV/JPEG all decode for real via ``media_codec`` — and
+    returns deterministic fake (width, height) derived
     from the payload so the surrounding pipeline stays exercisable.
     """
     if real_decode:
@@ -666,7 +668,8 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     generative byte rule, so any bit error in the RIFF writer or reader
     breaks the hash. Together with PNG/BMP (image) and GIF (frames),
     every modality now has a genuine codec path; only lossy formats
-    (JPEG/mp3/mp4) remain stand-ins.
+    (mp3/mp4 video) remain stand-ins; JPEG decodes for real
+    (multimodal_jpeg_roundtrip).
 
     Scale path: two Arrow-batched mapInPandas stages, per-row CPU work,
     no shuffle."""
@@ -719,3 +722,95 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_kernel,
         "media_id long, sample_rate long, n_samples long,"
         " energy long, peak_abs long")
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG round-trip: baseline DCT entropy codec (media_codec.py) gated
+# end to end on block-constant images, where baseline JPEG with the all-8s
+# quantization table is EXACTLY lossless (DC-only blocks, power-of-two
+# arithmetic) — so the SQL oracle predicts every decoded pixel
+# ---------------------------------------------------------------------------
+
+JPEG_W, JPEG_H = 16, 16           # 2×2 grid of 8×8 blocks per document
+_JPEG_NB = (JPEG_W // 8) * (JPEG_H // 8)
+
+# block value rule: block b (row-major) is the constant ascii byte at
+# text position (b mod len); empty docs are all-zero images
+_JPEG_SUM = (f"64 * list_sum(list_transform(range({_JPEG_NB}),"
+             f" b -> ascii(substr(text,"
+             f" CAST(b % strlen(text) AS INT) + 1, 1))))")
+
+_JPEG_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST({JPEG_W} AS BIGINT) AS width,
+       CAST({JPEG_H} AS BIGINT) AS height,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE {_JPEG_SUM} END
+            AS BIGINT) AS pix_sum
+FROM documents
+"""
+
+
+@q("multimodal_jpeg_roundtrip", _JPEG_ORACLE)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format codec, end to end: per document, build a
+    {JPEG_W}×{JPEG_H} greyscale image whose four 8×8 blocks are constant
+    bytes of the doc's text, encode it as a genuine baseline JPEG
+    (forward DCT, quantization, zigzag, Annex-K Huffman entropy coding
+    with byte stuffing and DC prediction), then DECODE it with the full
+    marker-walk + Huffman + dequant + IDCT decoder and emit the exact
+    decoded pixel sum. Block-constant inputs make the round trip
+    EXACTLY lossless (energy only in the DC coefficient; the all-8s
+    quant table keeps the DC path power-of-two), so the DuckDB oracle
+    predicts the decoded sum from the generative byte rule — any bit
+    error in either direction of the codec breaks the hash. General
+    images take the same code path with normal JPEG error
+    (tests/test_media_codec.py bounds it).
+
+    Scale path: two Arrow-batched mapInPandas kernels, per-row CPU
+    work, no shuffle — the production decode shape for a multimodal
+    metadata pipeline."""
+    import numpy as np
+
+    from ..sources.loader import load_table, parallel_scan
+    from .media_codec import decode_jpeg, encode_jpeg_gray
+
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                px = np.zeros((JPEG_H, JPEG_W), dtype=np.uint8)
+                if b:
+                    for blk in range(_JPEG_NB):
+                        by, bx = divmod(blk, JPEG_W // 8)
+                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                            b[blk % len(b)]
+                payloads.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    media = d.mapInPandas(encode_kernel, "media_id long, payload binary")
+
+    def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for payload in pdf["payload"]:
+                w, h, px = decode_jpeg(payload)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "pix_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        decode_kernel,
+        "media_id long, width long, height long, pix_sum long")

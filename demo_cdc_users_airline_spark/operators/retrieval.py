@@ -419,3 +419,86 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id: long, mmr_rank: long, neighbor_id: long,"
              " relevance: double, mmr_score: double")
+
+
+# ---------------------------------------------------------------------------
+# classic TF-IDF ranked retrieval (lnn weighting) — the pre-BM25 baseline
+# every IR stack still exposes; sharing the BM25 scan/stats shape makes the
+# two models directly comparable on identical corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_term_sql(t: str) -> str:
+    """One query term's TF-IDF partial score in int64 micros — rendered
+    verbatim into BOTH engines (identifiers tf_<t>, df_<t>, n_docs in
+    scope). (1 + ln tf) · ln((1+N)/(1+df)), the smoothed lnn scheme —
+    zero when the term is absent (ln is never fed 0)."""
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN CAST(floor(1000000.0 * ("
+        f"(1.0 + ln(CAST(tf_{t} AS DOUBLE)))"
+        f" * ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(df_{t} AS DOUBLE)))"
+        f")) AS BIGINT) ELSE 0 END")
+
+
+_TFIDF_SCORE_SQL = " + ".join(_tfidf_term_sql(t) for t in QUERY_TERMS)
+
+
+@q("retrieval_tfidf_topk", f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}"
+                    for t in QUERY_TERMS)}
+  FROM t
+),
+st AS (
+  SELECT count(*) AS n_docs,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                    for t in QUERY_TERMS)}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         {_TFIDF_SCORE_SQL} AS score_micro
+  FROM d CROSS JOIN st
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {TOP_K}
+""")
+def retrieval_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (lnn) top-{TOP_K} for the fixed query term set —
+    the classic vector-space baseline beside BM25, on the SAME corpus
+    statistics (per-term df, N) so model comparisons are apples to
+    apples.
+
+    Scale path identical to BM25: per-term tf is an in-row ``filter()``
+    count over the bound token array (the big side is never shuffled),
+    corpus stats collapse to one broadcast row, per-term scores
+    quantize to int64 micros BEFORE the cross-term sum (exact integer
+    addition — the repo's fixed-point oracle rule), and the top-k is
+    TakeOrderedAndProject. At 100 TB the only data movement is the
+    1-row stats aggregate and k rows to the driver."""
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    base = d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", F.size("__toks").alias("dl"),
+        *[F.expr(f"size(filter(__toks, w -> w = '{t}'))").alias(f"tf_{t}")
+          for t in QUERY_TERMS])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+          for t in QUERY_TERMS])
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id", F.col("dl").cast("long").alias("n_tokens"),
+                    F.expr(_TFIDF_SCORE_SQL).alias("score_micro"))
+            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            .limit(TOP_K)
+            .select("doc_id", "n_tokens", "score_micro",
+                    (F.col("score_micro").cast("double") / F.lit(1000000.0))
+                    .alias("score")))

@@ -545,3 +545,122 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("scale") == 0, 0)
          .otherwise(F.least(F.lit(127), F.greatest(F.lit(-127), qv)))
          .cast("long").alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation analysis: how much recall survives serving on a
+# PREFIX of the embedding (MRL, Kusupati et al. 2022) — the dim-vs-quality
+# dial an embedding store tunes before provisioning its ANN tier
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)   # prefix lengths; 64 = full dim (recall 1.0)
+_MRL_K = 5                    # recall@5, same depth as the brute baseline
+# queries = vec_id < 8, the module's standard bounded probe set
+
+
+def _mrl_cos_sql(d: int) -> str:
+    return (f"list_dot_product(c.qv[1:{d}]::DOUBLE[], q.qv[1:{d}]::DOUBLE[])"
+            f" / sqrt(c.nn{d} * q.nn{d})")
+
+
+@q("similarity_matryoshka_recall", f"""
+WITH sq AS ({QUANT_SQL}),
+pre AS MATERIALIZED (
+  SELECT vec_id, qv,
+         {", ".join(f"list_dot_product(qv[1:{d}]::DOUBLE[], qv[1:{d}]::DOUBLE[]) AS nn{d}"
+                    for d in _MRL_DIMS)}
+  FROM sq
+),
+pairs AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {", ".join(f"{_mrl_cos_sql(d)} AS cos{d}" for d in _MRL_DIMS)}
+  FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+),
+fulltk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos{_MRL_DIMS[-1]} DESC, neighbor_id)
+          <= {_MRL_K}
+),
+trunc AS (
+  {" UNION ALL ".join(f'''
+  SELECT CAST({d} AS BIGINT) AS dims, query_id, neighbor_id FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos{d} DESC, neighbor_id) <= {_MRL_K}'''
+                      for d in _MRL_DIMS)}
+)
+SELECT t.dims,
+       CAST(count(f.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS retrieved,
+       CAST(count(f.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS recall_at_{_MRL_K}
+FROM trunc t
+LEFT JOIN fulltk f ON f.query_id = t.query_id
+                  AND f.neighbor_id = t.neighbor_id
+GROUP BY t.dims
+""")
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_MRL_K} of prefix-truncated cosine top-k vs the full-dim
+    ranking, at prefix lengths {_MRL_DIMS} — the Matryoshka curve that
+    answers "how many dimensions does the serving tier actually need".
+
+    Dataflow: ONE candidate scan builds all four per-pair cosines
+    (quantized int64 prefix dots — exact, order-independent — with one
+    IEEE divide/sqrt per cosine, the module's fixed-point convention);
+    four bounded per-query windows extract the rank lists; the full-dim
+    list is the ground truth the truncated lists join against. Queries
+    are the standard bounded probe set (vec_id < 8), broadcast — the
+    candidate side is scanned exactly once and never shuffled; the
+    per-query top-k state is {_MRL_K} rows per window.
+
+    Scale path: identical to similarity_topk_brute plus three more
+    in-row expressions — the prefix dots reuse one zip_with product
+    array, so added dims cost arithmetic, not passes. At 100 TB the
+    probe set stays broadcast and the four windows stay
+    candidate-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pre = (parallel_scan(spark, e, "vec_id")
+           .select("vec_id", quantize_expr("embedding").alias("qv"))
+           .select("vec_id", "qv",
+                   *[F.expr(f"CAST(aggregate(slice(qv, 1, {d}),"
+                            f" CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+                            f" AS DOUBLE)").alias(f"nn{d}")
+                     for d in _MRL_DIMS]))
+    qset = (pre.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("qv").alias("q_qv"),
+                    *[F.col(f"nn{d}").alias(f"q_nn{d}") for d in _MRL_DIMS]))
+    pairs = (pre.crossJoin(F.broadcast(qset))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("__prod", F.expr("zip_with(qv, q_qv, (x, y) -> x * y)"))
+             .select(F.col("query_id"), F.col("vec_id").alias("neighbor_id"),
+                     *[(F.expr(f"CAST(aggregate(slice(__prod, 1, {d}),"
+                               f" CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)")
+                        / F.sqrt(F.col(f"nn{d}") * F.col(f"q_nn{d}")))
+                       .alias(f"cos{d}") for d in _MRL_DIMS]))
+    pairs = pairs.cache()  # one scan feeds the 4 rank lists + ground truth
+
+    def topk(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col(f"cos{d}").desc(),
+                                                   "neighbor_id")
+        return (pairs.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= _MRL_K)
+                .select("query_id", "neighbor_id"))
+
+    full = topk(_MRL_DIMS[-1])
+    trunc = None
+    for d in _MRL_DIMS:
+        t = topk(d).select(F.lit(d).cast("long").alias("dims"),
+                           "query_id", "neighbor_id")
+        trunc = t if trunc is None else trunc.unionByName(t)
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    return (trunc.join(full.withColumn("__hit", F.lit(1)),
+                       ["query_id", "neighbor_id"], "left")
+            .groupBy("dims")
+            .agg(F.sum(hit).cast("long").alias("hits"),
+                 F.count(F.lit(1)).cast("long").alias("retrieved"))
+            .select("dims", "hits", "retrieved",
+                    (F.col("hits").cast("double")
+                     / F.col("retrieved").cast("double"))
+                    .alias(f"recall_at_{_MRL_K}")))

@@ -223,3 +223,70 @@ def test_wav_roundtrip_and_validation():
         body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
                 + b"data" + st.pack("<I", 0))
         decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT): losslessness on block-constant inputs, bounded
+# error in general, byte stuffing, and strict marker handling
+# ---------------------------------------------------------------------------
+
+from demo_cdc_users_airline_spark.operators.media_codec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+
+
+def test_jpeg_block_constant_is_exact():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        vals = rng.integers(0, 256, (3, 2), dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        w, h, px = decode_jpeg(encode_jpeg_gray(img))
+        assert (w, h) == (16, 24)
+        assert (px == img).all()
+
+
+def test_jpeg_roundtrip_error_bounded_and_shapes():
+    rng = np.random.default_rng(11)
+    worst = 0
+    for _ in range(25):
+        hh, ww = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        w, h, px = decode_jpeg(encode_jpeg_gray(img))
+        assert (w, h) == (ww, hh)
+        assert px.shape == img.shape
+        worst = max(worst, int(np.abs(px.astype(int) - img.astype(int)).max()))
+    # all-8s quant: per-coefficient error <= 4, IDCT spreads it thin
+    assert worst <= 32
+
+
+def test_jpeg_byte_stuffing_really_happens():
+    # white image: DC diff 127*8/8 = 127 encodes with enough 1-bits that
+    # stuffed FF bytes appear across a few blocks
+    rng = np.random.default_rng(3)
+    seen = False
+    for _ in range(20):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        p = encode_jpeg_gray(img)
+        body = p[2:-2]
+        if b"\xff\x00" in body:
+            seen = True
+            w, h, px = decode_jpeg(p)   # and the decoder un-stuffs it
+            assert (w, h) == (16, 16)
+    assert seen
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    p = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    sof = p.find(b"\xff\xc0")
+    p[sof + 1] = 0xC2                   # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_smooth_gradient_small_error():
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    w, h, px = decode_jpeg(encode_jpeg_gray(gx))
+    assert int(np.abs(px.astype(int) - gx.astype(int)).max()) <= 2
