@@ -44,6 +44,8 @@ _DRIVER_PRIORITY = [
     "corpus_temperature_sample",    # NEW in r6 (mixture materialization)
     "orders_table_profile",         # NEW in r6 (column profiler card)
     "multimodal_jpeg_roundtrip",    # NEW in r6 (REAL baseline DCT codec)
+    "multimodal_mulaw_roundtrip",   # NEW in r6 (REAL G.711 lossy audio)
+    "multimodal_avi_frame_sample",  # NEW in r6 (REAL AVI/MJPEG container)
     "similarity_hard_negatives",    # NEW in r6 (contrastive pair mining)
     "corpus_token_spectrum",        # NEW in r6 (count-of-counts / hapax)
     "corpus_chunk_overlap",         # NEW in r6 (RAG sliding-window chunks)
@@ -90,10 +92,9 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_cluster_labels",
-    "dedup_duplicate_spans",
     # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): dedup_cluster_keep_best,
+    # upstream parallel_scan changed): dedup_cluster_labels,
+    # dedup_duplicate_spans, dedup_cluster_keep_best,
     # corpus_decontaminate,
     # corpus_decontaminate_bloom, corpus_ngram_overlap,
     # corpus_curation_pipeline, corpus_source_scorecard,

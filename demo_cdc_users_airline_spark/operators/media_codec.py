@@ -763,3 +763,124 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             return w, h, px[:h, :w]
         # APPn/COM and anything else: skipped
     raise ValueError("JPEG: no scan data")
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: a REAL lossy audio codec (the ITU-T telephony standard).
+# Both directions are deterministic INTEGER maps (sign/segment/mantissa
+# companding), so unlike DCT codecs the lossy round trip itself is
+# exactly replayable in SQL — the oracle can predict every decoded
+# sample AND the quantization error.
+# ---------------------------------------------------------------------------
+
+ULAW_BIAS, ULAW_CLIP = 132, 32635
+
+
+def encode_mulaw(samples: "np.ndarray") -> bytes:
+    """PCM16 → 8-bit mu-law (G.711). Vectorized integer arithmetic:
+    segment = MSB position of the biased magnitude (branch-free
+    threshold sum), mantissa = next 4 bits, all ones-complemented."""
+    s = np.asarray(samples, dtype=np.int64)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), ULAW_CLIP) + ULAW_BIAS
+    v = mag >> 7                      # in [1, 255] (bias keeps it >= 1)
+    e = sum((v >= (1 << k)).astype(np.int64) for k in range(1, 8))
+    m = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8).tobytes()
+
+
+def decode_mulaw(payload: bytes) -> "np.ndarray":
+    """8-bit mu-law → PCM16 (midpoint reconstruction — the standard
+    G.711 expansion ((m·8 + 132) << e) − 132)."""
+    u = (~np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+         .astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + ULAW_BIAS) << e) - ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG video: frames are genuine baseline
+# JPEGs (the codec above), wrapped in the standard hdrl/strl/movi chunk
+# layout. Writer + reader = the video modality's container walk is now
+# real code; per-frame decode reuses decode_jpeg.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Multi-frame AVI/MJPEG writer: RIFF('AVI ') with a structurally
+    valid hdrl (avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))
+    and a movi LIST of '00dc' JPEG chunks (even-offset padded)."""
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    h, w = frames[0].shape
+    payloads = [encode_jpeg_gray(f) for f in frames]
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,
+        len(frames), 0, 1, max_bytes, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            max_bytes, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi",
+                      b"".join(_riff_chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, "list[np.ndarray]"]:
+    """Decode AVI/MJPEG → (width, height, frames). Real container
+    walk: RIFF validation, top-level chunk iteration (even-offset
+    padding), movi sub-walk, per-'00dc' JPEG decode."""
+    data = bytes(payload or b"")
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("AVI: truncated RIFF")
+    frames: list[np.ndarray] = []
+    w = h = None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("AVI: truncated chunk")
+        if tag == b"LIST" and body[:4] == b"movi":
+            sub = 4
+            while sub + 8 <= len(body):
+                stag = body[sub:sub + 4]
+                (ssize,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                sbody = body[sub + 8:sub + 8 + ssize]
+                if len(sbody) != ssize:
+                    raise ValueError("AVI: truncated movi chunk")
+                if stag == b"00dc":
+                    fw, fh, px = decode_jpeg(sbody)
+                    if w is None:
+                        w, h = fw, fh
+                    elif (fw, fh) != (w, h):
+                        raise ValueError("AVI: frame size mismatch")
+                    frames.append(px)
+                sub += 8 + ssize + (ssize & 1)
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("AVI: no MJPEG frames found")
+    return w, h, frames

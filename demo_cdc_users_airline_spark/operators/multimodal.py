@@ -814,3 +814,198 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         decode_kernel,
         "media_id long, width long, height long, pix_sum long")
+
+
+# ---------------------------------------------------------------------------
+# REAL lossy audio: G.711 mu-law round trip. Both directions are
+# deterministic integer maps, so the ORACLE replays the lossy codec
+# itself — decoded samples AND quantization error are predicted in SQL.
+# ---------------------------------------------------------------------------
+
+MULAW_N = 64   # samples per document
+
+# sample rule: s_i = byte(i mod len)·257 − 32768 — full-scale PCM16
+# sweep including negatives; empty docs are silence (all zeros).
+# DuckDB lambdas cannot hold subqueries, so intermediates chain through
+# struct-packing list_transforms (the "bind in a prior projection" rule,
+# applied inside the oracle).
+
+_MULAW_ORIG = (f"list_transform(range({MULAW_N}), i ->"
+               f" ascii(substr(text, CAST(i % strlen(text) AS INT) + 1, 1))"
+               f" * 257 - 32768)")
+
+_MULAW_E = " + ".join(f"CASE WHEN (r.a // 128) >= {1 << k} THEN 1 ELSE 0 END"
+                      for k in range(1, 8))
+
+_MULAW_DEC = f"""list_transform(
+  list_transform(
+    list_transform(
+      list_transform({_MULAW_ORIG},
+        s -> struct_pack(s := s, a := least(abs(s), 32635) + 132)),
+      r -> struct_pack(s := r.s, a := r.a, e := {_MULAW_E})),
+    r -> struct_pack(s := r.s,
+                     rec := (((r.a // (1 << (r.e + 3))) % 16) * 8 + 132)
+                            * (1 << r.e) - 132)),
+  r -> CASE WHEN r.s < 0 THEN -r.rec ELSE r.rec END)"""
+
+_MULAW_ORACLE = f"""
+WITH dd AS (
+  SELECT doc_id, strlen(text) AS n,
+         {_MULAW_DEC} AS dec, {_MULAW_ORIG} AS orig
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST({MULAW_N} AS BIGINT) AS n_samples,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_sum(dec) END
+            AS BIGINT) AS decoded_sum,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE list_max(list_transform(list_zip(dec, orig),
+                                         p -> abs(p[1] - p[2]))) END
+            AS BIGINT) AS max_abs_err
+FROM dd
+"""
+
+
+@q("multimodal_mulaw_roundtrip", _MULAW_ORACLE)
+def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy audio codec, end to end: per document, synthesize
+    {MULAW_N} full-scale PCM16 samples from its text bytes, compress
+    them through genuine G.711 mu-law companding (sign/segment/mantissa,
+    the ITU-T telephony standard), expand back, and emit the decoded
+    sample sum plus the max quantization error. Unlike DCT codecs the
+    lossy map is pure integer arithmetic, so the DuckDB oracle replays
+    the CODEC ITSELF — any bit error in either direction breaks the
+    hash, and the emitted max_abs_err is the true companding distortion.
+
+    Scale path: one Arrow-batched mapInPandas kernel, vectorized numpy
+    integer ops per row, no shuffle."""
+    import numpy as np
+
+    from ..sources.loader import load_table, parallel_scan
+    from .media_codec import decode_mulaw, encode_mulaw
+
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums, errs = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                if b:
+                    src = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    s = (src[np.arange(MULAW_N) % len(b)] * 257
+                         - 32768).astype(np.int16)
+                    dec = decode_mulaw(encode_mulaw(s)).astype(np.int64)
+                    sums.append(int(dec.sum()))
+                    errs.append(int(np.abs(dec - s.astype(np.int64)).max()))
+                else:
+                    sums.append(0)
+                    errs.append(0)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "n_samples": pd.Series([MULAW_N] * len(pdf), dtype="int64"),
+                "decoded_sum": pd.Series(sums, dtype="int64"),
+                "max_abs_err": pd.Series(errs, dtype="int64"),
+            })
+
+    return d.mapInPandas(
+        kernel,
+        "media_id long, n_samples long, decoded_sum long, max_abs_err long")
+
+
+# ---------------------------------------------------------------------------
+# REAL video container: AVI/MJPEG frame sampling — RIFF hdrl/movi walk,
+# per-'00dc' baseline-JPEG decode (block-constant frames => exact)
+# ---------------------------------------------------------------------------
+
+AVI_W, AVI_H, AVI_FRAMES, AVI_EVERY_K = 8, 8, 4, 2
+
+# frame rule: frame f is the CONSTANT byte at text position (f mod len),
+# so each MJPEG frame is one DC-only block and decodes exactly
+_AVI_FRAME_SUM = (f"{AVI_W * AVI_H} * ascii(substr(text,"
+                  f" CAST(f % strlen(text) AS INT) + 1, 1))")
+
+_AVI_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(f AS BIGINT) AS frame_no,
+       CAST({AVI_W} AS BIGINT) AS width,
+       CAST({AVI_H} AS BIGINT) AS height,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE {_AVI_FRAME_SUM} END
+            AS BIGINT) AS pix_sum
+FROM documents,
+     unnest([{", ".join(str(f) for f in range(0, AVI_FRAMES, AVI_EVERY_K))}])
+       AS u(f)
+"""
+
+
+@q("multimodal_avi_frame_sample", _AVI_ORACLE)
+def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline, end to end: per document, synthesize
+    {AVI_FRAMES} single-block frames from its text bytes, wrap them as
+    genuine baseline JPEGs inside a structurally valid AVI/MJPEG
+    container (RIFF hdrl/strl/movi + '00dc' chunks), then walk the
+    container back, JPEG-decode every frame, keep every
+    {AVI_EVERY_K}-th one (the standard frame-sampling step a video
+    curation pipeline runs), and emit exact per-frame pixel sums. The
+    oracle predicts each sampled frame's sum from the byte rule —
+    container framing, chunk padding, and both codec directions are all
+    on the hash path. Retires the video stub: every modality
+    (image/frames/audio/video container) now has a genuine codec.
+
+    Scale path: one Arrow-batched mapInPandas kernel per stage, no
+    shuffle; output is (doc × sampled frames) rows."""
+    import numpy as np
+
+    from ..sources.loader import load_table, parallel_scan
+    from .media_codec import decode_avi, encode_avi_mjpeg
+
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                frames = []
+                for f in range(AVI_FRAMES):
+                    v = b[f % len(b)] if b else 0
+                    frames.append(np.full((AVI_H, AVI_W), v, dtype=np.uint8))
+                payloads.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": pd.Series(payloads, dtype="object"),
+                                "has_text": [len((t or "").encode()) > 0
+                                             for t in pdf["text"]]})
+
+    media = d.mapInPandas(encode_kernel,
+                          "media_id long, payload binary, has_text boolean")
+
+    def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ws, hs, sums = [], [], [], [], []
+            for media_id, payload, has_text in zip(
+                    pdf["media_id"], pdf["payload"], pdf["has_text"]):
+                w, h, frames = decode_avi(payload)
+                for f in range(0, len(frames), AVI_EVERY_K):
+                    ids.append(media_id)
+                    fnos.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(frames[f].astype(np.int64).sum())
+                                if has_text else 0)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(fnos, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "pix_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        decode_kernel,
+        "media_id long, frame_no long, width long, height long, pix_sum long")

@@ -290,3 +290,76 @@ def test_jpeg_smooth_gradient_small_error():
     gx = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
     w, h, px = decode_jpeg(encode_jpeg_gray(gx))
     assert int(np.abs(px.astype(int) - gx.astype(int)).max()) <= 2
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law and the AVI/MJPEG container
+# ---------------------------------------------------------------------------
+
+from demo_cdc_users_airline_spark.operators.media_codec import (  # noqa: E402
+    ULAW_CLIP,
+    decode_avi,
+    decode_mulaw,
+    encode_avi_mjpeg,
+    encode_mulaw,
+)
+
+
+def test_mulaw_matches_scalar_replay():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, 2000).astype(np.int16)
+    dec = decode_mulaw(encode_mulaw(s))
+
+    def replay(x: int) -> int:
+        sign = x < 0
+        a = min(abs(x), ULAW_CLIP) + 132
+        v = a >> 7
+        e = sum(v >= (1 << k) for k in range(1, 8))
+        m = (a >> (e + 3)) & 15
+        rec = (((m << 3) + 132) << e) - 132
+        return -rec if sign else rec
+
+    assert all(replay(int(x)) == int(d) for x, d in zip(s, dec))
+    # companding error bound: half the largest segment step (<< e=7 cell)
+    err = np.abs(dec.astype(int) - s.astype(int))
+    assert err.max() <= 1024
+    # small samples compress nearly losslessly
+    small = np.arange(-64, 64, dtype=np.int16)
+    derr = np.abs(decode_mulaw(encode_mulaw(small)).astype(int)
+                  - small.astype(int))
+    assert derr.max() <= 4
+
+
+def test_mulaw_extremes_and_silence():
+    s = np.array([0, 1, -1, 32767, -32768], dtype=np.int16)
+    dec = decode_mulaw(encode_mulaw(s))
+    assert int(dec[0]) == 0
+    assert abs(int(dec[3]) - 32635) <= 1024   # clip region
+    assert int(dec[4]) < -31000
+
+
+def test_avi_mjpeg_roundtrip_exact_on_constant_frames():
+    frames = [np.full((8, 16), v, dtype=np.uint8) for v in (3, 120, 255)]
+    w, h, out = decode_avi(encode_avi_mjpeg(frames))
+    assert (w, h) == (16, 8)
+    assert len(out) == 3
+    assert all((a == b).all() for a, b in zip(frames, out))
+
+
+def test_avi_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")
+    p = encode_avi_mjpeg([np.zeros((8, 8), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        decode_avi(p[:40])
+
+
+def test_avi_general_frames_bounded_error():
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (16, 16), dtype=np.uint8)
+              for _ in range(4)]
+    w, h, out = decode_avi(encode_avi_mjpeg(frames))
+    assert (w, h, len(out)) == (16, 16, 4)
+    worst = max(int(np.abs(o.astype(int) - f.astype(int)).max())
+                for f, o in zip(frames, out))
+    assert worst <= 32
