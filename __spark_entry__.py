@@ -46,6 +46,9 @@ _DRIVER_PRIORITY = [
     "multimodal_jpeg_roundtrip",    # NEW in r6 (REAL baseline DCT codec)
     "multimodal_mulaw_roundtrip",   # NEW in r6 (REAL G.711 lossy audio)
     "multimodal_avi_frame_sample",  # NEW in r6 (REAL AVI/MJPEG container)
+    "corpus_curation_funnel",       # NEW in r6 (stage-by-stage survival)
+    "corpus_topic_keywords",        # NEW in r6 (c-TF-IDF topic labels)
+    "events_limit3_by_user",        # NEW in r6 (LIMIT n BY key, n>1)
     "similarity_hard_negatives",    # NEW in r6 (contrastive pair mining)
     "corpus_token_spectrum",        # NEW in r6 (count-of-counts / hapax)
     "corpus_chunk_overlap",         # NEW in r6 (RAG sliding-window chunks)
@@ -89,11 +92,9 @@ _DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): dedup_cluster_labels,
+    # upstream parallel_scan changed): dedup_minhash_lsh_pairs, dedup_simhash,
+    # dedup_simhash_pairs, dedup_cluster_labels,
     # dedup_duplicate_spans, dedup_cluster_keep_best,
     # corpus_decontaminate,
     # corpus_decontaminate_bloom, corpus_ngram_overlap,

@@ -622,3 +622,79 @@ def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(coalesce(n_found, 0) * 1000000"
                            " DIV n_shingles AS BIGINT)")
                     .alias("coverage_micro")))
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: the stage-by-stage survival report — what each filter
+# costs, in corpus docs (the first chart in every dataset paper)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("quality", "exact_dedup", "neardup_dedup", "decontaminate")
+
+
+@q("corpus_curation_funnel", f"""
+WITH verdict AS ({_curation_oracle_sql()}),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(quality_pass) AS s1,
+         sum(quality_pass * exact_canonical) AS s2,
+         sum(quality_pass * exact_canonical * neardup_canonical) AS s3,
+         sum(retained) AS s4
+  FROM verdict
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
+       CAST(n0 AS BIGINT) AS n_in, CAST(s1 AS BIGINT) AS n_out,
+       CAST(n0 - s1 AS BIGINT) AS dropped,
+       CAST(s1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+FROM agg
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(s1 AS BIGINT),
+       CAST(s2 AS BIGINT), CAST(s1 - s2 AS BIGINT),
+       CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)
+FROM agg
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'neardup_dedup', CAST(s2 AS BIGINT),
+       CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT),
+       CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE)
+FROM agg
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'decontaminate', CAST(s3 AS BIGINT),
+       CAST(s4 AS BIGINT), CAST(s3 - s4 AS BIGINT),
+       CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE)
+FROM agg
+""")
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL: docs surviving after each filter applied in
+    pipeline order (quality → exact dedup → near-dup canonical →
+    decontamination), with per-stage drop counts and retention rates —
+    the cut-by-cut accounting the scorecard's per-source view doesn't
+    give.
+
+    Composes the memoized per-document verdict frame (one CC fixpoint
+    per session, shared with the pipeline/scorecard queries); the
+    funnel itself is ONE combinable aggregate over (doc_id, 5 flags)
+    rows unpivoted into 4 stage rows — nothing touches corpus-sized
+    data after the verdict exists. Counts are exact integers; each
+    retention is a single IEEE division of two exact int64s."""
+    v = curation_verdict(spark, sf_dir)
+    agg = v.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("quality_pass").alias("s1"),
+        F.sum(F.col("quality_pass") * F.col("exact_canonical")).alias("s2"),
+        F.sum(F.col("quality_pass") * F.col("exact_canonical")
+              * F.col("neardup_canonical")).alias("s3"),
+        F.sum("retained").alias("s4"))
+    stack = ("stack(4, "
+             "1L, 'quality', n0, s1, "
+             "2L, 'exact_dedup', s1, s2, "
+             "3L, 'neardup_dedup', s2, s3, "
+             "4L, 'decontaminate', s3, s4"
+             ") AS (stage, stage_name, n_in, n_out)")
+    return (agg.select(F.expr(stack))
+            .select("stage", "stage_name",
+                    F.col("n_in").cast("long").alias("n_in"),
+                    F.col("n_out").cast("long").alias("n_out"),
+                    (F.col("n_in") - F.col("n_out")).cast("long")
+                    .alias("dropped"),
+                    (F.col("n_out").cast("double")
+                     / F.col("n_in").cast("double")).alias("retention")))

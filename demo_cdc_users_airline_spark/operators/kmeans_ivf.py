@@ -940,3 +940,118 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cell").cast("long").alias("cluster_id"),
                     "n_docs", "total_sq_err", "top_source")
             .orderBy("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF topic keywords (the BERTopic labeling step): name each topic
+# cluster by the tokens most characteristic of it
+# ---------------------------------------------------------------------------
+
+TOPIC_TOP_WORDS = 5
+
+# per-(cluster, token) c-TF-IDF in int64 micros, rendered VERBATIM into
+# both engines (identifiers c, tot_c, f, tot in scope; K = cluster
+# count as a literal so both engines parse the same double):
+# score = (c / tot_c) · ln(1 + (tot / K) / f)
+_CTFIDF_SQL = (f"CAST(floor(1000000.0 * "
+               f"(CAST(c AS DOUBLE) / CAST(tot_c AS DOUBLE))"
+               f" * ln(1.0 + (CAST(tot AS DOUBLE) / {TOPIC_K}.0)"
+               f" / CAST(f AS DOUBLE))) AS BIGINT)")
+
+
+def _topic_keywords_oracle_sql() -> str:
+    from .sampling import _salted_hash_sql
+
+    dims_sql = f"""SELECT d.doc_id AS vec_id, r.range AS dim,
+         CAST(coalesce(t.tf, 0) AS BIGINT) AS val
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range({TOPIC_BUCKETS}) r
+  LEFT JOIN (
+    SELECT doc_id, {_salted_hash_sql("clust_", "w")} % {TOPIC_BUCKETS} AS b,
+           count(*) AS tf
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+  ) t ON t.doc_id = d.doc_id AND t.b = r.range"""
+    ctes = _kmeans_ctes(TOPIC_K, 3, dims_sql=dims_sql,
+                        ids_sql="SELECT DISTINCT doc_id AS vec_id FROM documents")
+    return ("WITH " + ctes + f""",
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+ct AS (
+  SELECT a.cell, t.w, count(*) AS c
+  FROM tok t JOIN asgfin a ON a.vec_id = t.doc_id
+  GROUP BY 1, 2
+),
+tc AS (SELECT cell, sum(c) AS tot_c FROM ct GROUP BY 1),
+ft AS (SELECT w, sum(c) AS f FROM ct GROUP BY 1),
+g AS (SELECT sum(c) AS tot FROM ct),
+scored AS (
+  SELECT ct.cell, ct.w, ct.c, {_CTFIDF_SQL} AS ctfidf_micro
+  FROM ct JOIN tc USING (cell) JOIN ft USING (w) CROSS JOIN g
+)
+SELECT CAST(cell AS BIGINT) AS cluster_id, w AS token,
+       CAST(c AS BIGINT) AS tok_count, ctfidf_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY ctfidf_micro DESC, w) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOPIC_TOP_WORDS}""")
+
+
+@q("corpus_topic_keywords", _topic_keywords_oracle_sql())
+def corpus_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF keywords per topic cluster (the BERTopic class-based
+    TF-IDF): for each of the {TOPIC_K} k-means topic slices, the
+    {TOPIC_TOP_WORDS} tokens with the highest
+    (tf within cluster) · ln(1 + avg-cluster-mass / corpus-tf) — the
+    human-readable topic labels a curation report prints beside the
+    cluster sizes.
+
+    Scale path: reuses the memoized topic codebook (assignments cost
+    one broadcast-codebook pass over the cached feature frame); the
+    keyword table derives from ONE (cluster, token) aggregate of the
+    exploded corpus — |clusters|×|vocab| rows max, with the per-cluster
+    and per-token marginals broadcast back onto it (k rows and |vocab|
+    rows respectively). The final top-k is a bounded per-cluster
+    window. Exactness: integer counts everywhere; the score quantizes
+    to int64 micros from one shared IEEE expression before ranking,
+    ties broken by token."""
+    from pyspark.sql import Window
+
+    from .text import tokens as _tokens
+
+    vectors = _topic_vectors(spark, sf_dir)
+    centroids = cached_scalar(
+        spark, sf_dir, f"topic_codebook_k{TOPIC_K}_b{TOPIC_BUCKETS}",
+        lambda: kmeans_fit(vectors, k=TOPIC_K, iters=3))
+    assigned = assign_cells(vectors, centroids) \
+        .select(F.col("id").alias("doc_id"), "cell")
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("w"))
+    ct = (tok.join(assigned, "doc_id")
+          .groupBy("cell", "w").agg(F.count(F.lit(1)).alias("c"))
+          .cache())
+    tc = ct.groupBy("cell").agg(F.sum("c").alias("tot_c"))
+    ft = ct.groupBy("w").agg(F.sum("c").alias("f"))
+    g = ct.agg(F.sum("c").alias("tot"))
+    scored = (ct.join(F.broadcast(tc), "cell")
+              .join(ft, "w")
+              .crossJoin(F.broadcast(g))
+              .select("cell", "w", "c",
+                      F.expr(_CTFIDF_SQL).alias("ctfidf_micro")))
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("ctfidf_micro").desc(), F.col("w"))
+    return (scored.withColumn("rnk", F.row_number().over(w_rank))
+            .filter(F.col("rnk") <= TOPIC_TOP_WORDS)
+            .select(F.col("cell").cast("long").alias("cluster_id"),
+                    F.col("w").alias("token"),
+                    F.col("c").cast("long").alias("tok_count"),
+                    "ctfidf_micro",
+                    F.col("rnk").cast("long").alias("rnk")))

@@ -1080,3 +1080,34 @@ def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dec_sum("value").alias("total_value"))
             .select("event_type", F.col("hr").cast("long").alias("hr"),
                     "g_type", "g_hour", "n_events", "total_value"))
+
+
+@q("events_limit3_by_user", """
+SELECT user_id, CAST(rn AS BIGINT) AS recency_rank, event_id, event_type,
+       value, CAST(ts AS TIMESTAMP) AS ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn <= 3
+""")
+def events_limit3_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 generalized: ClickHouse `LIMIT n BY key` for n > 1 — the last
+    3 events per user with an explicit recency rank (the activity-feed
+    query every CDC consumer serves; `cdc_latest_row_per_key` is the
+    n = 1 special case).
+
+    Scale path: identical to D1 — ONE hash shuffle on the key, then a
+    per-key bounded window (rank state = n rows per key, never the full
+    history); at scale the window evaluates per partition after the
+    exchange, so no global sort exists anywhere. Total order (ts DESC,
+    event_id DESC) makes every rank engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (ev.withColumn("recency_rank", F.row_number().over(w))
+            .filter(F.col("recency_rank") <= 3)
+            .select("user_id",
+                    F.col("recency_rank").cast("long").alias("recency_rank"),
+                    "event_id", "event_type", "value", "ts"))

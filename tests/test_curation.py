@@ -154,3 +154,29 @@ def test_keep_best_policy_per_cluster(spark):
         assert k["doc_id"] == best["doc_id"]         # highest quality wins
         assert all(k["quality_score"] >= r["quality_score"]
                    for r in members)
+
+
+def test_curation_funnel_is_consistent_with_verdict(spark):
+    from demo_cdc_users_airline_spark.operators.curation import (
+        corpus_curation_funnel, curation_verdict)
+
+    sf = "/root/testdata/sf0.001"
+    v = {r["doc_id"]: r for r in curation_verdict(spark, sf).collect()}
+    rows = {r["stage"]: r for r in
+            corpus_curation_funnel(spark, sf).collect()}
+    assert [rows[s]["stage_name"] for s in (1, 2, 3, 4)] == [
+        "quality", "exact_dedup", "neardup_dedup", "decontaminate"]
+    n0 = len(v)
+    s1 = sum(r["quality_pass"] for r in v.values())
+    s2 = sum(r["quality_pass"] * r["exact_canonical"] for r in v.values())
+    s3 = sum(r["quality_pass"] * r["exact_canonical"]
+             * r["neardup_canonical"] for r in v.values())
+    s4 = sum(r["retained"] for r in v.values())
+    chain = [(1, n0, s1), (2, s1, s2), (3, s2, s3), (4, s3, s4)]
+    for stage, n_in, n_out in chain:
+        r = rows[stage]
+        assert (r["n_in"], r["n_out"]) == (n_in, n_out)
+        assert r["dropped"] == n_in - n_out
+        assert r["retention"] == n_out / n_in
+    # the funnel is monotone and ends at the pipeline's retained count
+    assert n0 >= s1 >= s2 >= s3 >= s4 > 0

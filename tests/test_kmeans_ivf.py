@@ -204,3 +204,51 @@ def test_ann_recall_curve_monotone_and_consistent(spark):
     per_query = similarity_ann_recall(spark, SF).collect()
     assert rows[2]["n_hits"] == sum(r["n_hits"] for r in per_query)
     assert rows[2]["n_queries"] == len(per_query)
+
+
+def test_topic_keywords_are_cluster_characteristic(spark):
+    import math
+
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        TOPIC_K, TOPIC_TOP_WORDS, corpus_topic_keywords)
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_topic_keywords(spark, sf).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) <= set(range(TOPIC_K))
+    for cid, kws in by_cluster.items():
+        assert len(kws) == TOPIC_TOP_WORDS
+        assert [r["rnk"] for r in
+                sorted(kws, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+        # scores strictly ordered by (score desc, token) within cluster
+        ordered = sorted(kws, key=lambda r: (-r["ctfidf_micro"], r["token"]))
+        assert [r["rnk"] for r in ordered] == [1, 2, 3, 4, 5]
+        for r in kws:
+            assert r["tok_count"] >= 1
+            assert r["ctfidf_micro"] >= 0
+
+    # replay one cluster's scores from raw counts
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _topic_vectors, assign_cells, kmeans_fit)
+    vectors = _topic_vectors(spark, sf)
+    cents = kmeans_fit(vectors, k=TOPIC_K, iters=3)
+    cell = {r["id"]: r["cell"]
+            for r in assign_cells(vectors, cents).collect()}
+    ct, tc, ft, tot = {}, {}, {}, 0
+    for d in docs:
+        c = cell[d["doc_id"]]
+        for w in d["text"].strip().lower().split():
+            ct[(c, w)] = ct.get((c, w), 0) + 1
+            tc[c] = tc.get(c, 0) + 1
+            ft[w] = ft.get(w, 0) + 1
+            tot += 1
+    for r in rows:
+        key = (r["cluster_id"], r["token"])
+        assert ct[key] == r["tok_count"]
+        want = math.floor(1_000_000.0 * (ct[key] / tc[r["cluster_id"]])
+                          * math.log(1.0 + (tot / TOPIC_K)
+                                     / ft[r["token"]]))
+        assert r["ctfidf_micro"] == want

@@ -106,6 +106,27 @@ MAX_SHUFFLES = {
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the
     # cached 24-byte/row signature frame (broadcast side)
+    # round-6 continuation wave
+    "dedup_graph_pagerank": 16,     # 6 power-iteration rounds × (edge join
+    # + keyed integer sum) + degree/output joins — the canonical Pregel
+    # cost; every shuffle carries 16-byte edge/rank rows, and production
+    # pre-partitions the edge table once so rounds reuse one exchange
+    "retrieval_tfidf_topk": 1,      # the 1-row stats agg; scoring is a map
+    "similarity_matryoshka_recall": 8,  # 4 rank windows + truth join + final
+    # agg; all windows share the cached query_id-partitioned pairs frame
+    # at runtime (static tree re-prints the exchange per window)
+    "corpus_temperature_sample": 3,  # source agg (re-printed by the totals
+    # derivation) + the broadcast-rf doc join; the explode is in-row
+    "orders_table_profile": 2,      # ONE aggregate pass; the multi-distinct
+    # rewrite's Expand adds its partial/final exchange pair
+    "multimodal_jpeg_roundtrip": 0,   # Arrow mapInPandas codec passes
+    "multimodal_mulaw_roundtrip": 0,  # same — pure map, no shuffle
+    "multimodal_avi_frame_sample": 0,  # container walk + per-frame decode
+    "corpus_curation_funnel": 6,    # the composed verdict stages (memoized
+    # at runtime, shared with pipeline/scorecard) + the 1-row funnel agg
+    "corpus_topic_keywords": 6,     # assignment join + (cluster, token)
+    # agg + vocab/cluster marginal joins + bounded per-cluster window
+    "events_limit3_by_user": 1,     # ONE key shuffle; bounded per-key window
 }
 
 
