@@ -38,6 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round 6 changed queries whose last driver-green row predates r5
     # (stale row + changed implementation — highest certification value).
+    "dedup_edit_distance",          # NEW in r6 (Levenshtein candidate verify)
+    "corpus_pmi_collocations",      # NEW in r6 (PMI phrase mining)
+    "events_cumulative_users",      # NEW in r6 (first-touch growth curve)
+    "events_key_skew_report",       # NEW in r6 (heavy-hitter skew detector)
+    "orders_zorder_layout",         # NEW in r6 (Morton-curve layout report)
+    "events_agg_state_rollup",      # NEW in r6 (mergeable partial states)
+    "shipping_priority_topk",       # NEW in r6 (TPC-H Q3 join funnel)
+    "corpus_quality_percentile",    # NEW in r6 (windowless percent_rank)
+    "similarity_range_search",      # NEW in r6 (FAISS range_search mode)
+    "corpus_bigram_next_word",      # NEW in r6 (Markov argmax table)
     "dedup_graph_pagerank",         # NEW in r6 (near-dup graph centrality)
     "retrieval_tfidf_topk",         # NEW in r6 (classic lnn TF-IDF)
     "similarity_matryoshka_recall", # NEW in r6 (dim-truncation curve)
@@ -67,20 +77,10 @@ _DRIVER_PRIORITY = [
     "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
     "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
     "dedup_minhash_estimate",       # r6: parallel corpus scan
-    "corpus_pack_chunks",
-    "text_token_stats",
-    "corpus_topic_clusters",
     "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_rerank_topk",
     "score_dsir_importance",
-    "corpus_mixture_weights",
     "retrieval_bm25_topk",
     "retrieval_hybrid_rrf",
-    "dataset_sample_split",
-    "corpus_vocabulary",
     # Round 6 rewrites (driver-side BPE merge loop at N_MERGES=64,
     # broadcast-join lang-ID serving, degenerate-doc bigram guard).
     "text_bpe_merges",
@@ -92,8 +92,13 @@ _DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
-    # r6 changed but deferred to the r7 window (r5-verified, only the
-    # upstream parallel_scan changed): dedup_minhash_lsh_pairs, dedup_simhash,
+    # r6 changed but deferred to the r7 window (r2/r4-verified, only the
+    # upstream parallel_scan changed): corpus_pack_chunks, text_token_stats,
+    # corpus_topic_clusters, dataset_sample_split, corpus_vocabulary,
+    # corpus_mixture_weights, similarity_pq_adc_topk, similarity_ivfpq_topk,
+    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk —
+    # plus (r5-verified, same reason):
+    # dedup_minhash_lsh_pairs, dedup_simhash,
     # dedup_simhash_pairs, dedup_cluster_labels,
     # dedup_duplicate_spans, dedup_cluster_keep_best,
     # corpus_decontaminate,

@@ -1053,3 +1053,76 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce("n_dup", F.lit(0)).cast("double")
                  / F.nullif(F.coalesce("n_ngrams", F.lit(0)), F.lit(0)))
                 .alias("dup_frac")))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+@q("dedup_edit_distance", f"""
+WITH {_SIMHASH_CTES},
+bands AS (
+  SELECT doc_id, b.band, (simhash >> ({_SH_BITS} * b.band)) & {_SH_MASK} AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc1, c.doc2
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.doc1
+  JOIN sig s2 ON s2.doc_id = c.doc2
+  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {_SH_MAX_HAMMING}
+),
+m AS (
+  SELECT p.doc1, p.doc2,
+         CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist,
+         CAST(greatest(length(d1.text), length(d2.text)) AS BIGINT) AS max_len
+  FROM pairs p
+  JOIN documents d1 ON d1.doc_id = p.doc1
+  JOIN documents d2 ON d2.doc_id = p.doc2
+)
+SELECT doc1, doc2, edit_dist, max_len,
+       CAST(floor(1000000.0 * (1.0 - CAST(edit_dist AS DOUBLE)
+            / CAST(nullif(max_len, 0) AS DOUBLE))) AS BIGINT) AS sim_micro
+FROM m
+""")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verification of the SimHash
+    near-dup candidates: each banded-and-Hamming-verified pair gets an
+    exact Levenshtein distance plus a normalized similarity
+    ``sim_micro = floor(1e6 * (1 - dist / max_len))`` — the
+    strictest (and most expensive) of the near-dup signals, so it runs
+    LAST in the funnel, on the bounded candidate edge table only.
+
+    Scale path: Levenshtein is O(len1*len2) per pair — unrunnable
+    all-pairs, fine on the band-bucketed edge set (the cached
+    dedup_simhash_pairs frame; candidate count ∝ true near-dups, a
+    tiny fraction of the corpus). Text travels only for pair members:
+    the pair frame broadcasts into the documents scan twice, so the
+    corpus is never shuffled. Exactness: both engines implement the
+    classic character-level Levenshtein DP (verified identical), and
+    the similarity quantizes an int64 ratio through one double divide
+    in identical operation order.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    d = load_table(spark, sf_dir, "documents")
+    d1 = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("t1"))
+    d2 = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2"))
+    m = (F.broadcast(d1.join(F.broadcast(pairs), "doc1"))
+         .join(d2, "doc2")
+         .select("doc1", "doc2",
+                 F.expr("CAST(levenshtein(t1, t2) AS BIGINT)")
+                 .alias("edit_dist"),
+                 F.expr("CAST(greatest(length(t1), length(t2)) AS BIGINT)")
+                 .alias("max_len")))
+    return m.select(
+        "doc1", "doc2", "edit_dist", "max_len",
+        F.expr("CAST(floor(1000000.0 * (1.0 - CAST(edit_dist AS DOUBLE)"
+               " / CAST(nullif(max_len, 0) AS DOUBLE))) AS BIGINT)")
+        .alias("sim_micro"))

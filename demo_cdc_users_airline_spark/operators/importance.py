@@ -617,3 +617,134 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CASE WHEN copies >= 1 THEN sequence(CAST(1 AS BIGINT), copies)"
                     " ELSE CAST(array() AS ARRAY<BIGINT>) END")))
             .select("doc_id", "source", "n_tokens", "rf_ppm", "copy"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5   # ignore rare pairs (PMI is noise-dominated below this)
+PMI_TOP_K = 100
+
+
+@q("corpus_pmi_collocations", f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM toksrc, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+cl AS (SELECT w1, CAST(sum(c) AS BIGINT) AS lc FROM c2 GROUP BY 1),
+cr AS (SELECT w2, CAST(sum(c) AS BIGINT) AS rc FROM c2 GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS b FROM c2)
+SELECT c2.w1, c2.w2, CAST(c2.c AS BIGINT) AS pair_count,
+       cl.lc AS left_count, cr.rc AS right_count,
+       CAST(floor(1000000.0 * ln(
+         (CAST(c2.c AS DOUBLE) * CAST(tot.b AS DOUBLE))
+         / (CAST(cl.lc AS DOUBLE) * CAST(cr.rc AS DOUBLE))
+       )) AS BIGINT) AS pmi_micro
+FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+WHERE c2.c >= {PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {PMI_TOP_K}
+""")
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-k
+    adjacent word pairs whose co-occurrence most exceeds
+    chance — PMI = ln(p(w1,w2) / (p(w1·)·p(·w2))) over bigram-position
+    marginals, the classic phrase-discovery statistic (and the signal
+    behind word2vec-era phrase merging à la Mikolov et al. 2013).
+
+    Scale path: ONE exploded-bigram aggregation produces the pair
+    table; both marginals derive from the (much smaller) pair-count
+    table by partial re-aggregation — the corpus shuffles once. The
+    scoring joins co-partition on w1 / w2 and the corpus total rides a
+    broadcast scalar; the min-count filter prunes the long tail before
+    any join. Top-k is a distributed TakeOrdered, never a global sort.
+    Exactness: PMI evaluates as ln of int64 counts pushed through
+    identical double products (the repo's verified ln convention),
+    floored to int64 micros; (pmi, w1, w2) totally orders the output.
+    """
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    toksrc = d.select("doc_id", tokens("text").alias("toks"))
+    bg = (toksrc.select(F.explode(F.expr(
+        "transform(CASE WHEN size(toks) >= 2"
+        " THEN sequence(1, size(toks) - 1)"
+        " ELSE array() END,"
+        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
+        .select("b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cl = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("lc"))
+    cr = c2.groupBy("w2").agg(F.sum("c").cast("long").alias("rc"))
+    tot = c2.agg(F.sum("c").cast("long").alias("b"))
+    return (c2.filter(F.col("c") >= PMI_MIN_COUNT)
+            .join(cl, "w1").join(cr, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("c").cast("long").alias("pair_count"),
+                    F.col("lc").alias("left_count"),
+                    F.col("rc").alias("right_count"),
+                    F.expr(
+                        "CAST(floor(1000000.0 * ln("
+                        "(CAST(c AS DOUBLE) * CAST(b AS DOUBLE))"
+                        " / (CAST(lc AS DOUBLE) * CAST(rc AS DOUBLE))"
+                        ")) AS BIGINT)").alias("pmi_micro"))
+            .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+            .limit(PMI_TOP_K))
+
+
+@q("corpus_bigram_next_word", """
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM toksrc, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+cl AS (SELECT w1, CAST(sum(c) AS BIGINT) AS lc FROM c2 GROUP BY 1)
+SELECT c2.w1, c2.w2 AS next_word, CAST(c2.c AS BIGINT) AS pair_count,
+       cl.lc AS left_count,
+       CAST(c2.c * 1000000 // cl.lc AS BIGINT) AS prob_micro
+FROM c2 JOIN cl USING (w1)
+QUALIFY row_number() OVER (PARTITION BY w1
+                           ORDER BY c2.c DESC, c2.w2) = 1
+""")
+def corpus_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax next-word table of the corpus bigram model: for every
+    context word, its most likely successor with the (integer-exact)
+    conditional probability — the Markov-chain artifact behind
+    autocomplete, and the digest a data engineer eyeballs to see what
+    a corpus's bigram LM actually learned (score_bigram_logprob scores
+    docs with the same counts; this materializes the model's mode).
+
+    Scale path: everything downstream of the one exploded-bigram
+    aggregation operates on the (w1, w2) count table — vocab², not
+    corpus, sized. The context marginal, the per-context argmax window,
+    and the final join all ride the SAME HashPartitioning(w1) exchange
+    (the repo's one-shuffle window rule); ties break (count DESC, w2)
+    for a total order. prob_micro is int64 floor-division — exact."""
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    toksrc = d.select("doc_id", tokens("text").alias("toks"))
+    bg = (toksrc.select(F.explode(F.expr(
+        "transform(CASE WHEN size(toks) >= 2"
+        " THEN sequence(1, size(toks) - 1)"
+        " ELSE array() END,"
+        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
+        .select("b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cl = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("lc"))
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+    best = (c2.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+    return (best.join(cl, "w1")
+            .select("w1", F.col("w2").alias("next_word"),
+                    F.col("c").cast("long").alias("pair_count"),
+                    F.col("lc").alias("left_count"),
+                    F.expr("CAST(c * 1000000 DIV lc AS BIGINT)")
+                    .alias("prob_micro")))

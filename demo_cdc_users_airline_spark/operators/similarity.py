@@ -664,3 +664,48 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("hits").cast("double")
                      / F.col("retrieved").cast("double"))
                     .alias(f"recall_at_{_MRL_K}")))
+
+
+RANGE_TAU = 0.3  # range-search radius (cosine); results stay bounded
+# because unit-scale synthetic embeddings concentrate near orthogonal —
+# the same reason a FAISS range_search radius is picked per-dataset.
+
+
+@q("similarity_range_search", f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+)
+SELECT query_id, neighbor_id, cosine
+FROM pairs WHERE cosine >= {RANGE_TAU}
+""")
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (FAISS ``range_search``): ALL neighbors
+    within a similarity radius of each probe, not a fixed k — the
+    retrieval mode dedup audits and recall-sweeps need (top-k hides
+    how MANY near neighbors exist; range search surfaces it).
+
+    Scale path: strictly better than the top-k plan — the broadcast
+    probe set scans candidates once and the τ-filter is map-side, so
+    there is NO window, NO shuffle, and the output size is the true
+    neighbor count. At 100 TB pre-gate with the IVF cells
+    (kmeans_ivf) exactly as the top-k probes do. Exactness: the same
+    sequential-fold double cosine as similarity_topk_brute (verified
+    bit-identical vs list_dot_product), so the radius cut agrees on
+    every engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    cand = (parallel_scan(spark, e, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("c_emb"))
+            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
+    joined = cand.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cosine = (dot("q_emb", "c_emb")
+              / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm")))
+    return (joined.select("query_id", "neighbor_id",
+                          cosine.alias("cosine"))
+            .filter(F.col("cosine") >= RANGE_TAU))

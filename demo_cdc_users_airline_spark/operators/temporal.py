@@ -594,3 +594,80 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(first_longest, "user_id")
             .select("user_id", "n_streaks", "longest_streak",
                     "active_days", "longest_streak_start_day"))
+
+
+@q("events_cumulative_users", """
+WITH act AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(DISTINCT user_id) AS active_users
+  FROM events GROUP BY 1
+),
+fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day
+  FROM events GROUP BY 1
+),
+nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT a.day,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day)
+            AS BIGINT) AS cum_users
+FROM act a LEFT JOIN nu n ON n.day = a.day
+""")
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active, new, and CUMULATIVE distinct users — the growth
+    chart every product dashboard opens with. The naive formulation
+    (count(DISTINCT user) over an ever-growing window) re-scans all
+    history per day; this is the scalable dual: a distinct count is a
+    sum of FIRST TOUCHES, so per-user min(day) → per-day new-user
+    counts → one running sum reproduces the cumulative distinct
+    exactly, with each event shuffling once.
+
+    Scale path: both aggregations are partial-agg shuffles on bounded
+    keys (user, day). The running sum does NOT use a partition-less
+    window (the plan invariant the repo enforces): it is the textbook
+    distributed prefix sum — range-partition by day, a PER-PARTITION
+    local prefix (window keyed on the partition id), then add each
+    slice's base offset from a #partitions-row driver aggregate (the
+    corpus_curriculum_order 2-pass recipe, summing instead of
+    ranking). Every first day is an active day, so the left join never
+    drops a day. Exactness: pure int64 counts; the prefix is invariant
+    to where the range sampler puts slice boundaries because day is
+    totally ordered.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    act = (e.groupBy(day.alias("day"))
+           .agg(F.countDistinct("user_id").alias("active_users")))
+    nu = (e.groupBy("user_id").agg(F.min(day).alias("day"))
+          .groupBy("day").agg(F.count(F.lit(1)).alias("new_users")))
+    daily = (act.join(nu, "day", "left")
+             .select("day",
+                     F.col("active_users").cast("long")
+                     .alias("active_users"),
+                     F.coalesce("new_users", F.lit(0)).cast("long")
+                     .alias("new_users")))
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    # localCheckpoint pins ONE materialization of the sampled range
+    # exchange: the base-offset collect and the final read must see the
+    # same slice contents (see corpus_curriculum_order)
+    sliced = (daily.repartitionByRange(n_parts, "day")
+              .sortWithinPartitions("day")
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    wloc = (Window.partitionBy("__pid").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sizes = {r["__pid"]: r["s"] for r in
+             sliced.groupBy("__pid")
+             .agg(F.sum("new_users").alias("s")).collect()}
+    base, acc = {}, 0
+    for pid in sorted(sizes):
+        base[pid] = acc
+        acc += sizes[pid]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(base.items()) for x in kv])
+    return (sliced
+            .withColumn("__loc", F.sum("new_users").over(wloc))
+            .select("day", "active_users", "new_users",
+                    (base_map[F.col("__pid")] + F.col("__loc"))
+                    .cast("long").alias("cum_users")))

@@ -747,3 +747,72 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cell_ppm"),
                     F.when(F.col("actual_lang") == F.col("pred_lang"), 1)
                      .otherwise(0).cast("long").alias("is_diagonal")))
+
+
+@q("corpus_quality_percentile", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         len(list_filter(toks, w -> w IN {tuple(_STOPWORDS)})) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+                          BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                     THEN 1 ELSE 0 END AS DOUBLE) / 3 AS quality_score
+  FROM s
+)
+SELECT doc_id, lang, quality_score,
+       CAST(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score)
+            AS DOUBLE) AS pct_rank,
+       CAST(least(CAST(floor(10.0 * percent_rank() OVER
+              (PARTITION BY lang ORDER BY quality_score)) AS BIGINT), 9)
+            AS BIGINT) AS decile
+FROM sc
+""")
+def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language percentile normalization of the quality score —
+    the rank transform run before setting a per-language keep threshold
+    (raw quality scores are not comparable across languages; CCNet cuts
+    on exactly this kind of per-language quantile).
+
+    Spark-first scale shape: the oracle says ``percent_rank() OVER
+    (PARTITION BY lang ...)`` — but a per-language window sorts
+    |corpus|/|langs| rows per partition, the classic global-sort trap.
+    The engine computes the identical result WITHOUT any corpus-wide
+    window: per-(lang, score) counts (one partial-agg shuffle), a
+    cumulative rank over the tiny distinct-score table (bounded: langs ×
+    distinct scores), then a broadcast join back — percent_rank =
+    (#strictly-smaller) / (n-1) by definition, so the two forms agree
+    bit-for-bit (same int64 counts through one double divide).
+    ``decile`` buckets the percentile for threshold tables."""
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    sc = with_quality_score(d).select("doc_id", "lang", "quality_score")
+    cnt = (sc.groupBy("lang", "quality_score")
+           .agg(F.count(F.lit(1)).alias("c")))
+    wl = (Window.partitionBy("lang").orderBy("quality_score")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = cnt.select(
+        "lang", "quality_score",
+        F.coalesce(F.sum("c").over(wl), F.lit(0)).alias("lesser"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"))
+    pct = (F.when(F.col("n") > 1,
+                  F.col("lesser").cast("double")
+                  / (F.col("n") - 1).cast("double"))
+           .otherwise(F.lit(0.0)))
+    lookup = ranked.select(
+        "lang", "quality_score", pct.alias("pct_rank"),
+        F.least(F.floor(F.lit(10.0) * pct).cast("long"),
+                F.lit(9).cast("long")).alias("decile"))
+    return (sc.join(F.broadcast(lookup), ["lang", "quality_score"])
+            .select("doc_id", "lang", "quality_score", "pct_rank",
+                    "decile"))

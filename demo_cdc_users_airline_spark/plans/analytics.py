@@ -1111,3 +1111,58 @@ def events_limit3_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id",
                     F.col("recency_rank").cast("long").alias("recency_rank"),
                     "event_id", "event_type", "value", "ts"))
+
+
+@q("shipping_priority_topk", """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""")
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-10 for one
+    market segment — the canonical fact-fact-dim join + aggregate +
+    top-k that exercises the optimizer end to end (segment filter on
+    the dim, date filters pushed into BOTH fact scans, join order, and
+    a bounded TakeOrdered instead of a global sort).
+
+    Scale path: both date predicates push to the parquet scans
+    (min/max pruning drops whole files); the segment-filtered customer
+    side broadcasts (1/5 of a dim table — at 100 TB still MBs); the
+    orders⋈lineitem join shuffles on orderkey, which ALSO serves the
+    groupBy (one exchange, AQE coalesced); top-10 is a distributed
+    TakeOrdered heap. Exactness: revenue products round once in IEEE
+    double then sum in DECIMAL(38,6) (chcompat.dec_sum rule); (revenue
+    DESC, o_orderdate, l_orderkey) totally orders the result."""
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < cutoff)
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(o.join(F.broadcast(c),
+                           o["o_custkey"] == c["c_custkey"]),
+                    li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")))
+                       .cast("decimal(38,6)")).cast("double")
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
