@@ -677,7 +677,11 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END,"
         " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
         .select("b.w1", "b.w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # cache the pair-count table: BOTH marginals, the corpus total, and
+    # the scoring branch read it — without the cache each branch
+    # re-runs the corpus-sized explode+aggregate (4 corpus passes)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).cache()
+    c2.count()  # materialize once, before the branches fan out
     cl = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("lc"))
     cr = c2.groupBy("w2").agg(F.sum("c").cast("long").alias("rc"))
     tot = c2.agg(F.sum("c").cast("long").alias("b"))
@@ -737,7 +741,10 @@ def corpus_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END,"
         " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
         .select("b.w1", "b.w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # cache: the marginal and the argmax branch both read the pair
+    # table — one corpus pass instead of two (see corpus_pmi_collocations)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).cache()
+    c2.count()
     cl = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("lc"))
     w = Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
     best = (c2.withColumn("__rn", F.row_number().over(w))
