@@ -48,6 +48,11 @@ _DRIVER_PRIORITY = [
     "corpus_quality_percentile",    # NEW in r6 (windowless percent_rank)
     "similarity_range_search",      # NEW in r6 (FAISS range_search mode)
     "corpus_bigram_next_word",      # NEW in r6 (Markov argmax table)
+    "dedup_graph_triangles",        # NEW in r6 (clustering-coefficient census)
+    "score_bigram_accuracy",        # NEW in r6 (next-word model eval)
+    "events_reservoir_sample",      # NEW in r6 (k-per-stratum hash sample)
+    "users_customer_reconciliation",  # NEW in r6 (FULL OUTER audit)
+    "text_rake_keywords",           # NEW in r6 (RAKE phrase extraction)
     "dedup_graph_pagerank",         # NEW in r6 (near-dup graph centrality)
     "retrieval_tfidf_topk",         # NEW in r6 (classic lnn TF-IDF)
     "similarity_matryoshka_recall", # NEW in r6 (dim-truncation curve)
@@ -77,10 +82,6 @@ _DRIVER_PRIORITY = [
     "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
     "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
     "dedup_minhash_estimate",       # r6: parallel corpus scan
-    "similarity_pq_codes",
-    "score_dsir_importance",
-    "retrieval_bm25_topk",
-    "retrieval_hybrid_rrf",
     # Round 6 rewrites (driver-side BPE merge loop at N_MERGES=64,
     # broadcast-join lang-ID serving, degenerate-doc bigram guard).
     "text_bpe_merges",
@@ -91,12 +92,13 @@ _DRIVER_PRIORITY = [
     # the shipping plan changed — re-earn the row on current code).
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
     # r6 changed but deferred to the r7 window (r2/r4-verified, only the
     # upstream parallel_scan changed): corpus_pack_chunks, text_token_stats,
     # corpus_topic_clusters, dataset_sample_split, corpus_vocabulary,
     # corpus_mixture_weights, similarity_pq_adc_topk, similarity_ivfpq_topk,
-    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk —
+    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk,
+    # similarity_pq_codes, score_dsir_importance, retrieval_bm25_topk,
+    # retrieval_hybrid_rrf, dedup_minhash_signatures —
     # plus (r5-verified, same reason):
     # dedup_minhash_lsh_pairs, dedup_simhash,
     # dedup_simhash_pairs, dedup_cluster_labels,

@@ -151,3 +151,102 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("pr").alias("pagerank_micro"),
                     (F.col("pr").cast("double") / F.lit(1_000_000.0))
                     .alias("pagerank")))
+
+
+@q("dedup_graph_triangles", f"""
+WITH {_EDGES_SQL},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS deg FROM sym GROUP BY src
+),
+ori AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS lo,
+         CASE WHEN da.deg < db.deg
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS hi
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+),
+wed AS (
+  SELECT e1.lo AS a,
+         least(e1.hi, e2.hi) AS b, greatest(e1.hi, e2.hi) AS c
+  FROM ori e1 JOIN ori e2 ON e2.lo = e1.lo AND e1.hi < e2.hi
+),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM wed w JOIN edges e ON e.src = w.b AND e.dst = w.c
+),
+tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT t.n_nodes, ne.n_edges, t.n_wedges,
+       CAST(tri.n_tri AS BIGINT) AS n_triangles,
+       CAST(3 * tri.n_tri * 1000000 // nullif(t.n_wedges, 0) AS BIGINT)
+         AS global_cc_micro
+FROM tots t CROSS JOIN ne CROSS JOIN tri
+""")
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: triangle count, wedge
+    count, and the global clustering coefficient (3·triangles /
+    wedges) — the transitivity check on a dedup edge set. Near-dup
+    similarity SHOULD be nearly transitive (A≈B≈C ⟹ A≈C); a LOW
+    coefficient means the banding is chaining unrelated documents
+    through hubs, exactly the pathology that merges distinct documents
+    into one cluster — this query is the monitor for it.
+
+    Spark-first scale shape: the MapReduce triangle algorithm of
+    Suri & Vassilvitskii (WWW'11) — orient every edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges ONLY at
+    each triangle's minimum-order pivot (a high-degree hub node
+    acquires in-orientation, so it pivots almost nothing — the skew
+    killer for star graphs), and close them with one join back to the
+    id-canonical edge table. Every triangle is counted exactly once
+    (unique pivot; b < c by id). All joins run on the bounded MEMOIZED
+    edge table shared with PageRank/cluster labels — corpus text is
+    never touched. Exactness: pure int64 counts; the coefficient is
+    one integer floor-division.
+    """
+    edges = (dedup_simhash_pairs(spark, sf_dir)
+             .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")) \
+             .agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("node").alias("__na"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("__nb"), F.col("deg").alias("db"))
+    lower = (F.col("da") < F.col("db")) | \
+            ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
+    ori = (edges.join(da, F.col("src") == F.col("__na"))
+           .join(db, F.col("dst") == F.col("__nb"))
+           .select(F.when(lower, F.col("src")).otherwise(F.col("dst"))
+                   .alias("lo"),
+                   F.when(lower, F.col("dst")).otherwise(F.col("src"))
+                   .alias("hi")))
+    e1 = ori.select(F.col("lo").alias("a"), F.col("hi").alias("h1"))
+    e2 = ori.select(F.col("lo").alias("__a2"), F.col("hi").alias("h2"))
+    wed = (e1.join(e2, (F.col("a") == F.col("__a2"))
+                   & (F.col("h1") < F.col("h2")))
+           .select(F.least("h1", "h2").alias("b"),
+                   F.greatest("h1", "h2").alias("c")))
+    tri = (wed.join(edges, (F.col("b") == F.col("src"))
+                    & (F.col("c") == F.col("dst")))
+           .agg(F.count(F.lit(1)).alias("n_tri")))
+    tots = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long")
+        .alias("n_wedges"))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (tots.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_wedges",
+                    F.col("n_tri").cast("long").alias("n_triangles"),
+                    F.expr("CAST(3 * n_tri * 1000000"
+                           " DIV nullif(n_wedges, 0) AS BIGINT)")
+                    .alias("global_cc_micro")))

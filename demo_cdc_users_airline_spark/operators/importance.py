@@ -755,3 +755,65 @@ def corpus_bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lc").alias("left_count"),
                     F.expr("CAST(c * 1000000 DIV lc AS BIGINT)")
                     .alias("prob_micro")))
+
+
+@q("score_bigram_accuracy", """
+WITH toksrc AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toksrc, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+best AS (
+  SELECT w1, w2 AS nw FROM c2
+  QUALIFY row_number() OVER (PARTITION BY w1
+                             ORDER BY c DESC, w2) = 1
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(sum(CASE WHEN b.w2 = best.nw THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(CASE WHEN b.w2 = best.nw THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS accuracy_micro
+FROM bg b JOIN best ON best.w1 = b.w1
+GROUP BY b.lang
+""")
+def score_bigram_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-word accuracy of the corpus bigram model, per language —
+    the intrinsic eval that closes the model loop around
+    corpus_bigram_next_word (train: pair counts → serve: argmax table
+    → evaluate: how often the mode predicts the actual successor).
+    The train/serve/evaluate triple mirrors corpus_quality_classifier;
+    a language whose accuracy lags the others has under-represented
+    transitions — a mixture-rebalancing signal.
+
+    Scale path: the argmax table comes from the CACHED pair-count
+    frame (one corpus pass, shared with the next-word query in
+    session); scoring is a broadcast-sized join (|vocab| rows) against
+    the exploded bigram stream followed by one combinable aggregate —
+    every token position shuffles zero times. Exactness: int64 counts
+    and one floor-division per language.
+    """
+    best = (corpus_bigram_next_word(spark, sf_dir)
+            .select("w1", F.col("next_word").alias("nw")))
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    toksrc = d.select("lang", tokens("text").alias("toks"))
+    bg = (toksrc.select("lang", F.explode(F.expr(
+        "transform(CASE WHEN size(toks) >= 2"
+        " THEN sequence(1, size(toks) - 1)"
+        " ELSE array() END,"
+        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
+        .select("lang", "b.w1", "b.w2"))
+    hit = F.sum(F.when(F.col("w2") == F.col("nw"), 1).otherwise(0))
+    return (bg.join(F.broadcast(best), "w1")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_positions"),
+                 hit.cast("long").alias("n_correct"),
+                 F.expr("CAST(sum(CASE WHEN w2 = nw THEN 1 ELSE 0 END)"
+                        " * 1000000 DIV count(*) AS BIGINT)")
+                 .alias("accuracy_micro")))

@@ -464,3 +464,49 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f" * {_CURRICULUM_STAGES} DIV {n_total},"
                            f" {_CURRICULUM_STAGES - 1}) AS BIGINT)")
                     .alias("stage")))
+
+
+RESERVOIR_K = 5  # sample size per stratum
+
+
+@q("events_reservoir_sample", f"""
+WITH h AS (
+  SELECT event_type, event_id, user_id, ts, value,
+         {_salted_hash_sql("resv_", "event_id")} AS hsh
+  FROM events
+)
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY hsh, event_id) AS BIGINT)
+         AS sample_rank,
+       event_id, user_id, ts, value
+FROM h
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY hsh, event_id) <= {RESERVOIR_K}
+""")
+def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A uniform k-per-stratum sample of the events stream (k = 5 per
+    event type) — the "show me a few real rows of each kind" query
+    behind data previews, labeling batches, and debug fixtures. Rows
+    win by smallest salted hash, which is the distributed-reservoir
+    trick: hash order IS a uniform random order, but unlike
+    ``df.sample`` it is partition-independent, reproducible, and
+    per-stratum exact-k.
+
+    Scale path: one hash shuffle on the stratum key, then a bounded
+    per-key window (top-k heap state, never the full stream — the
+    LIMIT-n-BY-key plan). At 100 TB the same expression drives a
+    partial-aggregatable min-k: each map task keeps its local k
+    smallest hashes, so the exchange carries k rows per (task,
+    stratum). Exactness: md5-derived hashes are engine-identical and
+    (hsh, event_id) totally orders every stratum.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.select("event_type", "event_id", "user_id", "ts", "value",
+                 _salted_hash("resv_", F.col("event_id")).alias("hsh"))
+    w = Window.partitionBy("event_type").orderBy("hsh", "event_id")
+    return (h.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= RESERVOIR_K)
+            .select("event_type",
+                    F.col("sample_rank").cast("long").alias("sample_rank"),
+                    "event_id", "user_id", "ts", "value"))

@@ -816,3 +816,105 @@ def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sc.join(F.broadcast(lookup), ["lang", "quality_score"])
             .select("doc_id", "lang", "quality_score", "pct_rank",
                     "decile"))
+
+
+RAKE_MAX_PHRASE = 4  # RAKE's standard candidate-phrase length cap
+RAKE_TOP_K = 20
+
+
+@q("text_rake_keywords", f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS w
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+       unnest(range(1, len(toks) + 1)) AS u(i)
+),
+flag AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN {tuple(_STOPWORDS)} THEN 1 ELSE 0 END AS st
+  FROM tok
+),
+grp AS (
+  SELECT doc_id, pos, w, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flag
+),
+phr AS (
+  SELECT doc_id, g, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM grp WHERE st = 0 GROUP BY doc_id, g
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+),
+pw AS (
+  SELECT doc_id, g, phrase, plen, unnest(string_split(phrase, ' ')) AS w
+  FROM phr
+),
+ws AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY w
+),
+wsc AS (SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS wscore FROM ws),
+inst AS (
+  SELECT p.doc_id, p.g, p.phrase,
+         CAST(sum(s.wscore) AS BIGINT) AS score
+  FROM pw p JOIN wsc s USING (w) GROUP BY 1, 2, 3
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(score) AS BIGINT) AS score_micro
+FROM inst GROUP BY phrase
+ORDER BY score_micro DESC, phrase
+LIMIT {RAKE_TOP_K}
+""")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at 4 words); each
+    word scores degree/frequency over the candidate set (degree = sum
+    of the lengths of phrases containing it — favors words that
+    co-occur in longer collocations); a phrase scores the sum of its
+    word scores. The corpus-level top-k is the keyword table beside
+    the c-TF-IDF topic labels — RAKE needs NO trained model, which is
+    why it is the standard first-pass keyworder.
+
+    Scale path: phrase segmentation is a per-document running
+    stopword count (doc-keyed window — bounded by document length)
+    followed by a (doc, group) aggregate; everything after is
+    phrase-table-sized (≪ corpus): word stats re-aggregate from
+    phrase rows, scores join back vocab-sized, top-k is TakeOrdered.
+    Exactness: degree/frequency quantizes to int64 micros BEFORE the
+    per-phrase sum; (score, phrase) totally orders the output.
+    """
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    tok = (d.select("doc_id", F.posexplode(tokens("text"))
+                    .alias("pos", "w")))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    flag = tok.withColumn(
+        "st", F.when(F.array_contains(stop_arr, F.col("w")), 1)
+        .otherwise(0))
+    wdoc = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = flag.withColumn("g", F.sum("st").over(wdoc))
+    phr = (grp.filter(F.col("st") == 0)
+           .groupBy("doc_id", "g")
+           .agg(F.concat_ws(" ", F.expr(
+               "transform(sort_array(collect_list(struct(pos, w))),"
+               " s -> s.w)")).alias("phrase"),
+                F.count(F.lit(1)).alias("plen"))
+           .filter(F.col("plen") <= RAKE_MAX_PHRASE))
+    pw = (phr.select("doc_id", "g", "phrase", "plen",
+                     F.explode(F.split(F.col("phrase"), " ")).alias("w")))
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"))
+    wsc = ws.select("w", F.expr(
+        "CAST(deg * 1000000 DIV freq AS BIGINT)").alias("wscore"))
+    inst = (pw.join(wsc, "w")
+            .groupBy("doc_id", "g", "phrase")
+            .agg(F.sum("wscore").cast("long").alias("score")))
+    return (inst.groupBy("phrase")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                 F.max("score").cast("long").alias("score_micro"))
+            .orderBy(F.col("score_micro").desc(), "phrase")
+            .limit(RAKE_TOP_K))

@@ -1166,3 +1166,49 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority")
             .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
             .limit(10))
+
+
+@q("users_customer_reconciliation", """
+WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+c AS (SELECT c_custkey, c_acctbal FROM customer)
+SELECT coalesce(e.user_id, c.c_custkey) AS entity_id,
+       CAST(CASE WHEN e.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_events,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_customers,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+       c.c_acctbal AS acctbal
+FROM e FULL OUTER JOIN c ON c.c_custkey = e.user_id
+""")
+def users_customer_reconciliation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation via FULL OUTER join — the audit
+    query run when two systems (here the CDC event stream and the
+    warehouse customer master) are supposed to describe the same
+    entity set: every id from EITHER side appears exactly once, with
+    presence flags and per-side facts, so "in A not B" / "in B not A" /
+    "in both" all fall out of one result. Completes the join-type
+    surface (inner / left / anti / semi / cross / as-of already
+    covered) with the one shape none of them can express — both
+    unmatched sides at once.
+
+    Scale path: the event side reduces to per-key counts BEFORE the
+    join (partial-agg shuffle), so the full outer joins two key-sized
+    tables co-partitioned on the id — a full outer can never broadcast
+    (both sides' unmatched rows must survive), which is exactly why
+    the pre-aggregation matters at 100 TB. Exactness: int64 counts and
+    flags; acctbal passes through untouched (exact double)."""
+    e = (load_table(spark, sf_dir, "events")
+         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_acctbal")
+    return (e.join(c, e["user_id"] == c["c_custkey"], "full_outer")
+            .select(
+                F.coalesce("user_id", "c_custkey").alias("entity_id"),
+                F.when(F.col("user_id").isNull(), 0).otherwise(1)
+                .cast("long").alias("in_events"),
+                F.when(F.col("c_custkey").isNull(), 0).otherwise(1)
+                .cast("long").alias("in_customers"),
+                F.coalesce("n_events", F.lit(0)).cast("long")
+                .alias("n_events"),
+                F.col("c_acctbal").alias("acctbal")))
