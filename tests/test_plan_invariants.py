@@ -127,6 +127,23 @@ MAX_SHUFFLES = {
     "corpus_topic_keywords": 6,     # assignment join + (cluster, token)
     # agg + vocab/cluster marginal joins + bounded per-cluster window
     "events_limit3_by_user": 1,     # ONE key shuffle; bounded per-key window
+    # round-6 wave 4
+    "dedup_graph_triangles": 16,    # static tree re-prints the memoized
+    # simhash edge pipeline per consumer (degree agg, orientation joins,
+    # wedge self-join, closing join, three 1-row totals); at runtime the
+    # cached edge frame collapses these to the 5 triangle-specific
+    # exchanges, all carrying 16-byte edge/wedge rows
+    "score_bigram_accuracy": 5,     # the cached pair-count frame's groupBy
+    # (re-printed by the argmax window derivation) + per-lang agg; token
+    # positions join the broadcast argmax table map-side
+    "events_reservoir_sample": 1,   # ONE stratum-key shuffle; bounded
+    # per-key top-k window (LIMIT n BY key plan)
+    "users_customer_reconciliation": 2,  # per-key event pre-agg + the
+    # co-partitioned full outer (never broadcastable by definition)
+    "text_rake_keywords": 2,        # doc-keyed segmentation window + the
+    # (doc, group) phrase agg ride ONE doc exchange; everything after is
+    # phrase-table-sized (vocab agg; score join broadcasts; top-k is
+    # TakeOrdered)
 }
 
 
