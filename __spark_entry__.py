@@ -36,88 +36,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 6 changed queries whose last driver-green row predates r5
-    # (stale row + changed implementation — highest certification value).
-    "dedup_edit_distance",          # NEW in r6 (Levenshtein candidate verify)
-    "corpus_pmi_collocations",      # NEW in r6 (PMI phrase mining)
-    "events_cumulative_users",      # NEW in r6 (first-touch growth curve)
-    "events_key_skew_report",       # NEW in r6 (heavy-hitter skew detector)
-    "orders_zorder_layout",         # NEW in r6 (Morton-curve layout report)
-    "events_agg_state_rollup",      # NEW in r6 (mergeable partial states)
-    "shipping_priority_topk",       # NEW in r6 (TPC-H Q3 join funnel)
-    "corpus_quality_percentile",    # NEW in r6 (windowless percent_rank)
-    "similarity_range_search",      # NEW in r6 (FAISS range_search mode)
-    "corpus_bigram_next_word",      # NEW in r6 (Markov argmax table)
-    "dedup_graph_triangles",        # NEW in r6 (clustering-coefficient census)
-    "score_bigram_accuracy",        # NEW in r6 (next-word model eval)
-    "events_reservoir_sample",      # NEW in r6 (k-per-stratum hash sample)
-    "users_customer_reconciliation",  # NEW in r6 (FULL OUTER audit)
-    "text_rake_keywords",           # NEW in r6 (RAKE phrase extraction)
-    "dedup_graph_pagerank",         # NEW in r6 (near-dup graph centrality)
-    "retrieval_tfidf_topk",         # NEW in r6 (classic lnn TF-IDF)
-    "similarity_matryoshka_recall", # NEW in r6 (dim-truncation curve)
-    "corpus_temperature_sample",    # NEW in r6 (mixture materialization)
-    "orders_table_profile",         # NEW in r6 (column profiler card)
-    "multimodal_jpeg_roundtrip",    # NEW in r6 (REAL baseline DCT codec)
-    "multimodal_mulaw_roundtrip",   # NEW in r6 (REAL G.711 lossy audio)
-    "multimodal_avi_frame_sample",  # NEW in r6 (REAL AVI/MJPEG container)
-    "corpus_curation_funnel",       # NEW in r6 (stage-by-stage survival)
-    "corpus_topic_keywords",        # NEW in r6 (c-TF-IDF topic labels)
-    "events_limit3_by_user",        # NEW in r6 (LIMIT n BY key, n>1)
-    "similarity_hard_negatives",    # NEW in r6 (contrastive pair mining)
-    "corpus_token_spectrum",        # NEW in r6 (count-of-counts / hapax)
-    "corpus_chunk_overlap",         # NEW in r6 (RAG sliding-window chunks)
-    "multimodal_image_phash",       # NEW in r6 (aHash/dHash via real codec)
-    "multimodal_phash_neardup",     # NEW in r6 (banded image near-dup)
-    "dedup_jaccard_containment",    # NEW in r6 (asymmetric quote/subset dedup)
-    "corpus_cluster_split",         # NEW in r6 (leakage-free cluster split)
-    "text_winnowing",               # NEW in r6 (MOSS fingerprint selection)
-    "multimodal_png_roundtrip",     # NEW in r6 (REAL PNG codec gate)
-    "multimodal_gif_frame_sample",  # NEW in r6 (REAL GIF/LZW frame walk)
-    "multimodal_wav_roundtrip",     # NEW in r6 (REAL RIFF/PCM audio)
-    "corpus_quality_classifier",    # NEW in r6 (learned quality filter)
-    "retrieval_mmr_rerank",         # NEW in r6 (MMR diversity rerank)
-    "text_bpe_vocab",               # NEW in r6 (learned vocab artifact)
-    "supplier_part_coverage",       # r6: decomposed-aggregate rewrite
-    "similarity_ann_recall_curve",  # NEW in r6 (nprobe tuning report)
-    "similarity_topk_ivf_nprobe",   # r6: parameterized helper refactor
-    "dedup_minhash_estimate",       # r6: parallel corpus scan
-    # Round 6 rewrites (driver-side BPE merge loop at N_MERGES=64,
-    # broadcast-join lang-ID serving, degenerate-doc bigram guard).
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "text_lang_id_ngram",
-    "score_bigram_logprob",
-    # Round 6 parallel_scan plan changes (r5-verified rows exist, but
-    # the shipping plan changed — re-earn the row on current code).
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # r6 changed but deferred to the r7 window (r2/r4-verified, only the
-    # upstream parallel_scan changed): corpus_pack_chunks, text_token_stats,
-    # corpus_topic_clusters, dataset_sample_split, corpus_vocabulary,
-    # corpus_mixture_weights, similarity_pq_adc_topk, similarity_ivfpq_topk,
-    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk,
-    # similarity_pq_codes, score_dsir_importance, retrieval_bm25_topk,
-    # retrieval_hybrid_rrf, dedup_minhash_signatures —
-    # plus (r5-verified, same reason):
-    # dedup_minhash_lsh_pairs, dedup_simhash,
-    # dedup_simhash_pairs, dedup_cluster_labels,
-    # dedup_duplicate_spans, dedup_cluster_keep_best,
-    # corpus_decontaminate,
-    # corpus_decontaminate_bloom, corpus_ngram_overlap,
-    # corpus_curation_pipeline, corpus_source_scorecard,
-    # text_quality_score, text_lang_id,
-    # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
-    # similarity_topk_brute, similarity_topk_ivf, similarity_lsh_neardup,
-    # similarity_kmeans_ivf,
-    # text_fingerprint,
-    # embedding_quantize_int8,
-    # similarity_lsh_buckets,
-    # text_rolling_hash,
-    # similarity_neardup_cosine,
-    # similarity_semdedup,
-    # similarity_topk_ivf_learned,
-    # similarity_ann_recall, embedding_knn_classify,
+    # Round 7 changed queries (plan/oracle changes this round — a fresh
+    # driver row must certify the shipping code).
+    "dedup_graph_pagerank",         # r7: local finish + per-round checkpoint
+    "dedup_graph_triangles",        # r7: local finish census
+    "corpus_quality_classifier",    # r7: O(const) labeled-set bound
+    "corpus_curation_funnel",       # r7: nullif zero-guard (ADVICE)
+    "events_limit3_by_user",        # r7: µs-truncated oracle rank (ADVICE)
+    "dedup_edit_distance",          # r7: bounded-pair broadcast (ADVICE)
+    # The r6 parallel_scan plan change touched every query on the
+    # dedup/PQ/text/similarity corpus scans; their last driver-green
+    # rows (r02–r05) predate it. Re-certify on current code (VERDICT r6
+    # item 1 — these are the ~35 stale rows, in family order).
+    "corpus_pack_chunks",
+    "text_token_stats",
+    "corpus_topic_clusters",
+    "dataset_sample_split",
+    "corpus_vocabulary",
+    "corpus_mixture_weights",
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_rerank_topk",
+    "similarity_pq_codes",
+    "score_dsir_importance",
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_labels",
+    "dedup_duplicate_spans",
+    "dedup_cluster_keep_best",
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "corpus_ngram_overlap",
+    "corpus_curation_pipeline",
+    "corpus_source_scorecard",
+    "text_quality_score",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_pii_redact",
+    "text_lang_id_confusion",
+    "similarity_topk_brute",
+    "similarity_topk_ivf",
+    "similarity_lsh_neardup",
+    "similarity_kmeans_ivf",
+    "text_fingerprint",
+    "embedding_quantize_int8",
+    "similarity_lsh_buckets",
+    "text_rolling_hash",
+    "similarity_neardup_cosine",
+    "similarity_semdedup",
+    "similarity_topk_ivf_learned",
+    "similarity_ann_recall",
+    "embedding_knn_classify",
+    # remaining stale rows that don't fit this round's 50-row window
+    # (r5-verified, parallel_scan-adjacent) — rotate into the r8 window:
     # score_unigram_logprob, corpus_perplexity_buckets,
     # corpus_source_divergence, corpus_sample_by_quality,
     # corpus_curriculum_order, corpus_stats_report.

@@ -645,22 +645,22 @@ agg AS (
 SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
        CAST(n0 AS BIGINT) AS n_in, CAST(s1 AS BIGINT) AS n_out,
        CAST(n0 - s1 AS BIGINT) AS dropped,
-       CAST(s1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+       CAST(s1 AS DOUBLE) / CAST(nullif(n0, 0) AS DOUBLE) AS retention
 FROM agg
 UNION ALL
 SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(s1 AS BIGINT),
        CAST(s2 AS BIGINT), CAST(s1 - s2 AS BIGINT),
-       CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)
+       CAST(s2 AS DOUBLE) / CAST(nullif(s1, 0) AS DOUBLE)
 FROM agg
 UNION ALL
 SELECT CAST(3 AS BIGINT), 'neardup_dedup', CAST(s2 AS BIGINT),
        CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT),
-       CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE)
+       CAST(s3 AS DOUBLE) / CAST(nullif(s2, 0) AS DOUBLE)
 FROM agg
 UNION ALL
 SELECT CAST(4 AS BIGINT), 'decontaminate', CAST(s3 AS BIGINT),
        CAST(s4 AS BIGINT), CAST(s3 - s4 AS BIGINT),
-       CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE)
+       CAST(s4 AS DOUBLE) / CAST(nullif(s3, 0) AS DOUBLE)
 FROM agg
 """)
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,5 +696,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_out").cast("long").alias("n_out"),
                     (F.col("n_in") - F.col("n_out")).cast("long")
                     .alias("dropped"),
+                    # nullif guard: an emptied stage must yield NULL on
+                    # BOTH engines (DuckDB's IEEE division would give
+                    # Inf/NaN while non-ANSI Spark gives NULL — ADVICE r6)
                     (F.col("n_out").cast("double")
-                     / F.col("n_in").cast("double")).alias("retention")))
+                     / F.nullif(F.col("n_in"), F.lit(0)).cast("double"))
+                    .alias("retention")))

@@ -1104,8 +1104,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, fine on the band-bucketed edge set (the cached
     dedup_simhash_pairs frame; candidate count ∝ true near-dups, a
     tiny fraction of the corpus). Text travels only for pair members:
-    the pair frame broadcasts into the documents scan twice, so the
-    corpus is never shuffled. Exactness: both engines implement the
+    the bounded ID-ONLY pair frame broadcasts into each documents scan
+    (never a text-bearing frame — an explicit broadcast hint bypasses
+    the size threshold, so broadcasting joined text could OOM the
+    driver at scale; ADVICE r6), and the two pair-bounded halves join
+    on the pair key — the corpus is never shuffled. Exactness: both
+    engines implement the
     classic character-level Levenshtein DP (verified identical), and
     the similarity quantizes an int64 ratio through one double divide
     in identical operation order.
@@ -1114,8 +1118,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d1 = d.select(F.col("doc_id").alias("doc1"), F.col("text").alias("t1"))
     d2 = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2"))
-    m = (F.broadcast(d1.join(F.broadcast(pairs), "doc1"))
-         .join(d2, "doc2")
+    h1 = d1.join(F.broadcast(pairs), "doc1")  # (doc1, doc2, t1): pair-bounded
+    h2 = d2.join(F.broadcast(pairs), "doc2")  # (doc2, doc1, t2): pair-bounded
+    m = (h1.join(h2, ["doc1", "doc2"])
          .select("doc1", "doc2",
                  F.expr("CAST(levenshtein(t1, t2) AS BIGINT)")
                  .alias("edit_dist"),

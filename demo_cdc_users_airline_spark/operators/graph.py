@@ -1,5 +1,6 @@
 """Graph analytics over the near-dup similarity graph: PageRank
-centrality for canonical-document selection.
+centrality for canonical-document selection, and the triangle census
+that monitors band-chaining pathologies.
 
 A dedup pipeline that keeps "the best copy" can rank by a local
 quality score (``dedup_cluster_keep_best``) — or by CENTRALITY: the
@@ -13,31 +14,46 @@ trust rank) takes on a cluster.
 
 Spark-first design: the edge table is the MEMOIZED simhash near-dup
 pair frame (built once per session, shared with cluster labels and the
-curation verdict); each iteration is one co-partitioned join + one
-partial-aggregatable groupBy over EDGE rows only — 16-byte pairs, a
-tiny fraction of the corpus, exactly the scale story of the CC
-fixpoint in ``dedup.connected_components``. At 100 TB the edge table
-is the persisted artifact every downstream graph query reads; a
-production run would pre-partition it by ``src`` once so all rounds
-reuse one exchange.
+curation verdict). Both operators reuse the layout the CC fixpoint in
+``dedup.connected_components`` proved out:
+
+- **local finish** (the default entry): near-dup EDGES are a tiny
+  fraction of the corpus; when the deduped edge set fits the same
+  1M-edge Arrow bound the CC loop uses, the rounds run driver-side in
+  pure Python integer arithmetic — identical floor-div updates, so the
+  result is bit-identical to the distributed loop (parity-tested). On
+  a sub-driver-size edge set, distributed rounds are pure fixed cost
+  (stage scheduling per round); this is how every production graph
+  pipeline finishes small components.
+- **distributed rounds** (the general path): each iteration is one
+  co-partitioned join + one partial-aggregatable groupBy over EDGE
+  rows only; ``localCheckpoint`` per round truncates lineage so the
+  physical plan stays CONSTANT-SIZE across rounds (the r6 plan audit
+  measured 462 exchanges from unbounded lineage growth — the exact
+  failure mode checkpointing exists for). At a 1000-executor scale the
+  edge frame would be pre-partitioned by ``src`` once and every round
+  would reuse that single exchange.
 
 Cross-engine exactness (the repo's fixed-point oracle rule): ranks are
 int64 MICROS. Per round, each node emits ``pr div deg`` (exact integer
 floor division) along every out-edge and collects
 ``150000 + (85 · Σ contrib) div 100`` — integer sums are
-order-independent, so any partitioning, any join order, and DuckDB's
-chained ``AS MATERIALIZED`` CTE replay (one CTE per round — plain CTEs
-would inline exponentially, see tokenizer.py) produce bit-identical
-ranks. No doubles exist until the final display column.
+order-independent, so any partitioning, any join order, the driver's
+Python replay, and DuckDB's chained ``AS MATERIALIZED`` CTE replay
+(one CTE per round — plain CTEs would inline exponentially, see
+tokenizer.py) produce bit-identical ranks. No doubles exist until the
+final display column.
 """
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import (_SH_BANDS, _SH_BITS, _SH_MASK, _SH_MAX_HAMMING,
-                    _SIMHASH_CTES, dedup_simhash_pairs)
+from .dedup import (_LOCAL_FINISH_EDGES, _SH_BANDS, _SH_BITS, _SH_MASK,
+                    _SH_MAX_HAMMING, _SIMHASH_CTES, dedup_simhash_pairs)
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -89,6 +105,41 @@ def _round_cte(i: int) -> str:
 )"""
 
 
+def _edges_bounded(pairs: DataFrame,
+                   max_edges: int) -> list[tuple[int, int]] | None:
+    """Bounded Arrow collect of the (already-distinct) edge table:
+    returns the edge list when it fits ``max_edges``, else None (the
+    caller falls through to the distributed path). The limit(n+1) makes
+    the probe itself bounded — the collect can never be corpus-scaled."""
+    pdf = pairs.select("doc1", "doc2").limit(max_edges + 1).toPandas()
+    if len(pdf) > max_edges:
+        return None
+    return [(int(u), int(v))
+            for u, v in zip(pdf["doc1"].tolist(), pdf["doc2"].tolist())]
+
+
+def _pagerank_local(edges: list[tuple[int, int]]
+                    ) -> list[tuple[int, int, int]]:
+    """Driver-side replay of the distributed rounds: identical int64
+    floor-div arithmetic ⇒ identical ranks (parity-tested). Returns
+    sorted (node, degree, pagerank_micro) rows."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    pr = {n: 1_000_000 for n in adj}
+    for _ in range(N_ROUNDS):
+        nxt: dict[int, int] = defaultdict(int)
+        for u, vs in adj.items():
+            c = pr[u] // deg[u]
+            for v in vs:
+                nxt[v] += c
+        pr = {n: BASE_MICRO + (DAMP_NUM * s) // DAMP_DEN
+              for n, s in nxt.items()}
+    return sorted((n, deg[n], pr[n]) for n in deg)
+
+
 @q("dedup_graph_pagerank", f"""
 WITH {_EDGES_SQL},
 sym AS MATERIALIZED (
@@ -106,7 +157,9 @@ SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
        CAST(p.pr AS DOUBLE) / 1000000.0 AS pagerank
 FROM deg d JOIN pr{N_ROUNDS} p ON p.node = d.node
 """)
-def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str,
+                         local_finish_max_edges: int = _LOCAL_FINISH_EDGES,
+                         ) -> DataFrame:
     """PageRank centrality over the simhash near-dup graph
     ({N_ROUNDS} fixed power-iteration rounds, damping 0.85, int64
     micro-units throughout).
@@ -116,23 +169,37 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and there is no dangling mass; isolated documents (no near-dups)
     are out of scope by construction — their rank is the base mass.
 
-    Scale path: ``sym ⋈ deg`` is built ONCE and cached; each round is
-    one join of the rank frame against it (both sides keyed on the
-    same column — AQE plans a co-partitioned join) plus one map-side-
-    combinable integer sum keyed by ``dst``. All state lives in edge/
-    node frames (never per-document payloads), and six rounds of
-    16-byte-row shuffles is the canonical Pregel cost — at a 1000-
-    executor scale the edge frame would be pre-partitioned by ``src``
-    once and every round would reuse that single exchange.
+    Scale path (the CC layout, see module docstring): when the deduped
+    edge set fits the 1M-edge Arrow bound, the rounds run driver-side —
+    identical integer arithmetic, same hash, zero per-round Spark jobs.
+    Above the bound, each round is one join of the checkpointed rank
+    frame against the cached (src, dst, deg) edge frame (both sides
+    keyed on the same column — AQE plans a co-partitioned join) plus
+    one map-side-combinable integer sum keyed by ``dst``; the per-round
+    ``localCheckpoint`` keeps the plan constant-size (without it the
+    r6 audit measured 462 exchanges of lineage growth). All state lives
+    in edge/node frames, never per-document payloads.
     """
     pairs = dedup_simhash_pairs(spark, sf_dir)  # memo-cached edge table
+    if local_finish_max_edges:
+        edges = _edges_bounded(pairs, local_finish_max_edges)
+        if edges is not None:
+            rows = _pagerank_local(edges)
+            schema = "doc_id long, degree long, pagerank_micro long"
+            out = (spark.createDataFrame(rows, schema) if rows
+                   else spark.createDataFrame([], schema))
+            return out.select(
+                "doc_id", "degree", "pagerank_micro",
+                (F.col("pagerank_micro").cast("double")
+                 / F.lit(1_000_000.0)).alias("pagerank"))
     sym = (pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
            .unionByName(
                pairs.select(F.col("doc2").alias("src"),
                             F.col("doc1").alias("dst"))))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # one cached (src, dst, deg) frame feeds every round
-    sym_deg = sym.join(deg, "src").cache()
+    # one checkpointed (src, dst, deg) frame feeds every round: lineage
+    # ends here, so each round's plan is join+agg over two leaf frames
+    sym_deg = sym.join(deg, "src").localCheckpoint(eager=False)
     pr = deg.select(F.col("src").alias("node"),
                     F.lit(1_000_000).cast("long").alias("pr"))
     for _ in range(N_ROUNDS):
@@ -143,7 +210,8 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("dst").alias("node"),
                       (F.lit(BASE_MICRO)
                        + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}"))
-                      .cast("long").alias("pr")))
+                      .cast("long").alias("pr"))
+              .localCheckpoint(eager=False))
     return (deg.select(F.col("src").alias("doc_id"),
                        F.col("deg").cast("long").alias("degree"))
             .join(pr, F.col("doc_id") == F.col("node"))
@@ -151,6 +219,38 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("pr").alias("pagerank_micro"),
                     (F.col("pr").cast("double") / F.lit(1_000_000.0))
                     .alias("pagerank")))
+
+
+def _triangles_local(edges: list[tuple[int, int]]
+                     ) -> tuple[int, int, int | None, int, int | None]:
+    """Driver-side census on the bounded edge list — the same
+    degree-ordered wedge enumeration as the distributed path (orient
+    each edge toward its higher-(degree, id) endpoint; pivot only at
+    the minimum-order node; close with a canonical-edge set lookup).
+    Returns (n_nodes, n_edges, n_wedges, n_triangles, cc_micro); the
+    wedge count / coefficient are None on an edgeless graph to match
+    SQL's NULL-sum-over-empty semantics."""
+    es = {(u, v) if u < v else (v, u) for u, v in edges}
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    out: dict[int, list[int]] = defaultdict(list)
+    for u, v in es:
+        lo, hi = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        out[lo].append(hi)
+    n_tri = 0
+    for hs in out.values():
+        hs_sorted = sorted(hs)
+        for i in range(len(hs_sorted)):
+            for j in range(i + 1, len(hs_sorted)):
+                if (hs_sorted[i], hs_sorted[j]) in es:
+                    n_tri += 1
+    n_wedges = (sum(d * (d - 1) // 2 for d in deg.values())
+                if deg else None)
+    cc = (3 * n_tri * 1_000_000) // n_wedges if n_wedges else None
+    return len(deg), len(es), n_wedges, n_tri, cc
 
 
 @q("dedup_graph_triangles", f"""
@@ -193,7 +293,9 @@ SELECT t.n_nodes, ne.n_edges, t.n_wedges,
          AS global_cc_micro
 FROM tots t CROSS JOIN ne CROSS JOIN tri
 """)
-def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str,
+                          local_finish_max_edges: int = _LOCAL_FINISH_EDGES,
+                          ) -> DataFrame:
     """Triangle census of the near-dup graph: triangle count, wedge
     count, and the global clustering coefficient (3·triangles /
     wedges) — the transitivity check on a dedup edge set. Near-dup
@@ -211,11 +313,21 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-canonical edge table. Every triangle is counted exactly once
     (unique pivot; b < c by id). All joins run on the bounded MEMOIZED
     edge table shared with PageRank/cluster labels — corpus text is
-    never touched. Exactness: pure int64 counts; the coefficient is
+    never touched; when that edge set fits the 1M-edge Arrow bound the
+    same census runs driver-side (identical algorithm, same counts —
+    parity-tested). Exactness: pure int64 counts; the coefficient is
     one integer floor-division.
     """
-    edges = (dedup_simhash_pairs(spark, sf_dir)
-             .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")))
+    pairs = dedup_simhash_pairs(spark, sf_dir)
+    if local_finish_max_edges:
+        edge_list = _edges_bounded(pairs, local_finish_max_edges)
+        if edge_list is not None:
+            row = _triangles_local(edge_list)
+            return spark.createDataFrame(
+                [row], "n_nodes long, n_edges long, n_wedges long, "
+                       "n_triangles long, global_cc_micro long")
+    edges = pairs.select(F.col("doc1").alias("src"),
+                         F.col("doc2").alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")) \

@@ -1086,8 +1086,13 @@ def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, CAST(rn AS BIGINT) AS recency_rank, event_id, event_type,
        value, CAST(ts AS TIMESTAMP) AS ts
 FROM (
+  -- rank on MICROSECOND-truncated ts so both engines see the same
+  -- precision (Spark reads the NANOS parquet via a µs conversion;
+  -- ranking raw nanos here would silently diverge on same-µs
+  -- different-ns events — ADVICE r6)
   SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
+                               ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                        event_id DESC) AS rn
   FROM events
 )
 WHERE rn <= 3

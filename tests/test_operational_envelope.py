@@ -1,7 +1,11 @@
 """Operational envelope from BASELINE.md: the dashboard polls 4 endpoint
 queries every 2 s (dash_airport.py:15,63-67) at simulation scale
-(~100 flights / ~10^4 passengers). Verify a warm engine sustains that
-cycle, and report the measured latency."""
+(~100 flights / ~10^4 passengers), and the users demo asserts
+generation→queryable convergence within 15 s per batch
+(demo_users.py:239-262 via modules/utils.py:48). Verify a warm engine
+sustains the dashboard cycle, and that the CDC ingest loop lands each
+generated batch inside the 15 s budget — both with measured latency
+reports, not just pass/fail."""
 
 import datetime
 import time
@@ -10,8 +14,25 @@ from demo_cdc_users_airline_spark.core.clock import Clock
 from demo_cdc_users_airline_spark.plans.airport import register_airport_pipes
 from demo_cdc_users_airline_spark.plans.endpoints import to_api_json
 from demo_cdc_users_airline_spark.plans.framework import Registry
+from demo_cdc_users_airline_spark.plans.users import users_mv_pg
+from demo_cdc_users_airline_spark.sources.cdc import USERS_RAW_PG_SCHEMA
+from demo_cdc_users_airline_spark.sources.tables import (
+    AppendTable,
+    VersionedTable,
+)
+from demo_cdc_users_airline_spark.streaming.upsert import (
+    CdcPipeline,
+    file_json_source,
+)
 
-from fixtures import BAGGAGE_DDL, FLIGHTS_DDL, PASSENGERS_DDL, gen_airport_events
+from fixtures import (
+    BAGGAGE_DDL,
+    FLIGHTS_DDL,
+    PASSENGERS_DDL,
+    gen_airport_events,
+    gen_users_events,
+    users_events_to_json_lines,
+)
 
 NOW = datetime.datetime(2026, 1, 2, 12, 0, 0)
 DASHBOARD_ENDPOINTS = [
@@ -48,3 +69,67 @@ def test_dashboard_cycle_latency(spark):
     print(f"\ndashboard cycle: {elapsed:.2f}s for 4 endpoints "
           f"({ {ep: p['statistics']['elapsed'] for ep, p in payloads.items()} })")
     assert elapsed < 8.0, f"4-endpoint cycle took {elapsed:.1f}s"
+
+
+INGEST_BUDGET = 15.0  # modules/utils.py:48 — the reference's wait_for()
+N_BATCHES = 3
+
+
+def test_cdc_batch_latency_within_budget(spark, tmp_path):
+    """The reference's live-convergence harness (demo_users.py:239-262):
+    generate a batch of OLTP statements, ingest it, and poll until the
+    LATEST state reflects every generated key — asserting the 15 s
+    budget per batch and reporting the measured generation + propagation
+    latency. Batch-driven (trigger-once file source stand-in for the
+    Kafka topic — same CdcPipeline code path the broker would drive)."""
+    latest = VersionedTable(spark, str(tmp_path / "latest"), key=["id"],
+                            version="updated_at", tiebreak=["__timestamp"])
+    pipeline = CdcPipeline(
+        spark=spark, schema=USERS_RAW_PG_SCHEMA,
+        raw_table=AppendTable(spark, str(tmp_path / "raw")),
+        latest_table=latest, mv_transform=users_mv_pg)
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    report = []
+    seen: list[dict] = []
+    for b in range(N_BATCHES):
+        t0 = time.monotonic()
+        # generation leg (the reference times generate_*_events too)
+        events, _truth = gen_users_events(n=60, seed=100 + b,
+                                          null_probability=0.0)
+        seen.extend(events)
+        lines = users_events_to_json_lines(events)
+        (src / f"batch_{b}.json").write_text("\n".join(lines) + "\n")
+        t_gen = time.monotonic() - t0
+
+        # propagation leg: run the micro-batch, then poll the latest
+        # state until it reflects every key generated so far
+        q = pipeline.start(file_json_source(spark, str(src)),
+                           str(tmp_path / "ckpt"), trigger_once=True)
+        q.awaitTermination(int(INGEST_BUDGET))
+        want_ids = {e["id"] for e in seen}
+        want_max = max(e["updated_at"] for e in seen)
+        converged = False
+        while time.monotonic() - t0 < INGEST_BUDGET:
+            if latest.exists():
+                rows = latest.latest().select("id", "updated_at").collect()
+                got_max = max(
+                    (int(r["updated_at"].replace(tzinfo=datetime.timezone.utc)
+                         .timestamp() * 1_000_000) for r in rows),
+                    default=None)
+                if {r["id"] for r in rows} == want_ids \
+                        and got_max == want_max:
+                    converged = True
+                    break
+            time.sleep(0.25)
+        total = time.monotonic() - t0
+        report.append((b, t_gen, total))
+        assert converged, (f"batch {b} not queryable within "
+                           f"{INGEST_BUDGET}s (got {total:.1f}s)")
+        assert total < INGEST_BUDGET
+
+    print("\ncdc batch latency (gen -> queryable):")
+    for b, t_gen, total in report:
+        print(f"  batch {b}: generation {t_gen * 1000:.0f}ms, "
+              f"end-to-end {total:.2f}s (budget {INGEST_BUDGET:.0f}s)")
