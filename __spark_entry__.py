@@ -36,6 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
+    # Round 7 NEW operators (never driver-certified).
+    "corpus_ngram_novelty",         # NEW in r7 (first-occurrence novelty)
+    "similarity_ivf_cell_balance",  # NEW in r7 (IVF occupancy health)
+    "orders_large_volume_topk",     # NEW in r7 (TPC-H Q18 HAVING funnel)
+    "events_user_anomaly_days",     # NEW in r7 (median-lift outlier days)
+    "corpus_budget_selection",      # NEW in r7 (token-budget selection)
     # Round 7 changed queries (plan/oracle changes this round — a fresh
     # driver row must certify the shipping code).
     "dedup_graph_pagerank",         # r7: local finish + per-round checkpoint
@@ -87,16 +93,14 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     "similarity_lsh_buckets",
     "text_rolling_hash",
-    "similarity_neardup_cosine",
-    "similarity_semdedup",
-    "similarity_topk_ivf_learned",
-    "similarity_ann_recall",
-    "embedding_knn_classify",
     # remaining stale rows that don't fit this round's 50-row window
     # (r5-verified, parallel_scan-adjacent) — rotate into the r8 window:
-    # score_unigram_logprob, corpus_perplexity_buckets,
-    # corpus_source_divergence, corpus_sample_by_quality,
-    # corpus_curriculum_order, corpus_stats_report.
+    # similarity_neardup_cosine, similarity_semdedup,
+    # similarity_topk_ivf_learned, similarity_ann_recall,
+    # embedding_knn_classify, score_unigram_logprob,
+    # corpus_perplexity_buckets, corpus_source_divergence,
+    # corpus_sample_by_quality, corpus_curriculum_order,
+    # corpus_stats_report.
 ]
 
 

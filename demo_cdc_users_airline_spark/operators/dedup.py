@@ -1131,3 +1131,62 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(1000000.0 * (1.0 - CAST(edit_dist AS DOUBLE)"
                " / CAST(nullif(max_len, 0) AS DOUBLE))) AS BIGINT)")
         .alias("sim_micro"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: first-occurrence attribution in ingestion order
+# ---------------------------------------------------------------------------
+
+
+@q("corpus_ngram_novelty", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+hh AS (SELECT doc_id, {_HASH_SQL} AS hsh FROM sh),
+fst AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY hsh) AS first_doc
+  FROM hh
+),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM fst GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(p.n_novel, 0) * 1000000 // nullif(p.n_shingles, 0)
+            AS BIGINT) AS novelty_micro
+FROM documents d LEFT JOIN per p USING (doc_id)
+""")
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct shingles whose global first occurrence (min doc_id over
+    the corpus — ingestion order) is this document. The marginal-new-
+    information curve a curator reads before appending another crawl
+    dump: a dump whose docs trend toward novelty_micro ≈ 0 adds bytes,
+    not information (the observation behind dedup-then-train and the
+    diminishing-returns scaling of repeated data).
+
+    Scale path: rides the cached 16-byte hashed-shingle frame shared
+    with the Jaccard index / decontamination; first-occurrence is ONE
+    min-over-hash-partition window (the dedup_exact keeper pattern),
+    then a per-doc combinable aggregate — text never shuffles. Docs
+    with < 3 tokens have no shingles: 0 counts, NULL novelty on both
+    engines (nullif guard).
+    """
+    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
+    w = Window.partitionBy("hsh")
+    per = (hh.withColumn("first_doc", F.min("doc_id").over(w))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                      .otherwise(0)).alias("n_novel")))
+    docs = _tokenized(spark, sf_dir).select("doc_id")
+    return (docs.join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                    .alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.expr("CAST(coalesce(n_novel, 0) * 1000000"
+                           " DIV nullif(n_shingles, 0) AS BIGINT)")
+                    .alias("novelty_micro")))

@@ -395,25 +395,33 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     real prose under a bigram model while fooling a unigram one).
 
     Scale path: the in-row index transform emits consecutive pairs
-    without a self-join (the duplicate-spans pattern); ONE exploded
-    bigram frame feeds the per-doc tf AND both count tables; the
-    scoring join is co-partitioned on the bigram key and the unigram
-    context join on w1; V rides a broadcast scalar. Exactness: per-pair
-    log-probs floor to int64 micros before any cross-row sum (the
-    repo's fixed-point rule); single-token docs surface with zero
-    bigrams via the left join, NULL average on both engines."""
+    without a self-join (the duplicate-spans pattern); the corpus is
+    exploded ONCE into the cached per-doc tf table and BOTH count
+    tables re-aggregate from it (c(w1,w2) = Σ_doc tf, c(w1) = Σ_w2 c —
+    the PMI marginal trick: one corpus-sized shuffle total, the
+    marginals reduce pair-table-sized data); the scoring join is
+    co-partitioned on the bigram key and the unigram context join on
+    w1; V rides a broadcast scalar. Exactness: per-pair log-probs
+    floor to int64 micros before any cross-row sum (the repo's
+    fixed-point rule); single-token docs surface with zero bigrams via
+    the left join, NULL average on both engines."""
     d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
                       "doc_id")
     toksrc = d.select("doc_id", tokens("text").alias("toks"))
-    bg = (toksrc.select("doc_id", F.explode(F.expr(
-        "transform(CASE WHEN size(toks) >= 2"
-        " THEN sequence(1, size(toks) - 1)"
-        " ELSE array() END,"
-        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
-        .select("doc_id", "b.w1", "b.w2"))
-    btf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # explode the INDEX sequence and do the pair lookups in codegen
+    # projections — a transform() lambda building a struct per element
+    # evaluates interpreted (the repo's measured HOF lesson)
+    bg = (toksrc.select("doc_id", "toks", F.explode(F.expr(
+        "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)"
+        " ELSE array() END")).alias("i"))
+        .select("doc_id", F.expr("toks[i - 1]").alias("w1"),
+                F.expr("toks[i]").alias("w2")))
+    # ONE corpus explode+shuffle builds the tf table; both marginals
+    # re-aggregate it (cached so the three consumers share one pass)
+    btf = (bg.groupBy("doc_id", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("tf")).cache())
+    c2 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = (d.select(F.explode(tokens("text")).alias("w"))
              .agg(F.countDistinct("w").alias("v")))
     term = (btf.join(c2, ["w1", "w2"])
@@ -817,3 +825,96 @@ def score_bigram_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(sum(CASE WHEN w2 = nw THEN 1 ELSE 0 END)"
                         " * 1000000 DIV count(*) AS BIGINT)")
                  .alias("accuracy_micro")))
+
+
+# ---------------------------------------------------------------------------
+# budget-bounded data selection: importance-ranked prefix under a token cap
+# ---------------------------------------------------------------------------
+
+BUDGET_DENOM = 5  # select the top-importance prefix holding 1/5 of the
+# corpus's tokens — data-anchored (a fixed absolute budget would select
+# everything at small SFs and nothing at large ones)
+
+
+def _budget_selection_oracle_sql() -> str:
+    return f"""
+WITH agg AS ({ORACLE["score_dsir_importance"]}),
+b AS (SELECT sum(n_tokens) // {BUDGET_DENOM} AS budget FROM agg),
+r AS (
+  SELECT doc_id, lang, n_tokens, weight_micro,
+         row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+           AS sel_rank,
+         sum(n_tokens) OVER (ORDER BY weight_micro DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM agg
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, weight_micro,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r, b WHERE r.cum_tokens <= b.budget
+"""
+
+
+@q("corpus_budget_selection", _budget_selection_oracle_sql())
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded data selection: take documents in DSIR-importance
+    order (weight DESC, doc_id tiebreak) until the selected set holds
+    1/{BUDGET_DENOM} of the corpus's tokens — the "best data under a
+    token budget" materialization step every targeted-pretraining
+    recipe ends with (DSIR/DoReMi pick weights; THIS query turns
+    weights into a concrete training set).
+
+    The selection needs a GLOBAL importance order plus a GLOBAL prefix
+    sum of token counts — the oracle's partition-less
+    ``row_number()/sum() OVER (ORDER BY ...)`` single-task straggler.
+    The scalable recipe extends corpus_curriculum_order's two-pass
+    range-partitioned rank with a prefix-sum leg: (1) repartitionByRange
+    + sortWithinPartitions on the full ordering key, pinned by an eager
+    localCheckpoint (the boundary-sampling exchange must materialize
+    ONCE — a per-action recompute could legally re-place boundary rows);
+    (2) ONE bounded collect of per-slice (row count, token sum) supplies
+    each slice's global rank base AND token base; in-slice running
+    totals come from a PARTITIONED window (per-slice state, no global
+    sort anywhere). Rank and cumulative sum are invariant to boundary
+    placement because the key is totally ordered. All counts int64;
+    the budget is an exact integer floor-division of the corpus total.
+    """
+    scored = (score_dsir_importance(spark, sf_dir)
+              .select("doc_id", "lang", "n_tokens", "weight_micro"))
+    order = [F.col("weight_micro").desc(), F.col("doc_id").asc()]
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    sliced = (scored.repartitionByRange(n_parts, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("__mid", F.monotonically_increasing_id())
+              .withColumn("__pid", F.expr("shiftright(__mid, 33)"))
+              .withColumn("__row", F.col("__mid") % F.lit(1 << 33))
+              .localCheckpoint(eager=True))
+    stats = (sliced.groupBy("__pid")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.sum("n_tokens").alias("t")).collect())
+    sizes = {r["__pid"]: (int(r["c"]), int(r["t"])) for r in stats}
+    base_rank, base_tok, acc_c, acc_t = {}, {}, 0, 0
+    for pid in sorted(sizes):
+        base_rank[pid], base_tok[pid] = acc_c, acc_t
+        acc_c += sizes[pid][0]
+        acc_t += sizes[pid][1]
+    budget = acc_t // BUDGET_DENOM
+    rank_map = F.create_map(
+        *[F.lit(x) for pid in sorted(base_rank)
+          for x in (pid, base_rank[pid])])
+    tok_map = F.create_map(
+        *[F.lit(x) for pid in sorted(base_tok)
+          for x in (pid, base_tok[pid])])
+    w = (Window.partitionBy("__pid").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sliced
+            .withColumn("sel_rank",
+                        (rank_map[F.col("__pid")] + F.col("__row") + 1)
+                        .cast("long"))
+            .withColumn("cum_tokens",
+                        (tok_map[F.col("__pid")]
+                         + F.sum("n_tokens").over(w)).cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "weight_micro", "sel_rank", "cum_tokens"))

@@ -1055,3 +1055,63 @@ def corpus_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c").cast("long").alias("tok_count"),
                     "ctfidf_micro",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: cell-occupancy balance report
+# ---------------------------------------------------------------------------
+
+
+def _cell_balance_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    return ("WITH " + _kmeans_ctes(k, iters) + """,
+pc AS (SELECT cell, count(*) AS n FROM asgfin GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_vectors,
+         CAST(max(n) AS BIGINT) AS max_cell,
+         CAST(min(n) AS BIGINT) AS min_cell,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq
+  FROM pc
+)
+SELECT n_cells, n_vectors, max_cell, min_cell,
+       CAST(max_cell * n_cells * 1000000 // nullif(n_vectors, 0)
+            AS BIGINT) AS imbalance_micro,
+       CAST(sum_sq * 1000000 // nullif(n_vectors * n_vectors, 0)
+            AS BIGINT) AS expected_scan_ppm
+FROM s""")
+
+
+@q("similarity_ivf_cell_balance", _cell_balance_oracle_sql())
+def similarity_ivf_cell_balance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IVF index HEALTH report: cell-occupancy balance of the learned
+    coarse quantizer. ``imbalance_micro`` = max-cell / mean-cell size
+    (1e6 = perfectly balanced — the straggler factor of an nprobe=1
+    scan); ``expected_scan_ppm`` = Σ(nᵢ/N)² — the expected fraction of
+    the corpus a query scans when queries distribute like the data
+    (the quantity FAISS's imbalance_factor monitors). An operator runs
+    this BEFORE shipping a codebook: a hot cell both slows every probe
+    that lands in it and concentrates shuffle skew.
+
+    Scale path: assignment is the broadcast-codebook zero-shuffle map;
+    the report is one k-row groupBy + a 1-row fold — bounded by k, not
+    the corpus. Exactness: pure int64 counts and floor divisions
+    (sum-of-squares needs DECIMAL widening past ~3e9 vectors — noted,
+    like the kmeans error total).
+    """
+    cb = fitted_codebook(spark, sf_dir)
+    asg = assign_cells(_quantized_vectors(spark, sf_dir), cb)
+    pc = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    s = pc.agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+               F.sum("n").cast("long").alias("n_vectors"),
+               F.max("n").cast("long").alias("max_cell"),
+               F.min("n").cast("long").alias("min_cell"),
+               F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"))
+    return s.select(
+        "n_cells", "n_vectors", "max_cell", "min_cell",
+        F.expr("CAST(max_cell * n_cells * 1000000"
+               " DIV nullif(n_vectors, 0) AS BIGINT)")
+        .alias("imbalance_micro"),
+        F.expr("CAST(sum_sq * 1000000"
+               " DIV nullif(n_vectors * n_vectors, 0) AS BIGINT)")
+        .alias("expected_scan_ppm"))

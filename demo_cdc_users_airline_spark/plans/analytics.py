@@ -1217,3 +1217,117 @@ def users_customer_reconciliation(spark: SparkSession,
                 F.coalesce("n_events", F.lit(0)).cast("long")
                 .alias("n_events"),
                 F.col("c_acctbal").alias("acctbal")))
+
+
+@q("orders_large_volume_topk", """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+LIMIT 100
+""")
+def orders_large_volume_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total line
+    quantity exceeds 300, with their customer — the canonical
+    HAVING-filtered aggregate feeding a join funnel (the optimizer
+    must reduce the FACT table before any join, which is the whole
+    trick: the filtered aggregate is tiny, so both joins broadcast it
+    into the dimension scans instead of shuffling orders/customer).
+
+    Scale path: lineitem reduces FIRST via one combinable groupBy on
+    its own key (map-side partials shrink each task to its distinct
+    orderkeys); the HAVING survivor set is a fraction of a percent of
+    orders, so it broadcasts into the orders join and the result into
+    customer — at 100 TB nothing but the initial aggregate shuffles
+    corpus-scale data. Top-k is TakeOrdered, never a global sort.
+    Exactness: the quantity sum runs through DECIMAL on both engines
+    (dec_sum rule) and the comparison is against an exact decimal; the
+    output double is one final cast. Total order: (total_qty DESC,
+    o_orderkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                .alias("__qty_dec"))
+           .filter(F.col("__qty_dec") > 300)
+           .select("l_orderkey",
+                   F.col("__qty_dec").cast("double").alias("total_qty")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (F.broadcast(big)
+            .join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty")
+            .orderBy(F.col("total_qty").desc(), "o_orderkey")
+            .limit(100))
+
+
+@q("events_user_anomaly_days", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT user_id,
+         list_sort(list(n_events)) AS cs,
+         count(*) AS n_days
+  FROM daily GROUP BY 1
+),
+m AS (
+  SELECT user_id, n_days,
+         cs[CAST((n_days + 1) // 2 AS INTEGER)] AS med_daily
+  FROM med
+)
+SELECT d.user_id, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+       CAST(m.med_daily AS BIGINT) AS median_daily,
+       CAST(m.n_days AS BIGINT) AS n_active_days,
+       CAST(d.n_events * 1000000 // m.med_daily AS BIGINT) AS lift_micro
+FROM daily d JOIN m USING (user_id)
+WHERE d.n_events > 2 * m.med_daily
+""")
+def events_user_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly days: days where a user's event count
+    exceeds 2× their own median daily count — the robust (median-based)
+    outlier rule that survives skewed users where a global mean/stddev
+    threshold drowns in heavy hitters. The abuse/incident triage query
+    every event warehouse serves.
+
+    Exactness: the median is the lower-middle ORDER STATISTIC (the
+    ceil(n/2)-th smallest), an exact integer on both engines — never
+    the interpolated even-count average, which is a float. The flag
+    and the lift are integer comparisons/floor divisions.
+
+    Scale path: one combinable (user, day) count, then the per-user
+    day-count lists are BOUNDED (≤ days in the retention window, ~30
+    rows/user), so collect_list + array_sort is in-row work on a tiny
+    array — no per-user sort window, no global sort; the flag join
+    rides the same user-key exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    m = (daily.groupBy("user_id")
+         .agg(F.array_sort(F.collect_list("n_events")).alias("cs"),
+              F.count(F.lit(1)).alias("n_days"))
+         .select("user_id", "n_days",
+                 F.expr("cs[CAST((n_days + 1) DIV 2 AS INT) - 1]")
+                 .alias("med_daily")))
+    return (daily.join(m, "user_id")
+            .filter(F.col("n_events") > 2 * F.col("med_daily"))
+            .select("user_id", "day",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("med_daily").cast("long").alias("median_daily"),
+                    F.col("n_days").cast("long").alias("n_active_days"),
+                    F.expr("CAST(n_events * 1000000 DIV med_daily"
+                           " AS BIGINT)").alias("lift_micro")))

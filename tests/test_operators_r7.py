@@ -99,3 +99,143 @@ def test_funnel_retention_null_guard(spark):
                     / F.nullif(F.col("z"), F.lit(0)).cast("double"))
                    .alias("retention")).collect()[0])
     assert row["retention"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-7 operator wave: exact replays / cross-query consistency
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_matches_python_replay(spark):
+    import hashlib
+    import re
+
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        _P,
+        corpus_ngram_novelty,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    first: dict = {}
+    per_doc: dict = {}
+    hashed = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        toks = re.split(r"\s+", r["text"].strip().lower())
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else set()
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
+              for s in sh]
+        hashed[r["doc_id"]] = hs
+        for h in hs:
+            first.setdefault(h, r["doc_id"])
+    for d, hs in hashed.items():
+        n = len(hs)
+        novel = sum(1 for h in hs if first[h] == d)
+        per_doc[d] = (n, novel,
+                      (novel * 1_000_000) // n if n else None)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_micro"])
+           for r in corpus_ngram_novelty(spark, SF).collect()}
+    assert got == per_doc
+    # the FIRST document's shingles are all novel by definition
+    d0 = min(d for d, (n, _, _) in per_doc.items() if n)
+    assert got[d0][0] == got[d0][1]
+
+
+def test_ivf_cell_balance_consistent_with_kmeans(spark):
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        similarity_ivf_cell_balance,
+        similarity_kmeans_ivf,
+    )
+
+    cells = {r["cell"]: r["n_vectors"]
+             for r in similarity_kmeans_ivf(spark, SF).collect()}
+    row = similarity_ivf_cell_balance(spark, SF).collect()[0]
+    ns = list(cells.values())
+    total = sum(ns)
+    assert row["n_cells"] == len(ns)
+    assert row["n_vectors"] == total
+    assert row["max_cell"] == max(ns)
+    assert row["min_cell"] == min(ns)
+    assert row["imbalance_micro"] == max(ns) * len(ns) * 1_000_000 // total
+    assert row["expected_scan_ppm"] == \
+        sum(n * n for n in ns) * 1_000_000 // (total * total)
+    # sanity: a perfectly balanced index would score exactly 1e6 / k
+    assert row["imbalance_micro"] >= 1_000_000
+
+
+def test_large_volume_topk_matches_python_replay(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        orders_large_volume_topk,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity").collect()
+    sums = defaultdict(Decimal)
+    for r in li:
+        sums[r["l_orderkey"]] += Decimal(str(r["l_quantity"]))
+    big = {k: float(v) for k, v in sums.items() if v > 300}
+    got = orders_large_volume_topk(spark, SF).collect()
+    assert {r["o_orderkey"] for r in got} <= set(big)
+    assert len(got) == min(100, len(big))
+    # ordered by total_qty DESC with orderkey tiebreak; qty matches
+    keys = [(-r["total_qty"], r["o_orderkey"]) for r in got]
+    assert keys == sorted(keys)
+    for r in got:
+        assert r["total_qty"] == big[r["o_orderkey"]]
+
+
+def test_anomaly_days_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        events_user_anomaly_days,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    per_user = defaultdict(Counter)
+    for r in ev:
+        # parquet nanos -> micros, then day truncation (loader semantics)
+        day = r["ts"].date()
+        per_user[r["user_id"]][day] += 1
+    want = set()
+    for u, days in per_user.items():
+        cs = sorted(days.values())
+        med = cs[(len(cs) + 1) // 2 - 1]
+        for d, n in days.items():
+            if n > 2 * med:
+                want.add((u, d, n, med, len(cs), n * 1_000_000 // med))
+    got = {(r["user_id"], r["day"].date(), r["n_events"],
+            r["median_daily"], r["n_active_days"], r["lift_micro"])
+           for r in events_user_anomaly_days(spark, SF).collect()}
+    assert got == want
+    assert want, "fixture should contain anomalous days"
+
+
+def test_budget_selection_is_importance_prefix(spark):
+    from demo_cdc_users_airline_spark.operators.importance import (
+        BUDGET_DENOM,
+        corpus_budget_selection,
+        score_dsir_importance,
+    )
+
+    scored = sorted(
+        ((r["weight_micro"], r["doc_id"], r["n_tokens"], r["lang"])
+         for r in score_dsir_importance(spark, SF).collect()),
+        key=lambda t: (-t[0], t[1]))
+    budget = sum(t[2] for t in scored) // BUDGET_DENOM
+    want, cum = [], 0
+    for rank, (w, d, n, lang) in enumerate(scored, start=1):
+        cum += n
+        if cum > budget:
+            break
+        want.append((d, lang, n, w, rank, cum))
+    got = sorted(
+        ((r["doc_id"], r["lang"], r["n_tokens"], r["weight_micro"],
+          r["sel_rank"], r["cum_tokens"])
+         for r in corpus_budget_selection(spark, SF).collect()),
+        key=lambda t: t[4])
+    assert got == want
+    assert want and len(want) < len(scored)  # a real prefix, not everything

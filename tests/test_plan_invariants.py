@@ -107,10 +107,10 @@ MAX_SHUFFLES = {
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the
     # cached 24-byte/row signature frame (broadcast side)
     # round-6 continuation wave
-    "dedup_graph_pagerank": 16,     # 6 power-iteration rounds × (edge join
-    # + keyed integer sum) + degree/output joins — the canonical Pregel
-    # cost; every shuffle carries 16-byte edge/rank rows, and production
-    # pre-partitions the edge table once so rounds reuse one exchange
+    "dedup_graph_pagerank": 0,      # r7: the sub-bound edge set finishes
+    # driver-side (local finish, parity-tested vs the distributed rounds);
+    # the shipped plan is a local relation projection. The distributed
+    # path checkpoints per round, so even it stays O(1) exchanges/plan.
     "retrieval_tfidf_topk": 1,      # the 1-row stats agg; scoring is a map
     "similarity_matryoshka_recall": 8,  # 4 rank windows + truth join + final
     # agg; all windows share the cached query_id-partitioned pairs frame
@@ -128,11 +128,9 @@ MAX_SHUFFLES = {
     # agg + vocab/cluster marginal joins + bounded per-cluster window
     "events_limit3_by_user": 1,     # ONE key shuffle; bounded per-key window
     # round-6 wave 4
-    "dedup_graph_triangles": 16,    # static tree re-prints the memoized
-    # simhash edge pipeline per consumer (degree agg, orientation joins,
-    # wedge self-join, closing join, three 1-row totals); at runtime the
-    # cached edge frame collapses these to the 5 triangle-specific
-    # exchanges, all carrying 16-byte edge/wedge rows
+    "dedup_graph_triangles": 0,     # r7: local-finish census on the
+    # bounded edge set (same parity contract as PageRank); the shipped
+    # plan is a 1-row local relation
     "score_bigram_accuracy": 5,     # the cached pair-count frame's groupBy
     # (re-printed by the argmax window derivation) + per-lang agg; token
     # positions join the broadcast argmax table map-side
@@ -144,6 +142,18 @@ MAX_SHUFFLES = {
     # (doc, group) phrase agg ride ONE doc exchange; everything after is
     # phrase-table-sized (vocab agg; score join broadcasts; top-k is
     # TakeOrdered)
+    # round-7 wave
+    "corpus_ngram_novelty": 3,      # hsh-window first-occurrence + per-doc
+    # agg + the zero-fill doc join; rides the cached 16-byte shingle frame
+    "similarity_ivf_cell_balance": 2,  # k-row cell census + 1-row fold;
+    # assignment is the broadcast-codebook zero-shuffle map
+    "orders_large_volume_topk": 2,  # the fact groupBy on its own key; the
+    # HAVING survivor set broadcasts into both joins, top-k is TakeOrdered
+    "events_user_anomaly_days": 3,  # (user, day) agg + per-user median agg
+    # + the flag join keyed on user
+    "corpus_budget_selection": 3,   # the checkpointed range exchange is
+    # materialized at build time; the shipped plan is the per-slice window
+    # (+ its sort) over the pinned RDD
 }
 
 

@@ -207,6 +207,20 @@ def main() -> int:
         # = the doc-keyed verdict joins and the one CC fixpoint stay
         # proportional to the corpus (VERDICT r5 item 5)
         ("corpus_source_scorecard", build_scaled_documents),
+        # r7: first-occurrence novelty — ONE min-over-hash window on the
+        # hashed-shingle frame + a per-doc reduce; disjoint shingle
+        # spaces per copy keep per-hash group sizes constant, so flat
+        # rows/s = the window exchange carries the scale-up
+        ("corpus_ngram_novelty", build_scaled_documents),
+        # r7: budget selection — the 2-pass range-partitioned rank with
+        # the prefix-sum leg; flat rows/s = no global-sort straggler
+        # appears as the DSIR-scored frame grows
+        ("corpus_budget_selection", build_scaled_documents),
+        # r7: per-user median-lift anomaly days — (user, day) agg +
+        # bounded in-row median + user-keyed flag join; user cardinality
+        # grows with the data (shifted ids), so flat rows/s = the keyed
+        # aggregates carry the scale-up
+        ("events_user_anomaly_days", build_scaled),
     ]
     llm_rows = []
     for name, builder in llm_probes:
