@@ -42,6 +42,9 @@ _DRIVER_PRIORITY = [
     "orders_large_volume_topk",     # NEW in r7 (TPC-H Q18 HAVING funnel)
     "events_user_anomaly_days",     # NEW in r7 (median-lift outlier days)
     "corpus_budget_selection",      # NEW in r7 (token-budget selection)
+    "regional_supplier_revenue",    # NEW in r7 (TPC-H Q5 join cycle)
+    "orders_per_customer_histogram",  # NEW in r7 (TPC-H Q13 zero bucket)
+    "dedup_prefix_containment",     # NEW in r7 (truncation duplicates)
     # Round 7 changed queries (plan/oracle changes this round — a fresh
     # driver row must certify the shipping code).
     "dedup_graph_pagerank",         # r7: local finish + per-round checkpoint
@@ -90,11 +93,9 @@ _DRIVER_PRIORITY = [
     "similarity_lsh_neardup",
     "similarity_kmeans_ivf",
     "text_fingerprint",
-    "embedding_quantize_int8",
-    "similarity_lsh_buckets",
-    "text_rolling_hash",
     # remaining stale rows that don't fit this round's 50-row window
     # (r5-verified, parallel_scan-adjacent) — rotate into the r8 window:
+    # embedding_quantize_int8, similarity_lsh_buckets, text_rolling_hash,
     # similarity_neardup_cosine, similarity_semdedup,
     # similarity_topk_ivf_learned, similarity_ann_recall,
     # embedding_knn_classify, score_unigram_logprob,

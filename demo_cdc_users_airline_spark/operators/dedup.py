@@ -1190,3 +1190,94 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(coalesce(n_novel, 0) * 1000000"
                            " DIV nullif(n_shingles, 0) AS BIGINT)")
                     .alias("novelty_micro")))
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup: truncation/retry duplicates
+# ---------------------------------------------------------------------------
+
+_PFX_TOKENS = 8   # bucket key: the first 8 normalized tokens
+_PFX_DF_CAP = 50  # boilerplate guard: openings shared by more docs are
+# dropped (same role as the jaccard _DF_CAP — a viral opening line would
+# otherwise contribute df² candidate pairs)
+
+
+@q("dedup_prefix_containment", f"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS txt,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, md5(array_to_string(toks[1:{_PFX_TOKENS}], ' ')) AS head
+  FROM t WHERE len(toks) >= {_PFX_TOKENS}
+),
+kept AS (
+  SELECT doc_id, head FROM h
+  QUALIFY count(*) OVER (PARTITION BY head) <= {_PFX_DF_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM kept a JOIN kept b ON a.head = b.head AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.doc1, c.doc2, t1.txt AS x1, t2.txt AS x2
+  FROM cand c
+  JOIN t t1 ON t1.doc_id = c.doc1
+  JOIN t t2 ON t2.doc_id = c.doc2
+)
+SELECT doc1, doc2,
+       CAST(length(x1) AS BIGINT) AS len1,
+       CAST(length(x2) AS BIGINT) AS len2,
+       CAST(CASE WHEN length(x1) <= length(x2)
+                 THEN starts_with(x2, x1)
+                 ELSE starts_with(x1, x2) END AS BIGINT) AS is_prefix
+FROM m
+""")
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup: pairs where one document is an EXACT
+    prefix of the other — the truncation/retry duplicate class
+    (connection-dropped crawls, length-capped re-scrapes, streamed
+    generations cut at different token limits) that shingle-Jaccard
+    underweights (a 10%-length prefix shares ≤ 10% of shingles) and
+    exact-hash dedup misses entirely.
+
+    Scale path: candidates come from an ID-ONLY bucket join on the
+    md5 of the first {_PFX_TOKENS} normalized tokens (a true prefix
+    pair MUST share the full opening — the bucket key is
+    pigeonhole-complete for docs ≥ {_PFX_TOKENS} tokens), with the
+    df-cap killing viral-opening buckets; the verify joins text via
+    the broadcast bounded pair frame (the dedup_edit_distance shape —
+    the corpus never shuffles its text). Exactness: pure string
+    operations; the shorter side is the tested prefix, equal lengths
+    degrade to exact equality."""
+    t = (_tokenized(spark, sf_dir)
+         .select("doc_id", F.lower(F.trim(F.col("text"))).alias("txt"),
+                 "toks"))
+    h = (t.filter(F.size("toks") >= _PFX_TOKENS)
+         .select("doc_id",
+                 F.md5(F.concat_ws(" ", F.slice("toks", 1, _PFX_TOKENS)))
+                 .alias("head")))
+    posts = (h.groupBy("head")
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+             .filter(F.size("docs") <= _PFX_DF_CAP))
+    # cached: both broadcast consumers read ONE materialization of the
+    # bounded id-pair frame (the static tree still prints the head agg
+    # per consumer — see the plan-invariant budget note)
+    cand = (posts.select(F.explode(F.expr(
+        "flatten(transform(docs, (d1, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), d2 ->"
+        " struct(d1 AS doc1, d2 AS doc2))))")).alias("p"))
+        .select("p.doc1", "p.doc2").cache())
+    t1 = t.select(F.col("doc_id").alias("doc1"), F.col("txt").alias("x1"))
+    t2 = t.select(F.col("doc_id").alias("doc2"), F.col("txt").alias("x2"))
+    m = (t1.join(F.broadcast(cand), "doc1")
+         .join(t2.join(F.broadcast(cand), "doc2").select("doc1", "doc2", "x2"),
+               ["doc1", "doc2"]))
+    return m.select(
+        "doc1", "doc2",
+        F.length("x1").cast("long").alias("len1"),
+        F.length("x2").cast("long").alias("len2"),
+        F.expr("CAST(CASE WHEN length(x1) <= length(x2)"
+               " THEN startswith(x2, x1)"
+               " ELSE startswith(x1, x2) END AS BIGINT)").alias("is_prefix"))

@@ -1331,3 +1331,101 @@ def events_user_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_days").cast("long").alias("n_active_days"),
                     F.expr("CAST(n_events * 1000000 DIV med_daily"
                            " AS BIGINT)").alias("lift_micro")))
+
+
+@q("regional_supplier_revenue", """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""")
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue): revenue from orders where the
+    supplier and the customer share a nation, per nation of one region —
+    the canonical 6-table join whose defining trick is the NON-key
+    equality (s_nationkey = c_nationkey) closing a cycle in the join
+    graph; the optimizer must thread two independent fact→dim paths to
+    the same tiny dimension.
+
+    Scale path: the region filter reduces nation to a ≤25-row broadcast
+    BEFORE any fact joins (region⋈nation is dim-side planning);
+    o_orderdate pushes to the orders scan (partition/file pruning at
+    scale); lineitem⋈orders⋈customer shuffle on their natural keys;
+    supplier (1/10⁴ of lineitem in TPC-H proportions) joins by AQE's
+    choice — no forced broadcast of a side that scales with SF (the r2
+    lesson). The nation-equality predicate applies at the supplier join,
+    so mismatched-nation rows die before the aggregate. Exactness:
+    DECIMAL revenue sum (dec_sum rule), one final double cast; total
+    order (revenue DESC, nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1995-01-01")
+                 & (F.col("o_orderdate") < "1997-01-01")))
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nr = (load_table(spark, sf_dir, "nation")
+          .join(load_table(spark, sf_dir, "region")
+                .filter(F.col("r_name") == "ASIA"),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    joined = (c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+              .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(s, (F.col("s_suppkey") == F.col("l_suppkey"))
+                    & (F.col("s_nationkey") == F.col("c_nationkey")))
+              .join(F.broadcast(nr),
+                    F.col("n_nationkey") == F.col("c_nationkey")))
+    return (joined.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount)"
+                              " AS DECIMAL(38,6))")).alias("__rev"),
+                 F.count(F.lit(1)).alias("n_lineitems"))
+            .select("nation", F.col("__rev").cast("double").alias("revenue"),
+                    "n_lineitems")
+            .orderBy(F.col("revenue").desc(), "nation"))
+
+
+@q("orders_per_customer_histogram", """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM co GROUP BY 1
+""")
+def orders_per_customer_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of
+    orders-per-customer INCLUDING the zero bucket — the count-of-counts
+    query behind engagement distributions and the relational twin of
+    corpus_token_spectrum's Zipf table. The zero bucket is the whole
+    point: an inner join can never see customers with no orders, so the
+    left join is semantically load-bearing.
+
+    Scale path: orders pre-aggregates to (custkey, n) on ITS OWN key
+    first (map-side combinable; the join input shrinks from orders to
+    customers with ≥1 order), the left join runs co-partitioned on
+    custkey, and the histogram groupBy reduces to ≤ max-orders rows —
+    the second aggregate's key space is tiny regardless of data size.
+    Exactness: pure int64 counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")))
+    co = (c.join(per, c["c_custkey"] == per["o_custkey"], "left")
+          .select(F.coalesce("n", F.lit(0)).alias("n_orders")))
+    return (co.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+            .select(F.col("n_orders").cast("long").alias("n_orders"),
+                    "n_customers"))

@@ -239,3 +239,92 @@ def test_budget_selection_is_importance_prefix(spark):
         key=lambda t: t[4])
     assert got == want
     assert want and len(want) < len(scored)  # a real prefix, not everything
+
+
+def test_q5_revenue_matches_python_replay(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        regional_supplier_revenue,
+    )
+
+    base = SF
+    nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in spark.read.parquet(f"{base}/nation.parquet").collect()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in spark.read.parquet(f"{base}/region.parquet").collect()}
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in spark.read.parquet(f"{base}/customer.parquet").collect()}
+    supp = {r["s_suppkey"]: r["s_nationkey"]
+            for r in spark.read.parquet(f"{base}/supplier.parquet").collect()}
+    orders = {r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+              for r in spark.read.parquet(f"{base}/orders.parquet").collect()}
+    want = defaultdict(lambda: [Decimal(0), 0])
+    import datetime
+    lo, hi = datetime.datetime(1995, 1, 1), datetime.datetime(1997, 1, 1)
+    for r in spark.read.parquet(f"{base}/lineitem.parquet").collect():
+        o = orders.get(r["l_orderkey"])
+        if not o or not (lo <= o[1] < hi):
+            continue
+        cn = cust[o[0]]
+        if supp.get(r["l_suppkey"]) != cn:
+            continue
+        n_name, rk = nation[cn]
+        if region[rk] != "ASIA":
+            continue
+        amt = (Decimal(str(r["l_extendedprice"]))
+               * (1 - Decimal(str(r["l_discount"]))))
+        want[n_name][0] += amt.quantize(Decimal("0.000001"))
+        want[n_name][1] += 1
+    got = {r["nation"]: (r["revenue"], r["n_lineitems"])
+           for r in regional_supplier_revenue(spark, SF).collect()}
+    assert set(got) == set(want)
+    for n, (rev, cnt) in want.items():
+        assert got[n][1] == cnt
+        assert abs(got[n][0] - float(rev)) < 1e-6 * max(1.0, float(rev))
+
+
+def test_q13_histogram_masses(spark):
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        orders_per_customer_histogram,
+    )
+
+    rows = orders_per_customer_histogram(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    n_cust_with = (spark.read.parquet(f"{SF}/orders.parquet")
+                   .select("o_custkey").distinct().count())
+    hist = {r["n_orders"]: r["n_customers"] for r in rows}
+    assert sum(hist.values()) == n_cust
+    assert hist.get(0, 0) == n_cust - n_cust_with  # the zero bucket
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(k * v for k, v in hist.items()) == n_orders
+
+
+def test_prefix_containment_doctored(spark, tmp_path):
+    """A doc, its truncation, an equal copy, and a same-opening
+    non-prefix doc: the bucket finds all pairs, the verify separates
+    true prefixes from same-head divergers."""
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        dedup_prefix_containment,
+    )
+
+    w = "tok"
+    base = " ".join(f"{w}{i}" for i in range(20))
+    trunc = " ".join(f"{w}{i}" for i in range(12))
+    diverge = " ".join(f"{w}{i}" for i in range(10)) + " OTHER TAIL"
+    short = " ".join(f"{w}{i}" for i in range(5))  # < 8 toks: excluded
+    rows = [(1, base, "en", "s", len(base)),
+            (2, trunc, "en", "s", len(trunc)),
+            (3, base, "en", "s", len(base)),       # exact copy
+            (4, diverge, "en", "s", len(diverge)),
+            (5, short, "en", "s", len(short))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = str(tmp_path / "pfx")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {(r["doc1"], r["doc2"]): r["is_prefix"]
+           for r in dedup_prefix_containment(spark, d).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1,
+                   (1, 4): 0, (2, 4): 0, (3, 4): 0}

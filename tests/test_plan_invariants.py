@@ -154,6 +154,16 @@ MAX_SHUFFLES = {
     "corpus_budget_selection": 3,   # the checkpointed range exchange is
     # materialized at build time; the shipped plan is the per-slice window
     # (+ its sort) over the pinned RDD
+    "regional_supplier_revenue": 4,  # lineitem/orders/customer/supplier
+    # shuffle on their natural keys + the nation-revenue agg; region-
+    # filtered nation broadcasts; the sort is a bounded <=25-row output
+    "orders_per_customer_histogram": 3,  # orders pre-agg on custkey + the
+    # co-partitioned left join + the tiny count-of-counts agg
+    "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
+    # once per broadcast consumer in the static tree; the cached pair
+    # frame executes it once) + the pair-keyed join of the two bounded
+    # text halves — every exchange after the bucket agg carries
+    # candidate-pair-sized rows, never the corpus
 }
 
 
