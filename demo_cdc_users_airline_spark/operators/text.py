@@ -918,3 +918,80 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("score").cast("long").alias("score_micro"))
             .orderBy(F.col("score_micro").desc(), "phrase")
             .limit(RAKE_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# token entropy: the distributional repetitiveness/diversity signal
+# ---------------------------------------------------------------------------
+
+
+@q("text_token_entropy", """
+WITH toksrc AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM toksrc GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+        FROM cnt GROUP BY 1),
+term AS (
+  SELECT c.doc_id, c.c,
+         CAST(floor(1000000.0 * ln(CAST(t.n AS DOUBLE)
+                                   / CAST(c.c AS DOUBLE))) AS BIGINT)
+           AS lp_micro
+  FROM cnt c JOIN tot t USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c * lp_micro) AS BIGINT) AS entropy_micro_sum
+  FROM term GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       a.entropy_micro_sum,
+       CAST(a.entropy_micro_sum AS DOUBLE)
+         / (1000000.0 * CAST(t.n AS DOUBLE)) AS entropy_nats
+FROM tot t JOIN agg a USING (doc_id)
+""")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy of the token
+    distribution: H = Σ (c/n)·ln(n/c) — the distributional
+    repetitiveness signal that separates word-salad (near-max entropy)
+    and template/keyword-stuffed spam (near-zero entropy) from prose,
+    complementing the run-based Gopher stats (text_repetition_stats
+    catches CONSECUTIVE repeats; entropy catches global skew however
+    it is interleaved).
+
+    Exactness: each per-type term floors 1e6·ln(n/c) to int64 BEFORE
+    the cross-type sum (the repo's verified-ln fixed-point rule —
+    identical double in, identical ln out on both engines), so the sum
+    is order-independent; the nats column is one final division of
+    exact integers.
+
+    Scale path: ONE exploded (doc, token) combinable count, per-doc
+    totals RE-AGGREGATE the count table (no second corpus pass — the
+    PMI marginal trick), and the term join rides the doc_id
+    partitioning; nothing after the first shuffle is corpus-sized
+    beyond the count table itself."""
+    d = parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+    cnt = (d.select("doc_id", F.explode(tokens("text")).alias("w"))
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    tot = (cnt.groupBy("doc_id")
+           .agg(F.sum("c").alias("n"),
+                F.count(F.lit(1)).alias("n_distinct")))
+    term = (cnt.join(tot, "doc_id")
+            .select("doc_id", "c", F.expr(
+                "CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE)"
+                " / CAST(c AS DOUBLE))) AS BIGINT)").alias("lp_micro")))
+    agg = (term.groupBy("doc_id")
+           .agg(F.sum(F.col("c") * F.col("lp_micro")).cast("long")
+                .alias("entropy_micro_sum")))
+    return (tot.join(agg, "doc_id")
+            .select("doc_id",
+                    F.col("n").cast("long").alias("n_tokens"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    "entropy_micro_sum",
+                    (F.col("entropy_micro_sum").cast("double")
+                     / (F.lit(1000000.0) * F.col("n").cast("double")))
+                    .alias("entropy_nats")))

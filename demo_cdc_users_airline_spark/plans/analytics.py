@@ -1429,3 +1429,57 @@ def orders_per_customer_histogram(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
             .select(F.col("n_orders").cast("long").alias("n_orders"),
                     "n_customers"))
+
+
+@q("events_type_markov", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+m AS (SELECT prev_type, sum(n) AS tot FROM tr GROUP BY 1)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n_transitions,
+       CAST(m.tot AS BIGINT) AS n_from,
+       CAST(t.n * 1000000 // m.tot AS BIGINT) AS p_micro
+FROM tr t JOIN m ON m.prev_type = t.prev_type
+""")
+def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | prev) with exact integer floor-div
+    probabilities — the behavioral twin of the token-bigram LM
+    (corpus_bigram_next_word models text; this models users), and the
+    table behind next-action prediction, funnel-shortcut detection,
+    and bot fingerprinting (bots have near-deterministic rows).
+
+    Exercises `lag()` — the one sequence primitive the catalog's
+    window family (row_number / min / sum / lead-in-SCD2) didn't yet
+    cover on the events table. Ranking uses the µs-truncated (ts,
+    event_id) total order on BOTH engines (the ADVICE r6 precision
+    rule).
+
+    Scale path: ONE user-key window exchange orders each user's
+    history (per-user state only — no global sort), the transition
+    count is map-side combinable on a types² key space, and the
+    marginal RE-AGGREGATES the transition table (types-sized), so the
+    probability join touches bounded frames only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    tr = (seq.filter(F.col("prev_type").isNotNull())
+          .groupBy("prev_type", F.col("event_type").alias("next_type"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    m = tr.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (tr.join(F.broadcast(m), "prev_type")
+            .select("prev_type", "next_type",
+                    F.col("n").cast("long").alias("n_transitions"),
+                    F.col("tot").cast("long").alias("n_from"),
+                    F.expr("CAST(n * 1000000 DIV tot AS BIGINT)")
+                    .alias("p_micro")))
