@@ -52,6 +52,7 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.loader import cached_scalar
 from .dedup import (_LOCAL_FINISH_EDGES, _SH_BANDS, _SH_BITS, _SH_MASK,
                     _SH_MAX_HAMMING, _SIMHASH_CTES, dedup_simhash_pairs)
 
@@ -105,17 +106,25 @@ def _round_cte(i: int) -> str:
 )"""
 
 
-def _edges_bounded(pairs: DataFrame,
+def _edges_bounded(spark: SparkSession, sf_dir: str, pairs: DataFrame,
                    max_edges: int) -> list[tuple[int, int]] | None:
     """Bounded Arrow collect of the (already-distinct) edge table:
     returns the edge list when it fits ``max_edges``, else None (the
     caller falls through to the distributed path). The limit(n+1) makes
-    the probe itself bounded — the collect can never be corpus-scaled."""
-    pdf = pairs.select("doc1", "doc2").limit(max_edges + 1).toPandas()
-    if len(pdf) > max_edges:
-        return None
-    return [(int(u), int(v))
-            for u, v in zip(pdf["doc1"].tolist(), pdf["doc2"].tolist())]
+    the probe itself bounded — the collect can never be corpus-scaled.
+
+    MEMOIZED per (session, sf_dir, bound) alongside the other training
+    artifacts (ADVICE r7): a session running PageRank AND the triangle
+    census (or either twice) pays the collect once — the edge list is a
+    deterministic function of the cached simhash pair frame."""
+    def collect() -> list[tuple[int, int]] | None:
+        pdf = pairs.select("doc1", "doc2").limit(max_edges + 1).toPandas()
+        if len(pdf) > max_edges:
+            return None
+        return [(int(u), int(v))
+                for u, v in zip(pdf["doc1"].tolist(), pdf["doc2"].tolist())]
+
+    return cached_scalar(spark, sf_dir, f"graph_edges_{max_edges}", collect)
 
 
 def _pagerank_local(edges: list[tuple[int, int]]
@@ -182,7 +191,8 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str,
     """
     pairs = dedup_simhash_pairs(spark, sf_dir)  # memo-cached edge table
     if local_finish_max_edges:
-        edges = _edges_bounded(pairs, local_finish_max_edges)
+        edges = _edges_bounded(spark, sf_dir, pairs,
+                                local_finish_max_edges)
         if edges is not None:
             rows = _pagerank_local(edges)
             schema = "doc_id long, degree long, pagerank_micro long"
@@ -320,7 +330,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str,
     """
     pairs = dedup_simhash_pairs(spark, sf_dir)
     if local_finish_max_edges:
-        edge_list = _edges_bounded(pairs, local_finish_max_edges)
+        edge_list = _edges_bounded(spark, sf_dir, pairs,
+                                    local_finish_max_edges)
         if edge_list is not None:
             row = _triangles_local(edge_list)
             return spark.createDataFrame(

@@ -1070,13 +1070,14 @@ s AS (
          CAST(sum(n) AS BIGINT) AS n_vectors,
          CAST(max(n) AS BIGINT) AS max_cell,
          CAST(min(n) AS BIGINT) AS min_cell,
-         CAST(sum(n * n) AS BIGINT) AS sum_sq
+         sum(CAST(n AS DECIMAL(38,0)) * n) AS sum_sq
   FROM pc
 )
 SELECT n_cells, n_vectors, max_cell, min_cell,
-       CAST(max_cell * n_cells * 1000000 // nullif(n_vectors, 0)
-            AS BIGINT) AS imbalance_micro,
-       CAST(sum_sq * 1000000 // nullif(n_vectors * n_vectors, 0)
+       CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells * 1000000
+            // nullif(n_vectors, 0) AS BIGINT) AS imbalance_micro,
+       CAST(sum_sq * 1000000
+            // nullif(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors, 0)
             AS BIGINT) AS expected_scan_ppm
 FROM s""")
 
@@ -1095,9 +1096,11 @@ def similarity_ivf_cell_balance(spark: SparkSession,
 
     Scale path: assignment is the broadcast-codebook zero-shuffle map;
     the report is one k-row groupBy + a 1-row fold — bounded by k, not
-    the corpus. Exactness: pure int64 counts and floor divisions
-    (sum-of-squares needs DECIMAL widening past ~3e9 vectors — noted,
-    like the kmeans error total).
+    the corpus. Exactness: int64 counts; the sum-of-squares and both
+    ratio numerators/denominators run through DECIMAL(38,0) on BOTH
+    engines (ADVICE r7 — int64 would silently wrap past ~3e9 vectors
+    on Spark while DuckDB raises, so the engines would diverge instead
+    of both failing loudly; the repo's standard dec-widening rule).
     """
     cb = fitted_codebook(spark, sf_dir)
     asg = assign_cells(_quantized_vectors(spark, sf_dir), cb)
@@ -1106,12 +1109,14 @@ def similarity_ivf_cell_balance(spark: SparkSession,
                F.sum("n").cast("long").alias("n_vectors"),
                F.max("n").cast("long").alias("max_cell"),
                F.min("n").cast("long").alias("min_cell"),
-               F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"))
+               F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+               .cast("decimal(38,0)").alias("sum_sq"))
     return s.select(
         "n_cells", "n_vectors", "max_cell", "min_cell",
-        F.expr("CAST(max_cell * n_cells * 1000000"
+        F.expr("CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells * 1000000"
                " DIV nullif(n_vectors, 0) AS BIGINT)")
         .alias("imbalance_micro"),
         F.expr("CAST(sum_sq * 1000000"
-               " DIV nullif(n_vectors * n_vectors, 0) AS BIGINT)")
+               " DIV nullif(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors, 0)"
+               " AS BIGINT)")
         .alias("expected_scan_ppm"))

@@ -1248,7 +1248,13 @@ def orders_large_volume_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkeys); the HAVING survivor set is a fraction of a percent of
     orders, so it broadcasts into the orders join and the result into
     customer — at 100 TB nothing but the initial aggregate shuffles
-    corpus-scale data. Top-k is TakeOrdered, never a global sort.
+    corpus-scale data. The broadcast decision is left to AQE/the
+    threshold (no explicit hint — ADVICE r7): the survivor aggregate
+    still GROWS with SF, so a forced ``F.broadcast`` would bypass the
+    64 MB guard and OOM the driver at some scale (the r2
+    regional_supplier_revenue lesson); AQE's runtime size check picks
+    broadcast when it actually fits and a shuffle join when it
+    doesn't. Top-k is TakeOrdered, never a global sort.
     Exactness: the quantity sum runs through DECIMAL on both engines
     (dec_sum rule) and the comparison is against an exact decimal; the
     output double is one final cast. Total order: (total_qty DESC,
@@ -1263,7 +1269,7 @@ def orders_large_volume_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("__qty_dec").cast("double").alias("total_qty")))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (F.broadcast(big)
+    return (big
             .join(o, big["l_orderkey"] == o["o_orderkey"])
             .join(c, F.col("c_custkey") == F.col("o_custkey"))
             .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
