@@ -61,13 +61,30 @@ N_MERGES = 64  # learned merge rounds (production: tens of thousands; the
 # driver-side loop shape is identical and adds zero Spark jobs per round,
 # so the count is limited only by oracle-unroll size, not cluster cost)
 
+VOCAB_CAP = 262_144  # hard bound on the TRAINING vocabulary: the word-
+# frequency table keeps only the top-K words by (count DESC, word ASC) —
+# a TakeOrdered, so the driver collect is O(K) rows at ANY corpus size
+# (VERDICT r7 item 2: at 100 TB the distinct-"word" table is heavy-tailed
+# with 1e8–1e9 URLs/hashes/typos; an uncapped collect was the one
+# remaining corpus-growing driver collect). Standard BPE trainers prune
+# exactly this way (HF tokenizers' limit_alphabet/min_frequency family);
+# rare tail words can't win a merge round anyway, and ENCODING still
+# sweeps every word — only merge LEARNING reads the capped table. The
+# cap is far above every gate SF's distinct-word count, so learned
+# merges (and all downstream hashes) are unchanged there; the binding-
+# cap behavior is cross-engine-tested with a tiny cap in
+# tests/test_tokenizer_cap.py.
 
 
 
-def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES,
+                    vocab_cap: int = VOCAB_CAP) -> str:
     """Unrolled merge rounds: wNt(w, n) is the symbol-sequence table
-    entering round N; pcN the pair counts; topN the chosen merge."""
-    parts = [r"""w1t AS MATERIALIZED (
+    entering round N; pcN the pair counts; topN the chosen merge.
+    ``vocab_cap`` mirrors the engine's top-K training-vocabulary bound
+    (count DESC, word ASC — binary collation on both engines)."""
+    parts = [rf"""w1t AS MATERIALIZED (
   SELECT array_to_string(list_transform(range(1, length(w) + 1),
                                         i -> substr(w, i, 1)), ' ') AS w,
          count(*) AS n
@@ -75,6 +92,7 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
         FROM documents)
   WHERE length(w) > 0
   GROUP BY 1
+  ORDER BY n DESC, w LIMIT {vocab_cap}
 )"""]
     for k in range(1, n_merges + 1):
         parts.append(f"""pc{k} AS MATERIALIZED (
@@ -108,10 +126,14 @@ top{k} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + rows
 
 
-def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _word_freq(spark: SparkSession, sf_dir: str,
+               vocab_cap: int = VOCAB_CAP) -> DataFrame:
     """(w, n): space-joined character sequence per distinct corpus word,
-    weighted by occurrence count — the vocabulary-sized frame every
-    merge round iterates over."""
+    weighted by occurrence count, capped to the top ``vocab_cap`` words
+    by (count DESC, word ASC) — the BOUNDED frame the merge loop
+    collects. The sort+limit plans as TakeOrderedAndProject (each task
+    keeps a K-row heap; the driver merges K-row slices), never a global
+    sort — so the collect is O(vocab_cap) at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
     return (d.select(F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -120,7 +142,8 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
                        " i -> substring(w, i, 1)))").alias("w"),
-                "n"))
+                "n")
+            .orderBy(F.col("n").desc(), "w").limit(vocab_cap))
 
 
 def _merge_loop(rows: list[tuple[str, int]],
@@ -184,20 +207,25 @@ def _merge_loop(rows: list[tuple[str, int]],
 
 
 def learn_bpe_merges(spark: SparkSession, sf_dir: str,
-                     n_merges: int = N_MERGES) -> list[tuple[int, str, str, int]]:
+                     n_merges: int = N_MERGES,
+                     vocab_cap: int = VOCAB_CAP,
+                     ) -> list[tuple[int, str, str, int]]:
     """The merge table [(rank, left, right, pair_count)] — memoized like
     every other training artifact (codebooks, profiles).
 
-    ONE Spark job total (the word-frequency collect); every merge round
-    after that is driver-side Python over the bounded vocabulary table
-    — zero per-merge cluster work, so n_merges can reach real vocab
-    sizes (VERDICT r5 item 1)."""
+    ONE Spark job total (the word-frequency collect, HARD-BOUNDED to
+    ``vocab_cap`` rows by the top-K TakeOrdered in ``_word_freq`` —
+    never corpus-growing); every merge round after that is driver-side
+    Python over the bounded vocabulary table — zero per-merge cluster
+    work, so n_merges can reach real vocab sizes (VERDICT r5 item 1;
+    the collect bound is VERDICT r7 item 2)."""
     def fit():
         rows = [(r["w"], int(r["n"]))
-                for r in _word_freq(spark, sf_dir).collect()]
+                for r in _word_freq(spark, sf_dir, vocab_cap).collect()]
         return _merge_loop(rows, n_merges)
 
-    return cached_scalar(spark, sf_dir, f"bpe_merges_{n_merges}", fit)
+    return cached_scalar(spark, sf_dir,
+                         f"bpe_merges_{n_merges}_{vocab_cap}", fit)
 
 
 def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
