@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -267,18 +267,24 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from(_hashed_shingles(spark, sf_dir))
 
 
-def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
-    """(doc1 < doc2) pairs colliding on ≥1 LSH band of the signature
-    frame — the shared candidate generator for the verify and the
-    estimator-quality queries (16-byte band keys on the wire)."""
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH band table of a signature
+    frame (md5 of each band's {_BAND_ROWS} signature components)."""
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
                                           for r in range(_BAND_ROWS)])).alias("band_key"))
         for b in range(_N_BANDS)])
-    bands = (sig.select("doc_id", F.explode(band_structs).alias("bd"))
-             .select("doc_id", F.col("bd.band_id").alias("band_id"),
-                     F.col("bd.band_key").alias("band_key")))
+    return (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+            .select("doc_id", F.col("bd.band_id").alias("band_id"),
+                    F.col("bd.band_key").alias("band_key")))
+
+
+def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc1 < doc2) pairs colliding on ≥1 LSH band of the signature
+    frame — the shared candidate generator for the verify and the
+    estimator-quality queries (16-byte band keys on the wire)."""
+    bands = _band_frame(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -1281,3 +1287,203 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CASE WHEN length(x1) <= length(x2)"
                " THEN startswith(x2, x1)"
                " ELSE startswith(x1, x2) END AS BIGINT)").alias("is_prefix"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a PERSISTED MinHash-LSH index
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 8        # the "daily batch": doc_id % 8 == 0 is the increment,
+# the other 7/8 of the corpus is the already-indexed base
+_INC_MIN_MATCH = 8  # duplicate threshold: >= 8/16 matching signature
+# components (estimated Jaccard >= 0.5 — the signature-level estimator,
+# so verification never touches corpus shingles at probe time)
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark-graft-warehouse")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, "lsh_index", key)
+
+
+def _hashed_shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, hsh) from an explicit (doc_id, text) frame — the same
+    tokenize→3-shingle→hash chain as ``_hashed_shingles`` but scoped to
+    the given documents (the incremental probe must NOT ride the
+    whole-corpus cached frame: its plan would scan base text)."""
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"))
+    ).otherwise(F.array().cast("array<string>"))
+    return (toks.select("doc_id", F.explode(sh).alias("shingle"))
+            .select("doc_id", _hash_col().alias("hsh")))
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str,
+                    path: str | None = None) -> str:
+    """Build and PERSIST the corpus MinHash-LSH index — the artifact an
+    incremental-ingest pipeline maintains so each daily batch probes a
+    saved table instead of re-clustering the corpus (the
+    save_codebook/load_codebook lifecycle, kmeans_ivf.py:150, applied
+    to dedup).
+
+    Two parquet tables under ``path``:
+      sig/    (doc_id, h0..h15) — 16-component MinHash signatures of
+              every BASE document (144-byte rows; corpus text is
+              touched here ONCE, at build time, never at probe time)
+      bands/  (doc_id, band_id, band_key) PARTITIONED BY pfx (the band
+              key's first 2 hex chars, 256 values) — the probe pushes
+              its increment's prefixes as a PARTITION filter, so a
+              small batch reads only the matching slices of the index,
+              not the whole band table: corpus-side IO scales with the
+              increment, which is the whole point of the operator.
+    """
+    path = path or _lsh_index_path(sf_dir)
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % _INC_MOD != 0)
+            .select("doc_id", "text"))
+    sig = _signatures_from(_hashed_shingles_of(
+        parallel_scan(spark, base, "doc_id")))
+    sig.write.mode("overwrite").parquet(path + "/sig")
+    bands = _band_frame(spark.read.parquet(path + "/sig"))
+    (bands.withColumn("pfx", F.substring("band_key", 1, 2))
+     .repartition("pfx")
+     .write.mode("overwrite").partitionBy("pfx").parquet(path + "/bands"))
+    return path
+
+
+def _inc_lsh_oracle_sql() -> str:
+    mins = _minhash_select_sql()
+    cb = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key"
+        f" FROM csig" for b in range(_N_BANDS))
+    ib = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key"
+        f" FROM isig" for b in range(_N_BANDS))
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_N_PERMS))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+csig AS (SELECT * FROM sig WHERE doc_id % {_INC_MOD} <> 0),
+isig AS (SELECT * FROM sig WHERE doc_id % {_INC_MOD} = 0),
+cb AS ({cb}),
+ib AS ({ib}),
+cand AS (
+  SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM ib i JOIN cb c ON i.band_id = c.band_id AND i.band_key = c.band_key
+),
+m AS (
+  SELECT cand.new_id, cand.corpus_id, ({match_sum}) AS n_match
+  FROM cand
+  JOIN isig a ON a.doc_id = cand.new_id
+  JOIN csig b ON b.doc_id = cand.corpus_id
+),
+best AS (
+  SELECT new_id, corpus_id, n_match FROM m
+  WHERE n_match >= {_INC_MIN_MATCH}
+  QUALIFY row_number() OVER (PARTITION BY new_id
+                             ORDER BY n_match DESC, corpus_id) = 1
+)
+SELECT d.doc_id,
+       CAST(b.corpus_id AS BIGINT) AS dup_of,
+       CAST(coalesce(b.n_match, 0) AS BIGINT) AS n_match_sig,
+       CAST(coalesce(b.n_match, 0) * 1000000 // {_N_PERMS} AS BIGINT)
+         AS est_jaccard_micro,
+       CAST(CASE WHEN b.corpus_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS admitted
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_INC_MOD} = 0) d
+LEFT JOIN best b ON b.new_id = d.doc_id"""
+
+
+@q("dedup_incremental_lsh", _inc_lsh_oracle_sql())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission against the persisted MinHash-LSH
+    index (VERDICT r7 item 3): a new batch of documents (doc_id %
+    {_INC_MOD} == 0, the "daily increment") probes the SAVED band table
+    of the already-indexed base corpus — no re-shingling, no
+    re-clustering, no corpus text in the probe plan. Per increment
+    document: its best duplicate in the base (``dup_of``, signature-
+    estimated Jaccard in micros, best = (n_match DESC, corpus_id ASC))
+    or ``admitted = 1`` when no base document matches ≥
+    {_INC_MIN_MATCH}/{_N_PERMS} signature components — the batch twin
+    of the streaming near-dup admission (streaming/neardup.py).
+
+    Scale path: only INCREMENT text is scanned and shingled (one
+    explode + groupBy over the batch); the increment's 256-value band-
+    key prefix set — a hard-bounded collect, the prefix domain has 256
+    values — pushes into the index read as a PARTITION filter, so
+    corpus-side IO is the matching index slices, not the corpus: work
+    scales with the increment. Verification compares 16-component
+    signatures (the persisted artifact) — corpus shingles/text are
+    never touched at probe time. The index itself is built ONCE
+    (memoized per session; in production a daily job maintains it
+    incrementally by appending each admitted batch's bands).
+
+    Exactness: the oracle recomputes base signatures from the corpus —
+    the persisted index is a deterministic function of the base text,
+    so probing the artifact and recomputing agree bit-for-bit; int64
+    match counts and micro floor-divisions; the best-match window is
+    totally ordered."""
+    path = cached_scalar(spark, sf_dir, "lsh_index_path",
+                         lambda: build_lsh_index(spark, sf_dir))
+    inc_docs = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % _INC_MOD == 0)
+                .select("doc_id", "text"))
+    inc_sig = _signatures_from(_hashed_shingles_of(
+        parallel_scan(spark, inc_docs, "doc_id"))).cache()
+    inc_bands = (_band_frame(inc_sig)
+                 .withColumn("pfx", F.substring("band_key", 1, 2)))
+    # hard-bounded collect: the prefix domain is the 256 2-hex-char
+    # values, regardless of increment or corpus size
+    prefixes = sorted(r["pfx"] for r in
+                      inc_bands.select("pfx").distinct().collect())
+    idx_bands = (spark.read.parquet(path + "/bands")
+                 .filter(F.col("pfx").isin(prefixes)))  # partition-pruned
+    cand = (inc_bands.select(F.col("doc_id").alias("new_id"),
+                             "band_id", "band_key")
+            .join(idx_bands.select(F.col("doc_id").alias("corpus_id"),
+                                   "band_id", "band_key"),
+                  ["band_id", "band_key"])
+            .select("new_id", "corpus_id").distinct())
+    idx_sig = spark.read.parquet(path + "/sig")
+    a = inc_sig.select(F.col("doc_id").alias("new_id"),
+                       *[F.col(f"h{i}").alias(f"a{i}")
+                         for i in range(_N_PERMS)])
+    b = idx_sig.select(F.col("doc_id").alias("corpus_id"),
+                       *[F.col(f"h{i}").alias(f"b{i}")
+                         for i in range(_N_PERMS)])
+    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(_N_PERMS))
+    m = (cand.join(a, "new_id").join(b, "corpus_id")
+         .select("new_id", "corpus_id",
+                 n_match.cast("long").alias("n_match")))
+    best = (m.filter(F.col("n_match") >= _INC_MIN_MATCH)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("new_id")
+                .orderBy(F.col("n_match").desc(), "corpus_id")))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("corpus_id").alias("dup_of"),
+                    "n_match"))
+    inc_ids = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % _INC_MOD == 0).select("doc_id"))
+    return (inc_ids.join(best, inc_ids["doc_id"] == best["new_id"], "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").cast("long").alias("dup_of"),
+                F.coalesce("n_match", F.lit(0)).cast("long")
+                 .alias("n_match_sig"),
+                F.expr(f"CAST(coalesce(n_match, 0) * 1000000"
+                       f" DIV {_N_PERMS} AS BIGINT)")
+                 .alias("est_jaccard_micro"),
+                F.when(F.col("dup_of").isNull(), 1).otherwise(0)
+                 .cast("long").alias("admitted")))

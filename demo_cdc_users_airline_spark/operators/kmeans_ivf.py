@@ -355,14 +355,18 @@ def similarity_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_nprobe_topk(spark: SparkSession, sf_dir: str,
-                     nprobe: int, topk: int) -> DataFrame:
+                     nprobe: int, topk: int,
+                     centroids: list[tuple[int, list[int]]] | None = None,
+                     ) -> DataFrame:
     """Learned-IVF nprobe search, parameterized — the shared engine
-    behind similarity_topk_ivf_nprobe and the recall curve."""
+    behind similarity_topk_ivf_nprobe, the recall curve, and the
+    staleness check (which passes its own — stale — codebook)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
+    if centroids is None:
+        centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     vq = _quantized_vectors(spark, sf_dir)
     assigned = (assign_cells(vq, centroids)
                 .select(F.col("id").alias("vec_id"), "cell"))
@@ -1120,3 +1124,205 @@ def similarity_ivf_cell_balance(spark: SparkSession,
                " DIV nullif(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors, 0)"
                " AS BIGINT)")
         .alias("expected_scan_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# index REBUILD staleness: saved codebook vs fresh codebook on drifted data
+# ---------------------------------------------------------------------------
+
+_DRIFT_MOD = 8  # the drift increment: vec_id % 8 == 0 arrived AFTER the
+# saved codebook was trained (the same batch split the incremental-LSH
+# dedup uses, dedup.py _INC_MOD — one coherent "daily increment" story)
+
+
+def _stale_codebook(spark: SparkSession, sf_dir: str,
+                    k: int = 8, iters: int = 3) -> list[tuple[int, list[int]]]:
+    """The SAVED codebook: trained before the drift increment arrived —
+    i.e. fit on vec_id % {_DRIFT_MOD} != 0 only (same Lloyd recipe,
+    init = first k of the OLD ids). Memoized like every artifact."""
+    return cached_scalar(
+        spark, sf_dir, f"kmeans_codebook_stale_k{k}_i{iters}",
+        lambda: kmeans_fit(
+            _quantized_vectors(spark, sf_dir)
+            .filter(F.col("id") % _DRIFT_MOD != 0), k=k, iters=iters))
+
+
+def _prefixed_kmeans_ctes(prefix: str, k: int = 8, iters: int = 3,
+                          dims_sql: str | None = None,
+                          ids_sql: str = "SELECT vec_id FROM embeddings",
+                          ) -> str:
+    """``_kmeans_ctes`` with every CTE name (and the d2 distance column)
+    prefixed, so TWO Lloyd chains — e.g. a stale fit and a fresh fit —
+    can coexist in one WITH clause without name collisions."""
+    import re as _re
+
+    sql = _kmeans_ctes(k, iters, dims_sql, ids_sql)
+    names = (["dims", "init", "dfin", "asgfin", "d2"]
+             + [f"cent{i}" for i in range(iters + 1)]
+             + [f"d{i}" for i in range(1, iters + 1)]
+             + [f"asg{i}" for i in range(1, iters + 1)])
+    for n in sorted(set(names), key=len, reverse=True):
+        sql = _re.sub(rf"\b{n}\b", prefix + n, sql)
+    return sql
+
+
+def _staleness_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
+                          topk: int = RECALL_K) -> str:
+    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    old = f"vec_id % {_DRIFT_MOD} <> 0"
+    stale_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {old}"""
+    chains = (_kmeans_ctes(k, iters) + ",\n"
+              + _prefixed_kmeans_ctes(
+                  "st", k, iters, dims_sql=stale_dims,
+                  ids_sql=f"SELECT vec_id FROM embeddings WHERE {old}"))
+
+    def probe_approx(tag: str, dfin: str, d2: str, asgfin: str) -> str:
+        return f"""probe_{tag} AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM {dfin} WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, cid)
+          <= {nprobe}
+),
+approx_{tag} AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probe_{tag} p
+  JOIN {asgfin} c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {topk}
+),
+hpq_{tag} AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN approx_{tag} x USING (query_id, neighbor_id)
+  GROUP BY 1
+)"""
+
+    # under the STALE codebook, the FULL corpus (old + drifted) is
+    # assigned to the saved centroids: one extra assignment CTE over
+    # stcent{iters} (the saved codebook), mirroring engine serving
+    stale_full_asg = f"""stfull_d AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM dims v JOIN stcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+stfull_probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM stfull_d WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+          <= {nprobe}
+),
+stfull_asg AS (
+  SELECT vec_id, cid AS cell FROM stfull_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+)"""
+    return f"""WITH {chains},
+brute AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY cosine DESC, b.vec_id) <= {topk}
+),
+{stale_full_asg},
+approx_stale AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM stfull_probe p
+  JOIN stfull_asg c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {topk}
+),
+hpq_stale AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN approx_stale x USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+{probe_approx("fresh", "dfin", "d2", "asgfin")},
+per_q AS (
+  SELECT q.query_id, coalesce(f.n, 0) AS nf, coalesce(s.n, 0) AS ns
+  FROM (SELECT DISTINCT query_id FROM brute) q
+  LEFT JOIN hpq_fresh f USING (query_id)
+  LEFT JOIN hpq_stale s USING (query_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({topk} AS BIGINT) AS k,
+       CAST(sum(ns) AS BIGINT) AS hits_stale,
+       CAST(sum(nf) AS BIGINT) AS hits_fresh,
+       CAST(CAST(sum(ns) AS BIGINT) * 1000000
+            // ({topk} * count(*)) AS BIGINT) AS recall_stale_micro,
+       CAST(CAST(sum(nf) AS BIGINT) * 1000000
+            // ({topk} * count(*)) AS BIGINT) AS recall_fresh_micro,
+       CAST(CAST(sum(nf) AS BIGINT) * 1000000 // ({topk} * count(*))
+            - CAST(sum(ns) AS BIGINT) * 1000000 // ({topk} * count(*))
+            AS BIGINT) AS staleness_gap_micro
+FROM per_q"""
+
+
+@q("similarity_index_staleness", _staleness_oracle_sql())
+def similarity_index_staleness(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Index REBUILD staleness check (VERDICT r7 item 7, pairing with
+    the persisted-LSH incremental dedup): recall@{RECALL_K} of the
+    SAVED codebook — trained before the drift increment
+    (vec_id % {_DRIFT_MOD} == 0) arrived — versus a FRESH codebook
+    retrained on everything, both serving nprobe=2 IVF search over the
+    full drifted corpus against the exact brute-force ground truth.
+    ``staleness_gap_micro`` is the rebuild trigger a production vector
+    store monitors: when the gap exceeds the SLO, re-fit and re-ship
+    the codebook (save_codebook/load_codebook lifecycle).
+
+    Scale path: both searches inherit the IVF layout (broadcast
+    codebook assignment, probe-pruned candidate join, bounded query
+    set); the comparison itself is queries×k rows. Exactness: hit
+    counts are integers, recalls are integer micro floor-divisions,
+    the gap subtracts two already-floored micros (never a float);
+    every top-k is totally ordered by (cosine DESC, neighbor_id)."""
+    from pyspark.sql import Window
+
+    from .similarity import similarity_topk_brute
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("neighbor_id"))
+    brute = (similarity_topk_brute(spark, sf_dir)
+             .withColumn("__rn", F.row_number().over(wq))
+             .filter(F.col("__rn") <= RECALL_K)
+             .select("query_id", "neighbor_id"))
+    hpq = {}
+    for tag, cb in (("stale", _stale_codebook(spark, sf_dir)),
+                    ("fresh", fitted_codebook(spark, sf_dir))):
+        approx = (_ivf_nprobe_topk(spark, sf_dir, nprobe=2, topk=RECALL_K,
+                                   centroids=cb)
+                  .select("query_id", "neighbor_id"))
+        hpq[tag] = (brute.join(approx, ["query_id", "neighbor_id"])
+                    .groupBy("query_id")
+                    .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+    per_q = (brute.select("query_id").distinct()
+             .join(hpq["fresh"], "query_id", "left")
+             .join(hpq["stale"], "query_id", "left")
+             .select("query_id",
+                     F.coalesce("n_fresh", F.lit(0)).alias("nf"),
+                     F.coalesce("n_stale", F.lit(0)).alias("ns")))
+    return (per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(RECALL_K).cast("long").alias("k"),
+        F.sum("ns").cast("long").alias("hits_stale"),
+        F.sum("nf").cast("long").alias("hits_fresh"))
+        .select(
+            "n_queries", "k", "hits_stale", "hits_fresh",
+            F.expr(f"CAST(hits_stale * 1000000"
+                   f" DIV ({RECALL_K} * n_queries) AS BIGINT)")
+            .alias("recall_stale_micro"),
+            F.expr(f"CAST(hits_fresh * 1000000"
+                   f" DIV ({RECALL_K} * n_queries) AS BIGINT)")
+            .alias("recall_fresh_micro"),
+            F.expr(f"CAST(hits_fresh * 1000000 DIV ({RECALL_K} * n_queries)"
+                   f" - hits_stale * 1000000 DIV ({RECALL_K} * n_queries)"
+                   f" AS BIGINT)")
+            .alias("staleness_gap_micro")))

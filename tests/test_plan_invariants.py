@@ -159,6 +159,17 @@ MAX_SHUFFLES = {
     # filtered nation broadcasts; the sort is a bounded <=25-row output
     "orders_per_customer_histogram": 3,  # orders pre-agg on custkey + the
     # co-partitioned left join + the tiny count-of-counts agg
+    # round-8 wave
+    "similarity_index_staleness": 12,  # composes THREE searches (brute
+    # ground truth + stale-IVF + fresh-IVF, each with its bounded-query
+    # top-k window) plus the hit joins and the 1-row fold — every
+    # exchange after the corpus scans carries queries×k (= 24) rows;
+    # the corpus-sized work is the two broadcast-codebook assignment
+    # maps and the brute candidate scan, all shuffle-free
+    "dedup_incremental_lsh": 3,     # increment sig agg + candidate distinct
+    # + the best-match window (keyed on new_id); the band probe joins the
+    # partition-pruned index slices and the verify joins ride broadcast —
+    # corpus text never appears in the probe plan (see test_incremental_lsh)
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
