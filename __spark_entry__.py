@@ -36,72 +36,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 7 NEW operators (never driver-certified).
-    "corpus_ngram_novelty",         # NEW in r7 (first-occurrence novelty)
-    "similarity_ivf_cell_balance",  # NEW in r7 (IVF occupancy health)
-    "orders_large_volume_topk",     # NEW in r7 (TPC-H Q18 HAVING funnel)
-    "events_user_anomaly_days",     # NEW in r7 (median-lift outlier days)
-    "corpus_budget_selection",      # NEW in r7 (token-budget selection)
-    "regional_supplier_revenue",    # NEW in r7 (TPC-H Q5 join cycle)
-    "orders_per_customer_histogram",  # NEW in r7 (TPC-H Q13 zero bucket)
-    "dedup_prefix_containment",     # NEW in r7 (truncation duplicates)
-    # Round 7 changed queries (plan/oracle changes this round — a fresh
+    # NEVER driver-certified (tools/certification_report.py: the only
+    # two catalog queries without a green row in any round).
+    "events_type_markov",           # r7 op, missed the r7 window
+    "text_token_entropy",           # r7 op, missed the r7 window
+    # Round 8 NEW operators.
+    "dedup_incremental_lsh",        # NEW in r8 (persisted-index probe)
+    "similarity_index_staleness",   # NEW in r8 (codebook rebuild monitor)
+    # Round 8 changed queries (code/plan changes this round — a fresh
     # driver row must certify the shipping code).
-    "dedup_graph_pagerank",         # r7: local finish + per-round checkpoint
-    "dedup_graph_triangles",        # r7: local finish census
-    "corpus_quality_classifier",    # r7: O(const) labeled-set bound
-    "corpus_curation_funnel",       # r7: nullif zero-guard (ADVICE)
-    "events_limit3_by_user",        # r7: µs-truncated oracle rank (ADVICE)
-    "dedup_edit_distance",          # r7: bounded-pair broadcast (ADVICE)
-    # The r6 parallel_scan plan change touched every query on the
-    # dedup/PQ/text/similarity corpus scans; their last driver-green
-    # rows (r02–r05) predate it. Re-certify on current code (VERDICT r6
-    # item 1 — these are the ~35 stale rows, in family order).
-    "corpus_pack_chunks",
-    "text_token_stats",
-    "corpus_topic_clusters",
-    "dataset_sample_split",
-    "corpus_vocabulary",
-    "corpus_mixture_weights",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_rerank_topk",
-    "similarity_pq_codes",
-    "score_dsir_importance",
-    "retrieval_bm25_topk",
-    "retrieval_hybrid_rrf",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cluster_labels",
-    "dedup_duplicate_spans",
-    "dedup_cluster_keep_best",
-    "corpus_decontaminate",
-    "corpus_decontaminate_bloom",
-    "corpus_ngram_overlap",
-    "corpus_curation_pipeline",
-    "corpus_source_scorecard",
-    "text_quality_score",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_pii_redact",
-    "text_lang_id_confusion",
-    "similarity_topk_brute",
-    "similarity_topk_ivf",
-    "similarity_lsh_neardup",
-    "similarity_kmeans_ivf",
-    "text_fingerprint",
+    "text_bpe_merges",              # r8: top-K training-vocab cap
+    "text_bpe_encode",              # r8: same (shares the merge table)
+    "text_bpe_vocab",               # r8: same
+    "similarity_ivf_cell_balance",  # r8: DECIMAL-widened ratios (ADVICE)
+    "orders_large_volume_topk",     # r8: AQE-decided broadcast (ADVICE)
+    "score_bigram_logprob",         # r8: memoized vocab scalar
+    "dedup_graph_pagerank",         # r8: memoized edge collect (ADVICE)
+    "dedup_graph_triangles",        # r8: same
+    # Stale rows, oldest first (tools/certification_report.py --suggest:
+    # newest driver-green row predates the r6 parallel_scan plan change).
+    "multimodal_decode_pipeline",   # r02
+    "events_asof_last_purchase",    # r02
+    "cdc_latest_row_per_key",       # r04 from here
+    "cdc_latest_state_argmax",
+    "cdc_soft_delete_filtered_state",
+    "cdc_incremental_snapshot",
+    "events_per_minute_gapfill",
+    "events_last_hour_stats",
+    "events_json_extract",
+    "pricing_summary",
+    "regional_customer_value",
+    "customer_order_summary_left",
+    "customers_without_urgent_orders",
+    "orders_above_global_avg",
+    "top_customers",
+    "order_priority_conditional_agg",
+    "order_status_case_rank",
+    "union_order_segments",
+    "part_supplier_analysis",
+    "lineitem_ship_minute_projection",
+    "airport_status_board",
+    "airport_missed_pct_series",
+    "users_api_batch_live",
+    "pipe_node_dag",
+    "users_mv_rmt_endpoint",
+    "orders_rollup_summary",
+    "events_sessionization",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_minute_anomalies",
+    "events_daily_moving_stats",
+    "events_type_pivot",            # r05 from here
+    "events_type_hour_cube",
+    "text_rolling_hash",
+    "similarity_neardup_cosine",
+    "similarity_lsh_buckets",
+    "embedding_quantize_int8",
+    "similarity_topk_ivf_learned",
     # remaining stale rows that don't fit this round's 50-row window
-    # (r5-verified, parallel_scan-adjacent) — rotate into the r8 window:
-    # embedding_quantize_int8, similarity_lsh_buckets, text_rolling_hash,
-    # similarity_neardup_cosine, similarity_semdedup,
-    # similarity_topk_ivf_learned, similarity_ann_recall,
-    # embedding_knn_classify, score_unigram_logprob,
+    # (r05-certified) — rotate into the r9 window, list reproducible via
+    # tools/certification_report.py --suggest 50:
+    # similarity_ann_recall, embedding_knn_classify, similarity_semdedup,
+    # corpus_sample_by_quality, corpus_stats_report,
+    # corpus_curriculum_order, events_value_percentiles,
+    # events_scd2_history, events_activity_streaks, score_unigram_logprob,
     # corpus_perplexity_buckets, corpus_source_divergence,
-    # corpus_sample_by_quality, corpus_curriculum_order,
-    # corpus_stats_report.
+    # corpus_token_cms_topk, events_value_quantile_sketch,
+    # events_hll_distinct.
 ]
 
 

@@ -1439,8 +1439,30 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_docs = (load_table(spark, sf_dir, "documents")
                 .filter(F.col("doc_id") % _INC_MOD == 0)
                 .select("doc_id", "text"))
+    return probe_lsh_index(spark, inc_docs, path)
+
+
+def append_to_lsh_index(spark: SparkSession, path: str,
+                        docs: DataFrame) -> None:
+    """MAINTAIN the persisted index: append an admitted batch's
+    signatures and (prefix-partitioned) bands — the daily-job half of
+    the lifecycle (build once → per batch: probe, admit, APPEND), so
+    the index tracks the corpus without ever re-shingling it."""
+    sig = _signatures_from(_hashed_shingles_of(docs))
+    sig.write.mode("append").parquet(path + "/sig")
+    (_band_frame(sig)
+     .withColumn("pfx", F.substring("band_key", 1, 2))
+     .repartition("pfx")
+     .write.mode("append").partitionBy("pfx").parquet(path + "/bands"))
+
+
+def probe_lsh_index(spark: SparkSession, docs: DataFrame,
+                    path: str) -> DataFrame:
+    """The incremental-probe core: per-document admission verdict of
+    ``docs`` against the persisted index at ``path`` (shared by the
+    catalog query and multi-batch lifecycle pipelines/tests)."""
     inc_sig = _signatures_from(_hashed_shingles_of(
-        parallel_scan(spark, inc_docs, "doc_id"))).cache()
+        parallel_scan(spark, docs, "doc_id"))).cache()
     inc_bands = (_band_frame(inc_sig)
                  .withColumn("pfx", F.substring("band_key", 1, 2)))
     # hard-bounded collect: the prefix domain is the 256 2-hex-char
@@ -1474,8 +1496,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("new_id", F.col("corpus_id").alias("dup_of"),
                     "n_match"))
-    inc_ids = (load_table(spark, sf_dir, "documents")
-               .filter(F.col("doc_id") % _INC_MOD == 0).select("doc_id"))
+    inc_ids = docs.select("doc_id")
     return (inc_ids.join(best, inc_ids["doc_id"] == best["new_id"], "left")
             .select(
                 "doc_id",

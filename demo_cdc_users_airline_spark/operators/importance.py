@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 from .sampling import _salted_hash, _salted_hash_sql
 from .text import tokens
 
@@ -401,7 +401,10 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PMI marginal trick: one corpus-sized shuffle total, the
     marginals reduce pair-table-sized data); the scoring join is
     co-partitioned on the bigram key and the unigram context join on
-    w1; V rides a broadcast scalar. Exactness: per-pair log-probs
+    w1; V is a MEMOIZED per-dataset scalar (the frozen-now-anchor
+    pattern) bound as a literal — computing it inline was a second
+    full corpus tokenize+explode per run, the one corpus-sized cost
+    here that isn't the tf build itself. Exactness: per-pair log-probs
     floor to int64 micros before any cross-row sum (the repo's
     fixed-point rule); single-token docs surface with zero bigrams via
     the left join, NULL average on both engines."""
@@ -422,15 +425,16 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("tf")).cache())
     c2 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
-    vocab = (d.select(F.explode(tokens("text")).alias("w"))
-             .agg(F.countDistinct("w").alias("v")))
+    v = cached_scalar(
+        spark, sf_dir, "bigram_vocab_v",
+        lambda: int(d.select(F.explode(tokens("text")).alias("w"))
+                    .agg(F.countDistinct("w")).collect()[0][0]))
     term = (btf.join(c2, ["w1", "w2"])
             .join(c1, "w1")
-            .crossJoin(F.broadcast(vocab))
             .select("doc_id", "tf", F.expr(
-                "CAST(floor(1000000.0 * ln("
-                "CAST(c + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)"
-                ")) AS BIGINT)").alias("lp_micro")))
+                f"CAST(floor(1000000.0 * ln("
+                f"CAST(c + 1 AS DOUBLE) / CAST(c1 + {int(v)} AS DOUBLE)"
+                f")) AS BIGINT)").alias("lp_micro")))
     agg = (term.groupBy("doc_id")
            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                 F.sum(F.col("tf") * F.col("lp_micro")).cast("long")

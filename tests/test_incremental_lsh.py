@@ -12,8 +12,10 @@ from demo_cdc_users_airline_spark.operators.dedup import (
     _INC_MIN_MATCH,
     _N_PERMS,
     _lsh_index_path,
+    append_to_lsh_index,
     build_lsh_index,
     dedup_incremental_lsh,
+    probe_lsh_index,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -70,6 +72,41 @@ def test_admission_semantics(spark):
             assert r["n_match_sig"] >= _INC_MIN_MATCH
         assert r["est_jaccard_micro"] == \
             r["n_match_sig"] * 1_000_000 // _N_PERMS
+
+
+def test_append_maintains_index(spark, tmp_path):
+    # the daily lifecycle: build once, then per batch probe → admit →
+    # APPEND — after appending a batch, its documents are LIVE in the
+    # index (a re-probe of the same batch finds exact self-matches),
+    # so the next day's batch dedups against them without any rebuild
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 16 = 0")
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"))
+    n_sig_before = spark.read.parquet(path + "/sig").count()
+    assert n_sig_before > 0
+    append_to_lsh_index(spark, path, batch)
+    # appended rows land in the artifact (docs under 3 tokens have no
+    # shingles, hence no signature — count those out)
+    shingled = {r["doc_id"] for r in batch.filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+        .collect()}
+    n_sig_after = spark.read.parquet(path + "/sig").count()
+    assert n_sig_after == n_sig_before + len(shingled)
+    # re-probe the appended batch: every shingled doc now collides at
+    # n_match = 16 (its own signature is in the index; an exact twin
+    # with a smaller id may win the (n_match, corpus_id) tiebreak, so
+    # assert the match strength, not the partner id)
+    rows = probe_lsh_index(spark, batch, path).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] in shingled:
+            assert r["n_match_sig"] == _N_PERMS and r["admitted"] == 0
+        else:
+            assert r["admitted"] == 1
 
 
 def test_explicit_build_path_roundtrip(spark, tmp_path):
