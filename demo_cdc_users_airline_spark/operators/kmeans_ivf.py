@@ -1074,14 +1074,14 @@ s AS (
          CAST(sum(n) AS BIGINT) AS n_vectors,
          CAST(max(n) AS BIGINT) AS max_cell,
          CAST(min(n) AS BIGINT) AS min_cell,
-         sum(CAST(n AS DECIMAL(38,0)) * n) AS sum_sq
+         sum(CAST(n AS HUGEINT) * n) AS sum_sq
   FROM pc
 )
 SELECT n_cells, n_vectors, max_cell, min_cell,
-       CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells * 1000000
+       CAST(CAST(max_cell AS HUGEINT) * n_cells * 1000000
             // nullif(n_vectors, 0) AS BIGINT) AS imbalance_micro,
        CAST(sum_sq * 1000000
-            // nullif(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors, 0)
+            // nullif(CAST(n_vectors AS HUGEINT) * n_vectors, 0)
             AS BIGINT) AS expected_scan_ppm
 FROM s""")
 
@@ -1101,10 +1101,15 @@ def similarity_ivf_cell_balance(spark: SparkSession,
     Scale path: assignment is the broadcast-codebook zero-shuffle map;
     the report is one k-row groupBy + a 1-row fold — bounded by k, not
     the corpus. Exactness: int64 counts; the sum-of-squares and both
-    ratio numerators/denominators run through DECIMAL(38,0) on BOTH
+    ratio numerators/denominators are widened past int64 on BOTH
     engines (ADVICE r7 — int64 would silently wrap past ~3e9 vectors
     on Spark while DuckDB raises, so the engines would diverge instead
-    of both failing loudly; the repo's standard dec-widening rule).
+    of both failing loudly) — DECIMAL(38,0) + truncating ``DIV`` on
+    Spark, HUGEINT + ``//`` on DuckDB. The DuckDB side must NOT widen
+    through DECIMAL: DuckDB's ``//`` on DECIMAL operands true-divides
+    and the BIGINT cast then ROUNDS, so a quotient with fraction ≥ .5
+    would come back one higher than the exact floor both integer paths
+    compute (caught by similarity_incremental_ivf in r8).
     """
     cb = fitted_codebook(spark, sf_dir)
     asg = assign_cells(_quantized_vectors(spark, sf_dir), cb)
@@ -1326,3 +1331,174 @@ def similarity_index_staleness(spark: SparkSession,
                    f" - hits_stale * 1000000 DIV ({RECALL_K} * n_queries)"
                    f" AS BIGINT)")
             .alias("staleness_gap_micro")))
+
+
+# ---------------------------------------------------------------------------
+# incremental vector INGEST against a persisted cell-partitioned IVF index
+# ---------------------------------------------------------------------------
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark-graft-warehouse")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, "ivf_index", key)
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str,
+                    path: str | None = None) -> str:
+    """Build and PERSIST the base-corpus IVF index — the other half of
+    the save_codebook/load_codebook artifact lifecycle: a vector store
+    ships (a) the trained coarse quantizer and (b) the corpus assigned
+    to its cells, laid out so that probes and ingest touch slices, not
+    the corpus.
+
+    Two parquet tables under ``path``:
+      codebook/  the k-row (cid, cvec) coarse quantizer, trained on the
+                 BASE split only (vec_id % {_DRIFT_MOD} != 0 — the
+                 vectors that existed when the index was built)
+      cells/     (vec_id, q_err) PARTITIONED BY cell — an nprobe search
+                 or a per-cell compaction reads only its cells' files;
+                 the partition column alone answers occupancy censuses
+                 from footers without touching row data.
+    """
+    path = path or _ivf_index_path(sf_dir)
+    cb = _stale_codebook(spark, sf_dir)  # = the base-trained codebook
+    save_codebook(spark, path + "/codebook", cb)
+    base = (_quantized_vectors(spark, sf_dir)
+            .filter(F.col("id") % _DRIFT_MOD != 0))
+    (assign_cells(base, cb)
+     .select(F.col("id").alias("vec_id"), "cell", "q_err")
+     .repartition("cell")  # one writer per cell; at production nlist
+     # (thousands of cells) this is a balanced exchange, not a fan-in
+     .write.mode("overwrite").partitionBy("cell").parquet(path + "/cells"))
+    return path
+
+
+def append_to_ivf_index(spark: SparkSession, path: str,
+                        vectors: DataFrame) -> None:
+    """MAINTAIN the persisted index: assign a new batch with the SAVED
+    codebook (load_codebook — never retrain on ingest) and append its
+    (vec_id, cell, q_err) rows to the cell-partitioned table — the
+    daily-job half of the lifecycle (build once → per batch: assign,
+    report, APPEND), mirroring dedup.append_to_lsh_index."""
+    cb = load_codebook(spark, path + "/codebook")
+    (assign_cells(vectors, cb)
+     .select(F.col("id").alias("vec_id"), "cell", "q_err")
+     .repartition("cell")
+     .write.mode("append").partitionBy("cell").parquet(path + "/cells"))
+
+
+def _inc_ivf_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    base = f"vec_id % {_DRIFT_MOD} <> 0"
+    base_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {base}"""
+    chain = _prefixed_kmeans_ctes(
+        "b", k, iters, dims_sql=base_dims,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {base}")
+    return f"""WITH {chain},
+idims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE vec_id % {_DRIFT_MOD} = 0
+),
+inc_d AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM idims v JOIN bcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+inc_asg AS (
+  SELECT vec_id, cid AS cell, dist2 AS q_err FROM inc_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+),
+pb AS (SELECT cell, count(*) AS n_base FROM basgfin GROUP BY 1),
+pi AS (SELECT cell, count(*) AS n_added,
+              sum(CAST(q_err AS HUGEINT)) AS sqe
+       FROM inc_asg GROUP BY 1),
+cells AS (SELECT DISTINCT cid AS cell FROM bcent{iters})
+SELECT CAST(c.cell AS BIGINT) AS cell,
+       CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(i.n_added, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(b.n_base, 0) + coalesce(i.n_added, 0) AS BIGINT)
+         AS n_total,
+       CAST(coalesce(CAST(coalesce(i.n_added, 0) AS HUGEINT) * 1000000
+            // nullif(coalesce(b.n_base, 0) + coalesce(i.n_added, 0), 0), 0)
+            AS BIGINT) AS added_share_ppm,
+       CAST(coalesce(i.sqe // nullif(i.n_added, 0), 0) AS BIGINT)
+         AS avg_q_err_added
+FROM cells c
+LEFT JOIN pb b USING (cell)
+LEFT JOIN pi i USING (cell)
+ORDER BY cell"""
+
+
+@q("similarity_incremental_ivf", _inc_ivf_oracle_sql())
+def similarity_incremental_ivf(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental vector INGEST report against the PERSISTED IVF index
+    (the vector twin of dedup_incremental_lsh, VERDICT r7 item 7): the
+    drift increment (vec_id % {_DRIFT_MOD} == 0 — the batch that
+    arrived after the index was built) is assigned cells by the SAVED
+    base-trained codebook, loaded from the artifact — never retrained —
+    and the report shows, per cell, how the batch would land: base
+    occupancy (read from the index artifact, not recomputed), added
+    count, post-ingest total, the increment's share, and the mean
+    quantization error of the added vectors (the drift signal: rising
+    q_err on new data is the same rebuild trigger
+    similarity_index_staleness measures from the recall side).
+
+    Scale path: increment assignment is the zero-shuffle broadcast-
+    codebook map over ONLY the new batch; base occupancy is a census of
+    the index's partition column (k-row result, footer-sized IO); every
+    join after the two k-row aggregates carries k rows. The actual
+    append is ``append_to_ivf_index`` (exercised in
+    tests/test_incremental_ivf.py) — the report itself is idempotent
+    and never mutates the artifact.
+
+    Exactness: int64 counts; the share numerator and the q_err sum are
+    widened past int64 before the floor-division (the ADVICE-r7 rule —
+    int64 totals wrap past ~1e18 on Spark while DuckDB raises):
+    DECIMAL(38,0) + truncating ``DIV`` on Spark, HUGEINT + ``//`` on
+    DuckDB — NOT DuckDB DECIMAL, whose ``//`` true-divides so the
+    BIGINT cast rounds instead of flooring (see the cell-balance
+    docstring). The oracle re-derives the artifact from the base split
+    (the index is a deterministic function of it), so probing the
+    artifact and recomputing agree bit-for-bit."""
+    path = cached_scalar(spark, sf_dir, "ivf_index_path",
+                         lambda: build_ivf_index(spark, sf_dir))
+    cb = load_codebook(spark, path + "/codebook")
+    inc = (_quantized_vectors(spark, sf_dir)
+           .filter(F.col("id") % _DRIFT_MOD == 0))
+    pi = (assign_cells(inc, cb)
+          .groupBy("cell")
+          .agg(F.count(F.lit(1)).alias("n_added"),
+               F.sum(F.col("q_err").cast("decimal(38,0)")).alias("sqe")))
+    pb = (spark.read.parquet(path + "/cells")
+          .groupBy("cell").agg(F.count(F.lit(1)).alias("n_base")))
+    cells = spark.createDataFrame([(int(cid),) for cid, _ in cb],
+                                  "cell int")
+    # pb/pi are k-row cell censuses — bounded by the codebook size by
+    # construction (never by the corpus), so broadcasting is safe at
+    # any scale and keeps the k-row assembly joins shuffle-free
+    return (cells.join(F.broadcast(pb), "cell", "left")
+            .join(F.broadcast(pi), "cell", "left")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.coalesce("n_base", F.lit(0)).cast("long")
+                    .alias("n_base"),
+                    F.coalesce("n_added", F.lit(0)).cast("long")
+                    .alias("n_added"),
+                    F.col("sqe"))
+            .withColumn("n_total",
+                        (F.col("n_base") + F.col("n_added")).cast("long"))
+            .select(
+                "cell", "n_base", "n_added", "n_total",
+                F.expr("CAST(coalesce(CAST(n_added AS DECIMAL(38,0))"
+                       " * 1000000 DIV nullif(n_total, 0), 0) AS BIGINT)")
+                .alias("added_share_ppm"),
+                F.expr("CAST(coalesce(sqe DIV nullif(n_added, 0), 0)"
+                       " AS BIGINT)").alias("avg_q_err_added"))
+            .orderBy("cell"))

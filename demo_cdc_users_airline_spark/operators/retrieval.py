@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, parallel_scan
 from .text import tokens
 
 QUERIES: dict[str, object] = {}
@@ -500,5 +500,173 @@ def retrieval_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
             .limit(TOP_K)
             .select("doc_id", "n_tokens", "score_micro",
+                    (F.col("score_micro").cast("double") / F.lit(1000000.0))
+                    .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 served from a PERSISTED inverted index (prefix-partitioned postings)
+# ---------------------------------------------------------------------------
+
+# A different fixed query than retrieval_bm25_topk's, so the two serving
+# paths are graded independently (mid-frequency corpus terms).
+SERVE_TERMS = ("stream", "hash", "window", "filter")
+
+# One query term's BM25 partial in int64 micros, over GENERIC posting
+# columns (tf, df_t, dl, n_docs, avgdl in scope) — rendered into BOTH
+# engines verbatim, same k1=1.2 / b=0.75 literals as _bm25_term_sql.
+_SERVE_SCORE_SQL = (
+    "CAST(floor(1000000.0 * ("
+    "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)"
+    " / (CAST(df_t AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+    "(CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)")
+
+
+def _bm25_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark-graft-warehouse")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, "bm25_index", key)
+
+
+def build_bm25_index(spark: SparkSession, sf_dir: str,
+                     path: str | None = None) -> str:
+    """Build and PERSIST the corpus inverted index — the offline half of
+    a search deployment (build once, serve arbitrary queries from the
+    artifact), the retrieval twin of dedup.build_lsh_index.
+
+    Two parquet tables under ``path``:
+      postings/  (term, doc_id, tf, dl) PARTITIONED BY pfx — the term's
+                 md5 head (2 hex chars, 256 balanced slices; raw first
+                 letters skew). dl is DENORMALIZED into the posting row
+                 (the classic inline document norm), so scoring never
+                 joins back to the corpus. A query's term set prunes the
+                 read to its prefixes' partitions: serve-side IO scales
+                 with the query's posting lists, not the corpus.
+      stats/     ONE row (n_docs, sum_dl) — the collection statistics.
+                 Per-term df is NOT stored: every posting of a term
+                 lives in its own partition, so the pruned read itself
+                 yields exact global df with a k-term aggregate.
+    """
+    path = path or _bm25_index_path(sf_dir)
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
+    tok = (d.select("doc_id", tokens("text").alias("__toks"))
+           .select("doc_id", F.size("__toks").alias("dl"),
+                   F.explode("__toks").alias("term")))
+    (tok.groupBy("term", "doc_id", "dl")
+     .agg(F.count(F.lit(1)).alias("tf"))
+     .withColumn("pfx", F.substring(F.md5("term"), 1, 2))
+     .repartition("pfx")
+     .write.mode("overwrite").partitionBy("pfx").parquet(path + "/postings"))
+    (d.select(tokens("text").alias("__toks"))
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum(F.size("__toks").cast("long")).alias("sum_dl"))
+     .coalesce(1).write.mode("overwrite").parquet(path + "/stats"))
+    return path
+
+
+def _bm25_serve_oracle_sql(terms: tuple = SERVE_TERMS,
+                           topk: int = TOP_K) -> str:
+    rows_ = " UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf_{t} AS tf FROM d"
+        f" WHERE tf_{t} > 0" for t in terms)
+    dfs = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, df_{t} AS df_t FROM st" for t in terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}"
+                    for t in terms)}
+  FROM t
+),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                    for t in terms)}
+  FROM d
+),
+rows_ AS ({rows_}),
+dfs AS ({dfs}),
+scored AS (
+  SELECT r.doc_id,
+         CAST(max(r.dl) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum({_SERVE_SCORE_SQL}) AS BIGINT) AS score_micro
+  FROM rows_ r
+  JOIN dfs USING (term)
+  CROSS JOIN st
+  GROUP BY r.doc_id
+)
+SELECT doc_id, n_tokens, n_terms_matched, score_micro,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {topk}"""
+
+
+@q("retrieval_bm25_serve", _bm25_serve_oracle_sql())
+def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} SERVED from the persisted inverted index —
+    the online half of a search deployment, and the third member of the
+    r8 persisted-artifact-serving family (dedup_incremental_lsh probes
+    the saved LSH bands, similarity_incremental_ivf ingests against the
+    saved IVF cells, this serves ranked retrieval from saved postings).
+    Where retrieval_bm25_topk scans the corpus per query (right for a
+    FIXED bounded vocabulary), the index pays tokenization once and
+    then serves ARBITRARY queries from posting slices.
+
+    Scale path: the query's term prefixes are computed in PYTHON
+    (hashlib md5 over the ≤|query| terms — no collect, no job) and push
+    into the postings read as a PARTITION filter plus a pushed term
+    filter, so serve-side IO is the query's posting lists, never the
+    corpus. Per-term df is an exact k-row aggregate OVER the pruned
+    read (a term's postings are complete within its partition); both
+    bounded sides broadcast; the top-k is TakeOrderedAndProject.
+
+    Exactness: the per-term score template is shared text with the
+    oracle (identical IEEE trees; ln is bit-exact between the JVM and
+    DuckDB), each term's partial is floored to int64 micros BEFORE the
+    cross-term sum (exact integer addition), and docs matching zero
+    query terms — absent from the postings — score exactly 0 in the
+    full-scan formula too, so dropping them is lossless. The oracle
+    recomputes from the corpus: the index is a deterministic function
+    of it, so probing the artifact and recomputing agree bit-for-bit."""
+    import hashlib
+
+    path = cached_scalar(spark, sf_dir, "bm25_index_path",
+                         lambda: build_bm25_index(spark, sf_dir))
+    pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2]
+                   for t in SERVE_TERMS})
+    posts = (spark.read.parquet(path + "/postings")
+             .filter(F.col("pfx").isin(pfxs))        # partition-pruned
+             .filter(F.col("term").isin(list(SERVE_TERMS))))
+    st = (spark.read.parquet(path + "/stats")
+          .select("n_docs",
+                  F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+                  .alias("avgdl")))
+    dfs = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (posts
+              .join(F.broadcast(dfs), "term")   # ≤|query| rows
+              .crossJoin(F.broadcast(st))       # 1 row
+              .select("doc_id", "dl",
+                      F.expr(_SERVE_SCORE_SQL).alias("s_micro"))
+              .groupBy("doc_id")
+              .agg(F.max("dl").cast("long").alias("n_tokens"),
+                   F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+                   F.sum("s_micro").cast("long").alias("score_micro")))
+    return (scored
+            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            .limit(TOP_K)
+            .select("doc_id", "n_tokens", "n_terms_matched", "score_micro",
                     (F.col("score_micro").cast("double") / F.lit(1000000.0))
                     .alias("score")))

@@ -170,6 +170,14 @@ MAX_SHUFFLES = {
     # + the best-match window (keyed on new_id); the band probe joins the
     # partition-pruned index slices and the verify joins ride broadcast —
     # corpus text never appears in the probe plan (see test_incremental_lsh)
+    "retrieval_bm25_serve": 2,      # the ≤|query|-row df agg over the
+    # pruned postings read + the per-doc score agg; prefixes prune as a
+    # PARTITION filter, the term set pushes to parquet, both bounded
+    # sides broadcast, top-k is TakeOrdered (see test_bm25_serve)
+    "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
+    # assignment agg + the artifact's partition-column census) + the
+    # k-row ordering sort; assignment is the zero-shuffle broadcast-
+    # codebook map and the assembly joins broadcast bounded k-row sides
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
