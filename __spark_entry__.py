@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "similarity_index_staleness",   # NEW in r8 (codebook rebuild monitor)
     "similarity_incremental_ivf",   # NEW in r8 (persisted-IVF ingest)
     "retrieval_bm25_serve",         # NEW in r8 (persisted postings serve)
+    "similarity_ivf_serve_topk",    # NEW in r8 (partition-pruned ANN serve)
     # Round 8 changed queries (code/plan changes this round — a fresh
     # driver row must certify the shipping code).
     "text_bpe_merges",              # r8: top-K training-vocab cap
@@ -92,10 +93,10 @@ _DRIVER_PRIORITY = [
     "events_type_hour_cube",
     "text_rolling_hash",
     "similarity_neardup_cosine",
-    "similarity_lsh_buckets",
     # remaining stale rows that don't fit this round's 50-row window
     # (r05-certified) — rotate into the r9 window, list reproducible via
     # tools/certification_report.py --suggest 50:
+    # similarity_lsh_buckets,
     # embedding_quantize_int8, similarity_topk_ivf_learned,
     # similarity_ann_recall, embedding_knn_classify, similarity_semdedup,
     # corpus_sample_by_quality, corpus_stats_report,

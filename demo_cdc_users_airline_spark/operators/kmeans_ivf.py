@@ -1359,10 +1359,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
       codebook/  the k-row (cid, cvec) coarse quantizer, trained on the
                  BASE split only (vec_id % {_DRIFT_MOD} != 0 — the
                  vectors that existed when the index was built)
-      cells/     (vec_id, q_err) PARTITIONED BY cell — an nprobe search
-                 or a per-cell compaction reads only its cells' files;
-                 the partition column alone answers occupancy censuses
-                 from footers without touching row data.
+      cells/     (vec_id, q_err, vec) PARTITIONED BY cell, with the
+                 quantized vector INLINE (the standard IVF layout: a
+                 search reads only its probed cells' files and has the
+                 candidate payload right there — no join back to the
+                 corpus); censuses project just the partition column,
+                 so parquet never reads the vector pages for them.
     """
     path = path or _ivf_index_path(sf_dir)
     cb = _stale_codebook(spark, sf_dir)  # = the base-trained codebook
@@ -1370,7 +1372,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     base = (_quantized_vectors(spark, sf_dir)
             .filter(F.col("id") % _DRIFT_MOD != 0))
     (assign_cells(base, cb)
-     .select(F.col("id").alias("vec_id"), "cell", "q_err")
+     .select(F.col("id").alias("vec_id"), "cell", "q_err", "vec")
      .repartition("cell")  # one writer per cell; at production nlist
      # (thousands of cells) this is a balanced exchange, not a fan-in
      .write.mode("overwrite").partitionBy("cell").parquet(path + "/cells"))
@@ -1386,7 +1388,7 @@ def append_to_ivf_index(spark: SparkSession, path: str,
     report, APPEND), mirroring dedup.append_to_lsh_index."""
     cb = load_codebook(spark, path + "/codebook")
     (assign_cells(vectors, cb)
-     .select(F.col("id").alias("vec_id"), "cell", "q_err")
+     .select(F.col("id").alias("vec_id"), "cell", "q_err", "vec")
      .repartition("cell")
      .write.mode("append").partitionBy("cell").parquet(path + "/cells"))
 
@@ -1502,3 +1504,126 @@ def similarity_incremental_ivf(spark: SparkSession,
                 F.expr("CAST(coalesce(sqe DIV nullif(n_added, 0), 0)"
                        " AS BIGINT)").alias("avg_q_err_added"))
             .orderBy("cell"))
+
+
+# ---------------------------------------------------------------------------
+# ANN search SERVED from the persisted IVF index (partition-pruned probe)
+# ---------------------------------------------------------------------------
+
+_SERVE_NPROBE = 2
+_SERVE_TOPK = 3
+_SERVE_QBOUND = 64  # query batch: the first increment vectors
+# (vec_id % _DRIFT_MOD == 0 AND vec_id < 64 → ≤ 8 queries), i.e. fresh
+# arrivals searching the already-indexed base — the online-serving twin
+# of similarity_incremental_ivf's ingest report
+
+
+def _ivf_serve_oracle_sql(k: int = 8, iters: int = 3,
+                          nprobe: int = _SERVE_NPROBE,
+                          topk: int = _SERVE_TOPK) -> str:
+    base = f"vec_id % {_DRIFT_MOD} <> 0"
+    base_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {base}"""
+    chain = _prefixed_kmeans_ctes(
+        "b", k, iters, dims_sql=base_dims,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {base}")
+    return f"""WITH {chain},
+qdims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings
+  WHERE vec_id % {_DRIFT_MOD} = 0 AND vec_id < {_SERVE_QBOUND}
+),
+qd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM qdims v JOIN bcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM qd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+          <= {nprobe}
+),
+qn AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qnn AS (SELECT vec_id, qv,
+               list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+        FROM qn),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM probe p
+  JOIN basgfin c ON c.cell = p.probe_cell
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {topk}"""
+
+
+@q("similarity_ivf_serve_topk", _ivf_serve_oracle_sql())
+def similarity_ivf_serve_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ANN top-{k} SERVED from the persisted IVF index — the online
+    half of the r8 serving family (similarity_incremental_ivf is the
+    ingest report, this is the search): a bounded batch of fresh
+    arrivals (the first ≤ 8 increment vectors) probes its
+    nprobe={_SERVE_NPROBE} nearest cells under the SAVED base-trained
+    codebook and reads ONLY those cells' files of the index — the
+    candidate vectors are INLINE in the posting rows (the standard IVF
+    layout), so the corpus is never joined, scanned, or re-assigned at
+    serve time.
+
+    Scale path: the codebook load is k rows; probe-cell selection is
+    the zero-shuffle broadcast-codebook map over the query batch; the
+    probed-cell set (≤ queries × nprobe ids — a hard-bounded collect)
+    pushes into the index read as a PARTITION filter, so serve IO is
+    nprobe/nlist of the index; the bounded query frame broadcasts into
+    the pruned scan and the per-query top-k window is keyed on
+    query_id. Each candidate joins at most once per query — its
+    assigned cell is unique.
+
+    Exactness: quantized-int64 cosine (the module convention — exact
+    order-independent integer dots surfaced as doubles, then the same
+    ``dot / sqrt(nn_a * nn_b)`` IEEE tree on both engines); the oracle
+    re-derives the index from the base split, which the artifact is a
+    deterministic function of; top-k totally ordered by
+    (cosine DESC, neighbor_id)."""
+    from pyspark.sql import Window
+
+    from .similarity import qdot
+
+    path = cached_scalar(spark, sf_dir, "ivf_index_path",
+                         lambda: build_ivf_index(spark, sf_dir))
+    cb = load_codebook(spark, path + "/codebook")
+    qv = (_quantized_vectors(spark, sf_dir)
+          .filter((F.col("id") % _DRIFT_MOD == 0)
+                  & (F.col("id") < _SERVE_QBOUND)))
+    probes = probe_cells(qv, cb, nprobe=_SERVE_NPROBE)
+    # hard-bounded collect: ≤ |query batch| × nprobe cell ids
+    probed = sorted({r["probe_cell"] for r in
+                     probes.select("probe_cell").distinct().collect()})
+    idx = (spark.read.parquet(path + "/cells")
+           .filter(F.col("cell").isin(probed))  # partition-pruned
+           .select(F.col("vec_id").alias("neighbor_id"), "cell",
+                   F.col("vec").alias("c_vec")))
+    qb = probes.select(F.col("id").alias("query_id"),
+                       F.col("probe_cell").alias("cell"),
+                       F.col("vec").alias("q_vec"))
+    cosine = (qdot("q_vec", "c_vec")
+              / F.sqrt(qdot("q_vec", "q_vec") * qdot("c_vec", "c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (idx.join(F.broadcast(qb), "cell")
+            .select("query_id", "neighbor_id", cosine.alias("cosine"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= _SERVE_TOPK)
+            .drop("__rn"))

@@ -74,3 +74,37 @@ def test_probe_plan_reads_artifact_not_corpus(spark):
     plan = similarity_incremental_ivf(spark, SF) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ivf_index" in plan
+
+
+def test_serve_topk_semantics(spark):
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _SERVE_QBOUND,
+        _SERVE_TOPK,
+        similarity_ivf_serve_topk,
+    )
+
+    rows = similarity_ivf_serve_topk(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        # queries are increment arrivals, neighbors come from the BASE
+        # index only (the splits are disjoint by construction)
+        assert r["query_id"] % _DRIFT_MOD == 0 and \
+            r["query_id"] < _SERVE_QBOUND
+        assert r["neighbor_id"] % _DRIFT_MOD != 0
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cosine"], r["neighbor_id"]))
+    for pairs in by_q.values():
+        assert 1 <= len(pairs) <= _SERVE_TOPK
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_serve_plan_prunes_index_partitions(spark):
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        similarity_ivf_serve_topk,
+    )
+
+    plan = similarity_ivf_serve_topk(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_index" in plan
+    assert "PartitionFilters: [cell" in plan, plan

@@ -174,6 +174,9 @@ MAX_SHUFFLES = {
     # pruned postings read + the per-doc score agg; prefixes prune as a
     # PARTITION filter, the term set pushes to parquet, both bounded
     # sides broadcast, top-k is TakeOrdered (see test_bm25_serve)
+    "similarity_ivf_serve_topk": 1,  # ONLY the bounded per-query top-k
+    # window; the probed-cell set partition-prunes the index read, the
+    # query frame broadcasts, candidate vectors are inline in the index
     "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
