@@ -1336,27 +1336,38 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     to dedup).
 
     Two parquet tables under ``path``:
-      sig/    (doc_id, h0..h15) — 16-component MinHash signatures of
-              every BASE document (144-byte rows; corpus text is
-              touched here ONCE, at build time, never at probe time)
-      bands/  (doc_id, band_id, band_key) PARTITIONED BY pfx (the band
-              key's first 2 hex chars, 256 values) — the probe pushes
-              its increment's prefixes as a PARTITION filter, so a
-              small batch reads only the matching slices of the index,
-              not the whole band table: corpus-side IO scales with the
-              increment, which is the whole point of the operator.
+      sig/    (doc_id, h0..h15) PARTITIONED BY ingest_batch —
+              16-component MinHash signatures of every BASE document
+              (144-byte rows; corpus text is touched here ONCE, at
+              build time, never at probe time). The build writes
+              ingest_batch=-1; each streaming append owns its own
+              batch partition (see append_to_lsh_index), which makes
+              batch re-runs idempotent and lets a probe EXCLUDE its
+              own failed attempt's rows.
+      bands/  (doc_id, band_id, band_key) PARTITIONED BY (pfx,
+              ingest_batch) — pfx is the band key's first 2 hex chars
+              (256 values): the probe pushes its increment's prefixes
+              as a PARTITION filter, so a small batch reads only the
+              matching slices of the index, not the whole band table:
+              corpus-side IO scales with the increment, which is the
+              whole point of the operator.
     """
     path = path or _lsh_index_path(sf_dir)
     base = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % _INC_MOD != 0)
             .select("doc_id", "text"))
-    sig = _signatures_from(_hashed_shingles_of(
+    sig = (_signatures_from(_hashed_shingles_of(
         parallel_scan(spark, base, "doc_id")))
-    sig.write.mode("overwrite").parquet(path + "/sig")
-    bands = _band_frame(spark.read.parquet(path + "/sig"))
+        .withColumn("ingest_batch", F.lit(-1)))
+    (sig.write.mode("overwrite")
+     .partitionBy("ingest_batch").parquet(path + "/sig"))
+    bands = _band_frame(spark.read.parquet(path + "/sig")
+                        .drop("ingest_batch"))
     (bands.withColumn("pfx", F.substring("band_key", 1, 2))
+     .withColumn("ingest_batch", F.lit(-1))
      .repartition("pfx")
-     .write.mode("overwrite").partitionBy("pfx").parquet(path + "/bands"))
+     .write.mode("overwrite")
+     .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
     return path
 
 
@@ -1443,24 +1454,46 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def append_to_lsh_index(spark: SparkSession, path: str,
-                        docs: DataFrame) -> None:
+                        docs: DataFrame,
+                        batch_id: int | None = None) -> None:
     """MAINTAIN the persisted index: append an admitted batch's
     signatures and (prefix-partitioned) bands — the daily-job half of
     the lifecycle (build once → per batch: probe, admit, APPEND), so
-    the index tracks the corpus without ever re-shingling it."""
+    the index tracks the corpus without ever re-shingling it.
+
+    With ``batch_id`` the write is IDEMPOTENT: the batch owns its
+    ``ingest_batch=<id>`` partition and a re-run REPLACES it via
+    dynamic partition overwrite instead of appending duplicates — the
+    same exactly-once recipe as AppendTable.append_idempotent, which
+    is what the streaming ingest pipeline (streaming/lsh_ingest.py)
+    relies on under foreachBatch's at-least-once retries. Without it
+    (ad-hoc maintenance), rows land in ingest_batch=-2 as a plain
+    append."""
     sig = _signatures_from(_hashed_shingles_of(docs))
-    sig.write.mode("append").parquet(path + "/sig")
-    (_band_frame(sig)
-     .withColumn("pfx", F.substring("band_key", 1, 2))
+    bands = (_band_frame(sig)
+             .withColumn("pfx", F.substring("band_key", 1, 2)))
+    tag = -2 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    (sig.withColumn("ingest_batch", F.lit(tag))
+     .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_batch").parquet(path + "/sig"))
+    (bands.withColumn("ingest_batch", F.lit(tag))
      .repartition("pfx")
-     .write.mode("append").partitionBy("pfx").parquet(path + "/bands"))
+     .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+     .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
 
 
 def probe_lsh_index(spark: SparkSession, docs: DataFrame,
-                    path: str) -> DataFrame:
+                    path: str,
+                    exclude_batch: int | None = None) -> DataFrame:
     """The incremental-probe core: per-document admission verdict of
     ``docs`` against the persisted index at ``path`` (shared by the
-    catalog query and multi-batch lifecycle pipelines/tests)."""
+    catalog query and multi-batch lifecycle pipelines/tests).
+
+    ``exclude_batch`` drops the index's ``ingest_batch=<id>`` partition
+    from the probe — a re-run of a failed foreachBatch attempt must not
+    be shadowed by its own earlier rows (the same self-exclusion rule
+    as StreamingNearDupDedup's admitted-state read)."""
     inc_sig = _signatures_from(_hashed_shingles_of(
         parallel_scan(spark, docs, "doc_id"))).cache()
     inc_bands = (_band_frame(inc_sig)
@@ -1471,6 +1504,9 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
                       inc_bands.select("pfx").distinct().collect())
     idx_bands = (spark.read.parquet(path + "/bands")
                  .filter(F.col("pfx").isin(prefixes)))  # partition-pruned
+    if exclude_batch is not None:
+        idx_bands = idx_bands.filter(
+            F.col("ingest_batch") != int(exclude_batch))
     cand = (inc_bands.select(F.col("doc_id").alias("new_id"),
                              "band_id", "band_key")
             .join(idx_bands.select(F.col("doc_id").alias("corpus_id"),
@@ -1478,6 +1514,9 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
                   ["band_id", "band_key"])
             .select("new_id", "corpus_id").distinct())
     idx_sig = spark.read.parquet(path + "/sig")
+    if exclude_batch is not None:
+        idx_sig = idx_sig.filter(
+            F.col("ingest_batch") != int(exclude_batch))
     a = inc_sig.select(F.col("doc_id").alias("new_id"),
                        *[F.col(f"h{i}").alias(f"a{i}")
                          for i in range(_N_PERMS)])

@@ -117,4 +117,7 @@ def test_explicit_build_path_roundtrip(spark, tmp_path):
     bands = spark.read.parquet(path + "/bands")
     assert sig.count() > 0
     assert bands.select("pfx").distinct().count() <= 256
-    assert set(sig.columns) == {"doc_id", *{f"h{i}" for i in range(_N_PERMS)}}
+    assert set(sig.columns) == {"doc_id", "ingest_batch",
+                                *{f"h{i}" for i in range(_N_PERMS)}}
+    # the build owns the base partition; streaming appends own their own
+    assert sig.select("ingest_batch").distinct().collect()[0][0] == -1
