@@ -103,6 +103,30 @@ def build_scaled_embeddings(spark, base_dir: str, mult: int, out_dir: str) -> in
 
 DEEP_PROBES = ("dedup_ngram_jaccard", "dedup_jaccard_containment")
 DEEP_HEADER = "## Deep probe: heaviest dedup operators"
+LLM_HEADER = "## LLM-operator scaling (real catalog operators)"
+
+
+def _patch_llm_rows(new_rows) -> None:
+    """--only mode: splice the probed operators' rows into SCALING.md's
+    LLM table in place of any existing rows for them, leaving the rest
+    of the (expensive, previously measured) matrix untouched."""
+    with open("/root/repo/SCALING.md") as f:
+        lines = f.read().splitlines()
+    probed = {r[0] for r in new_rows}
+    start = next(i for i, ln in enumerate(lines) if ln == LLM_HEADER)
+    # the table ends at the first non-| line after its header row
+    tbl0 = next(i for i in range(start, len(lines))
+                if lines[i].startswith("|---"))
+    end = tbl0 + 1
+    while end < len(lines) and lines[end].startswith("|"):
+        end += 1
+    kept = [ln for ln in lines[tbl0 + 1:end]
+            if ln.split("|")[1].strip() not in probed]
+    added = [f"| {n} | {m}× | {rws:,} | {dt:.2f} | {rps / 1e3:.1f} |"
+             for n, m, rws, dt, rps in new_rows]
+    out = lines[:tbl0 + 1] + kept + added + lines[end:]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(out) + "\n")
 
 
 def deep_main(mults: list[int]) -> int:
@@ -170,7 +194,16 @@ def deep_main(mults: list[int]) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--deep"]
+    args = []
+    only: set[str] = set()
+    it = iter(a for a in sys.argv[1:] if a != "--deep")
+    for a in it:
+        if a == "--only":
+            only = set(next(it).split(","))
+        elif a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
     mults = [int(m) for m in args]
     if "--deep" in sys.argv[1:]:
         return deep_main(mults)
@@ -198,7 +231,7 @@ def main() -> int:
     }
 
     rows = []
-    for mult in mults:
+    for mult in (() if only else mults):  # --only: llm probes alone
         out_dir = os.path.join(SCRATCH, f"x{mult}")
         os.makedirs(out_dir, exist_ok=True)
         n = build_scaled(spark, base, mult, out_dir)
@@ -301,7 +334,39 @@ def main() -> int:
         # the steady-state probe, whose work is increment+index-slice
         # sized — flat rows/s = probing stays decoupled from re-index
         ("dedup_incremental_lsh", build_scaled_documents),
+        # r8: ANN served from the persisted IVF index — FIXED 8-query
+        # batch, growing base (copy 0 keeps vec_id < 64, so the query
+        # set never grows); serve reads nprobe/k of the index via the
+        # probed-cell partition filter — flat base-rows/s = the pruned
+        # read carries the scale-up, never a corpus join
+        ("similarity_ivf_serve_topk", build_scaled_embeddings),
+        # r8: BM25 from the persisted inverted index — suffixed probe
+        # tokens MISS the serve terms, the worst case for the pruned
+        # path: the 4 prefixes' posting slices (≈4/256 of the index,
+        # growing with the corpus) are read end-to-end with no
+        # early-out — flat corpus-rows/s = serve IO stays the slice,
+        # never the corpus
+        ("retrieval_bm25_serve", build_scaled_documents),
     ]
+    # persisted-index probes leave their artifact under the warehouse
+    # root keyed by scratch dir — free it with the scratch
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        _lsh_index_path,
+    )
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _ivf_index_path,
+    )
+    from demo_cdc_users_airline_spark.operators.retrieval import (
+        _bm25_index_path,
+    )
+    index_paths = {"dedup_incremental_lsh": _lsh_index_path,
+                   "similarity_ivf_serve_topk": _ivf_index_path,
+                   "retrieval_bm25_serve": _bm25_index_path}
+    if only:
+        llm_probes = [(n, b) for n, b in llm_probes if n in only]
+        missing = only - {n for n, _ in llm_probes}
+        if missing:
+            raise SystemExit(f"--only: unknown probes {sorted(missing)}")
     llm_rows = []
     for name, builder in llm_probes:
         for mult in mults:
@@ -320,7 +385,16 @@ def main() -> int:
             dt = min(_timed(run_once) for _ in range(2))
             llm_rows.append((name, mult, n, dt, n / dt))
             print(f"x{mult:<3} {name:28s} {n:>10,} rows  {dt:6.2f}s  "
-                  f"{n / dt / 1e3:8.1f} K rows/s")
+                  f"{n / dt / 1e3:8.1f} K rows/s", flush=True)
+            if name in index_paths:
+                shutil.rmtree(index_paths[name](out_dir),
+                              ignore_errors=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+    if only:
+        _patch_llm_rows(llm_rows)
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        spark.stop()
+        return 0
 
     # streaming near-dup, SEQUENTIAL policy: one measured micro-batch of
     # N/2 docs probed against an admitted prior state of N/2 docs — the
