@@ -1547,3 +1547,38 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
                  .alias("est_jaccard_micro"),
                 F.when(F.col("dup_of").isNull(), 1).otherwise(0)
                  .cast("long").alias("admitted")))
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> None:
+    """Background-merge the persisted index: fold every ``ingest_batch``
+    partition into the base (-1) partition, one writer per pfx slice —
+    after K streaming appends each band slice holds K+1 small file
+    sets, and probes pay per-file open cost for rows that could be one
+    run. Probe verdicts are invariant under compaction (the row set is
+    unchanged; batch provenance is only needed for idempotent re-runs,
+    which compaction retires).
+
+    Safety is the AppendTable._swap_rewrite recipe: write-to-tmp reads
+    the live files (removed only after the write completes), then
+    rename-aside — a crash mid-swap leaves either the old or the new
+    directory at a recoverable location. Run it in the maintenance
+    window between batches, like any background merge: it must not
+    race a concurrent append (the appender would write into the
+    directory being swapped out)."""
+    import os
+    import shutil
+
+    for sub, parts in (("/sig", ["ingest_batch"]),
+                       ("/bands", ["pfx", "ingest_batch"])):
+        live = path + sub
+        df = (spark.read.parquet(live)
+              .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1)))
+        if "pfx" in parts:
+            df = df.repartition("pfx")
+        tmp, old = live + ".compact.tmp", live + ".compact.old"
+        df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)

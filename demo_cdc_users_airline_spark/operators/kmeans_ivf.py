@@ -1627,3 +1627,23 @@ def similarity_ivf_serve_topk(spark: SparkSession,
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= _SERVE_TOPK)
             .drop("__rn"))
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Background-merge the cells table to one file set per cell —
+    every append_to_ivf_index adds a file per touched cell, so after K
+    ingest batches an nprobe search opens K files per probed cell for
+    rows that could be one run. Same rename-aside safety and same
+    no-concurrent-append caveat as dedup.compact_lsh_index."""
+    import os
+    import shutil
+
+    live = path + "/cells"
+    df = spark.read.parquet(live).repartition("cell")
+    tmp, old = live + ".compact.tmp", live + ".compact.old"
+    df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
