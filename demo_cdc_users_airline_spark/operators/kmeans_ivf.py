@@ -1359,12 +1359,16 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
       codebook/  the k-row (cid, cvec) coarse quantizer, trained on the
                  BASE split only (vec_id % {_DRIFT_MOD} != 0 — the
                  vectors that existed when the index was built)
-      cells/     (vec_id, q_err, vec) PARTITIONED BY cell, with the
-                 quantized vector INLINE (the standard IVF layout: a
-                 search reads only its probed cells' files and has the
-                 candidate payload right there — no join back to the
-                 corpus); censuses project just the partition column,
-                 so parquet never reads the vector pages for them.
+      cells/     (vec_id, q_err, vec) PARTITIONED BY (cell,
+                 ingest_batch), with the quantized vector INLINE (the
+                 standard IVF layout: a search reads only its probed
+                 cells' files and has the candidate payload right
+                 there — no join back to the corpus); censuses project
+                 just the partition columns, so parquet never reads
+                 the vector pages for them. The build owns
+                 ingest_batch=-1; each streaming append owns its own
+                 batch partition so re-runs replace instead of
+                 duplicating (the dedup.build_lsh_index layout).
     """
     path = path or _ivf_index_path(sf_dir)
     cb = _stale_codebook(spark, sf_dir)  # = the base-trained codebook
@@ -1373,24 +1377,39 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
             .filter(F.col("id") % _DRIFT_MOD != 0))
     (assign_cells(base, cb)
      .select(F.col("id").alias("vec_id"), "cell", "q_err", "vec")
+     .withColumn("ingest_batch", F.lit(-1))
      .repartition("cell")  # one writer per cell; at production nlist
      # (thousands of cells) this is a balanced exchange, not a fan-in
-     .write.mode("overwrite").partitionBy("cell").parquet(path + "/cells"))
+     .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+     .parquet(path + "/cells"))
     return path
 
 
 def append_to_ivf_index(spark: SparkSession, path: str,
-                        vectors: DataFrame) -> None:
+                        vectors: DataFrame,
+                        batch_id: int | None = None) -> None:
     """MAINTAIN the persisted index: assign a new batch with the SAVED
     codebook (load_codebook — never retrain on ingest) and append its
     (vec_id, cell, q_err) rows to the cell-partitioned table — the
     daily-job half of the lifecycle (build once → per batch: assign,
-    report, APPEND), mirroring dedup.append_to_lsh_index."""
+    report, APPEND), mirroring dedup.append_to_lsh_index.
+
+    With ``batch_id`` the write is IDEMPOTENT: the batch owns its
+    ``ingest_batch=<id>`` partitions and a re-run REPLACES them via
+    dynamic partition overwrite (cell assignment is a deterministic
+    function of the saved codebook, so a re-run of the same batch
+    touches exactly the same (cell, batch) partitions). Without it
+    (ad-hoc maintenance), rows land in ingest_batch=-2 as a plain
+    append."""
     cb = load_codebook(spark, path + "/codebook")
+    tag = -2 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
     (assign_cells(vectors, cb)
      .select(F.col("id").alias("vec_id"), "cell", "q_err", "vec")
+     .withColumn("ingest_batch", F.lit(tag))
      .repartition("cell")
-     .write.mode("append").partitionBy("cell").parquet(path + "/cells"))
+     .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell", "ingest_batch").parquet(path + "/cells"))
 
 
 def _inc_ivf_oracle_sql(k: int = 8, iters: int = 3) -> str:
@@ -1639,9 +1658,12 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     import shutil
 
     live = path + "/cells"
-    df = spark.read.parquet(live).repartition("cell")
+    df = (spark.read.parquet(live)
+          .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1))
+          .repartition("cell"))
     tmp, old = live + ".compact.tmp", live + ".compact.old"
-    df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    df.write.mode("overwrite").partitionBy("cell", "ingest_batch") \
+        .parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(live, old)

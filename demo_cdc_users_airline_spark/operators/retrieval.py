@@ -540,34 +540,112 @@ def build_bm25_index(spark: SparkSession, sf_dir: str,
     artifact), the retrieval twin of dedup.build_lsh_index.
 
     Two parquet tables under ``path``:
-      postings/  (term, doc_id, tf, dl) PARTITIONED BY pfx — the term's
-                 md5 head (2 hex chars, 256 balanced slices; raw first
-                 letters skew). dl is DENORMALIZED into the posting row
-                 (the classic inline document norm), so scoring never
-                 joins back to the corpus. A query's term set prunes the
-                 read to its prefixes' partitions: serve-side IO scales
-                 with the query's posting lists, not the corpus.
-      stats/     ONE row (n_docs, sum_dl) — the collection statistics.
-                 Per-term df is NOT stored: every posting of a term
-                 lives in its own partition, so the pruned read itself
-                 yields exact global df with a k-term aggregate.
+      postings/  (term, doc_id, tf, dl) PARTITIONED BY (pfx,
+                 ingest_batch) — pfx is the term's md5 head (2 hex
+                 chars, 256 balanced slices; raw first letters skew).
+                 dl is DENORMALIZED into the posting row (the classic
+                 inline document norm), so scoring never joins back to
+                 the corpus. A query's term set prunes the read to its
+                 prefixes' partitions: serve-side IO scales with the
+                 query's posting lists, not the corpus. The build owns
+                 ingest_batch=-1; each streaming append owns its own
+                 batch partition (the build_lsh_index layout), so
+                 re-runs replace instead of duplicating.
+      stats/     one row PER BATCH (n_docs, sum_dl), partitioned by
+                 ingest_batch — the collection statistics as mergeable
+                 partials (serve SUMs them: a bounded aggregate over
+                 one row per ingest batch). Per-term df is NOT stored:
+                 every posting of a term lives in its own pfx slice,
+                 so the pruned read itself yields exact global df with
+                 a k-term aggregate.
     """
     path = path or _bm25_index_path(sf_dir)
     d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
                       "doc_id")
-    tok = (d.select("doc_id", tokens("text").alias("__toks"))
+    _write_bm25_batch(d, path, tag=-1, mode="overwrite")
+    return path
+
+
+def _write_bm25_batch(docs: DataFrame, path: str, tag: int,
+                      mode: str) -> None:
+    # the build (tag=-1) is a STATIC overwrite — it must wipe the whole
+    # directory; per-batch idempotent appends use DYNAMIC overwrite so
+    # a re-run replaces only its own ingest_batch partitions
+    ow_mode = "static" if tag == -1 else "dynamic"
+    tok = (docs.select("doc_id", tokens("text").alias("__toks"))
            .select("doc_id", F.size("__toks").alias("dl"),
                    F.explode("__toks").alias("term")))
     (tok.groupBy("term", "doc_id", "dl")
      .agg(F.count(F.lit(1)).alias("tf"))
      .withColumn("pfx", F.substring(F.md5("term"), 1, 2))
+     .withColumn("ingest_batch", F.lit(tag))
      .repartition("pfx")
-     .write.mode("overwrite").partitionBy("pfx").parquet(path + "/postings"))
-    (d.select(tokens("text").alias("__toks"))
+     .write.mode(mode).option("partitionOverwriteMode", ow_mode)
+     .partitionBy("pfx", "ingest_batch").parquet(path + "/postings"))
+    (docs.select(tokens("text").alias("__toks"))
      .agg(F.count(F.lit(1)).alias("n_docs"),
           F.sum(F.size("__toks").cast("long")).alias("sum_dl"))
-     .coalesce(1).write.mode("overwrite").parquet(path + "/stats"))
-    return path
+     .withColumn("ingest_batch", F.lit(tag))
+     .coalesce(1)
+     .write.mode(mode).option("partitionOverwriteMode", ow_mode)
+     .partitionBy("ingest_batch").parquet(path + "/stats"))
+
+
+def append_to_bm25_index(spark: SparkSession, path: str,
+                         docs: DataFrame,
+                         batch_id: int | None = None) -> None:
+    """MAINTAIN the persisted inverted index: tokenize a new batch and
+    append its postings (pfx-partitioned, norms inline) plus its
+    one-row stats partial — the daily-job half of the lifecycle (build
+    once → per batch: APPEND), mirroring dedup.append_to_lsh_index.
+    Serve needs no rebuild: per-term df comes from the pruned postings
+    read (now including the batch's rows) and n_docs/avgdl from the
+    SUM over the per-batch stats rows.
+
+    With ``batch_id`` the write is IDEMPOTENT: the batch owns its
+    ``ingest_batch=<id>`` partitions and a re-run REPLACES them via
+    dynamic partition overwrite (tokenization is deterministic, so a
+    re-run of the same batch touches exactly the same (pfx, batch)
+    partitions). Without it (ad-hoc maintenance), rows land in
+    ingest_batch=-2 as a plain append."""
+    tag = -2 if batch_id is None else int(batch_id)
+    mode = "append" if batch_id is None else "overwrite"
+    _write_bm25_batch(docs, path, tag=tag, mode=mode)
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> None:
+    """Background-merge the persisted index: fold every batch's
+    postings into the base (-1) partition, one writer per pfx slice,
+    and the per-batch stats partials into ONE base row — after K
+    streaming appends each queried slice opens K+1 file sets for rows
+    that could be one run. Serve results are invariant (the posting
+    row set is unchanged; the stats SUM is associative). Same
+    rename-aside crash safety and same no-concurrent-append caveat as
+    dedup.compact_lsh_index."""
+    import os
+    import shutil
+
+    def swap(live: str, df: DataFrame, parts: list[str]) -> None:
+        tmp, old = live + ".compact.tmp", live + ".compact.old"
+        (df.write.mode("overwrite").partitionBy(*parts).parquet(tmp))
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+
+    swap(path + "/postings",
+         (spark.read.parquet(path + "/postings")
+          .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1))
+          .repartition("pfx")),
+         ["pfx", "ingest_batch"])
+    swap(path + "/stats",
+         (spark.read.parquet(path + "/stats")
+          .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+               F.sum("sum_dl").cast("long").alias("sum_dl"))
+          .withColumn("ingest_batch", F.lit(-1))
+          .coalesce(1)),
+         ["ingest_batch"])
 
 
 def _bm25_serve_oracle_sql(terms: tuple = SERVE_TERMS,
@@ -641,19 +719,39 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scan formula too, so dropping them is lossless. The oracle
     recomputes from the corpus: the index is a deterministic function
     of it, so probing the artifact and recomputing agree bit-for-bit."""
-    import hashlib
-
     path = cached_scalar(spark, sf_dir, "bm25_index_path",
                          lambda: build_bm25_index(spark, sf_dir))
+    return bm25_serve(spark, path)
+
+
+def bm25_serve(spark: SparkSession, path: str,
+               terms: tuple = SERVE_TERMS,
+               topk: int = TOP_K) -> DataFrame:
+    """Serve BM25 top-k for ``terms`` from the index at ``path`` — the
+    explicit-path core of retrieval_bm25_serve, shared by the catalog
+    query and the maintained-index lifecycle (append → serve reflects
+    the batch with no rebuild; see tests/test_bm25_serve.py)."""
+    import hashlib
+
     pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2]
-                   for t in SERVE_TERMS})
+                   for t in terms})
     posts = (spark.read.parquet(path + "/postings")
              .filter(F.col("pfx").isin(pfxs))        # partition-pruned
-             .filter(F.col("term").isin(list(SERVE_TERMS))))
-    st = (spark.read.parquet(path + "/stats")
-          .select("n_docs",
-                  F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")
-                  .alias("avgdl")))
+             .filter(F.col("term").isin(list(terms))))
+    # stats are mergeable per-batch partials (one row per ingest
+    # batch, folded to one by compact_bm25_index) — a hard-bounded
+    # collect; integer sums are order-independent, and with only the
+    # base row present the sum IS that row, so the downstream double
+    # division is bit-identical to reading it directly
+    stats_rows = spark.read.parquet(path + "/stats") \
+        .select("n_docs", "sum_dl").collect()
+    n_docs = sum(r["n_docs"] for r in stats_rows)
+    sum_dl = sum(r["sum_dl"] for r in stats_rows)
+    st = spark.createDataFrame([(n_docs, sum_dl)],
+                               "n_docs bigint, sum_dl bigint") \
+        .select("n_docs",
+                F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+                .alias("avgdl"))
     dfs = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (posts
               .join(F.broadcast(dfs), "term")   # ≤|query| rows
@@ -666,7 +764,7 @@ def retrieval_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("s_micro").cast("long").alias("score_micro")))
     return (scored
             .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
-            .limit(TOP_K)
+            .limit(topk)
             .select("doc_id", "n_tokens", "n_terms_matched", "score_micro",
                     (F.col("score_micro").cast("double") / F.lit(1000000.0))
                     .alias("score")))

@@ -1,0 +1,120 @@
+"""Streaming IVF ingest against the persisted index: quantize → assign
+with the SAVED codebook → idempotent append + per-batch drift report,
+across micro-batches and batch re-runs."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+    _DRIFT_MOD,
+    _quantized_vectors,
+    assign_cells,
+    build_ivf_index,
+    load_codebook,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+from demo_cdc_users_airline_spark.sources.tables import AppendTable
+from demo_cdc_users_airline_spark.streaming.ivf_ingest import (
+    StreamingIvfIngest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+
+@pytest.fixture(scope="module")
+def increment(spark):
+    # the drift increment split, as raw (id, embedding) rows
+    rows = (load_table(spark, SF, "embeddings")
+            .filter(F.col("vec_id") % _DRIFT_MOD == 0)
+            .select(F.col("vec_id").alias("id"),
+                    F.col("embedding").cast("array<double>")
+                    .alias("embedding"))
+            .orderBy("id").limit(12).collect())
+    assert len(rows) == 12
+    return [(r["id"], list(r["embedding"])) for r in rows]
+
+
+def write_vecs(path, rows):
+    path.write_text("\n".join(
+        json.dumps({"id": i, "embedding": e}) for i, e in rows) + "\n")
+
+
+def source(spark, directory):
+    return (spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(directory))
+            .select(F.from_json(F.col("value"), SCHEMA).alias("j"))
+            .select("j.id", "j.embedding"))
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    report = AppendTable(spark, str(tmp_path / "report"))
+    return StreamingIvfIngest(index_path=path, report_table=report)
+
+
+def test_two_batches_maintain_index_and_report(spark, tmp_path, pipe,
+                                               increment):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_vecs(src / "b0.json", increment[:6])
+    write_vecs(src / "b1.json", increment[6:])
+    q = pipe.start(source(spark, src), str(tmp_path / "ckpt"),
+                   trigger_once=True)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # index: per-cell totals equal a full recompute of base + streamed
+    # rows under the SAVED codebook (never retrained)
+    cb = load_codebook(spark, pipe.index_path + "/codebook")
+    got = {r["cell"]: r["n"] for r in
+           (spark.read.parquet(pipe.index_path + "/cells")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect())}
+    streamed_ids = [i for i, _ in increment]
+    want_vecs = (_quantized_vectors(spark, SF)
+                 .filter((F.col("id") % _DRIFT_MOD != 0)
+                         | F.col("id").isin(streamed_ids)))
+    want = {r["cell"]: r["n"] for r in
+            (assign_cells(want_vecs, cb)
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert got == want
+
+    # each batch owns its own index partitions
+    tags = {r["ingest_batch"] for r in
+            spark.read.parquet(pipe.index_path + "/cells")
+            .select("ingest_batch").distinct().collect()}
+    assert tags == {-1, 0, 1}
+
+    # report: per-batch arrival counts sum to the batch sizes, and the
+    # avg is the exact integer floor of sum/n
+    rep = spark.read.parquet(pipe.report_table.path)
+    per_batch = {r["ingest_batch_id"]: r["n"] for r in
+                 rep.groupBy("ingest_batch_id")
+                 .agg(F.sum("n_added").alias("n")).collect()}
+    assert per_batch == {0: 6, 1: 6}
+    for r in rep.collect():
+        assert r["avg_q_err"] == r["sum_q_err"] // r["n_added"]
+
+
+def test_batch_rerun_is_idempotent(spark, tmp_path, pipe, increment):
+    batch = spark.createDataFrame(
+        [(i, e) for i, e in increment[:6]], SCHEMA)
+    pipe.process_batch(batch, 7)
+    n_idx = spark.read.parquet(pipe.index_path + "/cells").count()
+    rep_rows = sorted(map(tuple, spark.read.parquet(
+        pipe.report_table.path).collect()))
+    # a foreachBatch retry re-runs the same batch id with the same
+    # data: both sinks must REPLACE their own rows, not duplicate
+    pipe.process_batch(batch, 7)
+    assert spark.read.parquet(pipe.index_path + "/cells").count() == n_idx
+    assert sorted(map(tuple, spark.read.parquet(
+        pipe.report_table.path).collect())) == rep_rows
