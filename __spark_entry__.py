@@ -95,7 +95,10 @@ _DRIVER_PRIORITY = [
     "similarity_neardup_cosine",
     # remaining stale rows that don't fit this round's 50-row window
     # (r05-certified) — rotate into the r9 window, list reproducible via
-    # tools/certification_report.py --suggest 50:
+    # tools/certification_report.py --suggest 50. ALSO front in r9 the
+    # never-certified late-r8 additions:
+    # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve.
+    # Then the stale tail:
     # similarity_lsh_buckets,
     # embedding_quantize_int8, similarity_topk_ivf_learned,
     # similarity_ann_recall, embedding_knn_classify, similarity_semdedup,

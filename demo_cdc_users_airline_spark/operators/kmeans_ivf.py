@@ -1616,12 +1616,20 @@ def similarity_ivf_serve_topk(spark: SparkSession,
     re-derives the index from the base split, which the artifact is a
     deterministic function of; top-k totally ordered by
     (cosine DESC, neighbor_id)."""
+    path = cached_scalar(spark, sf_dir, "ivf_index_path",
+                         lambda: build_ivf_index(spark, sf_dir))
+    return ivf_serve(spark, sf_dir, path)
+
+
+def ivf_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Serve the fresh-arrival query batch from the IVF index at
+    ``path`` — the explicit-path core of similarity_ivf_serve_topk,
+    shared by the base-index catalog query and the maintained-index
+    lifecycle gate (similarity_ivf_incremental_serve)."""
     from pyspark.sql import Window
 
     from .similarity import qdot
 
-    path = cached_scalar(spark, sf_dir, "ivf_index_path",
-                         lambda: build_ivf_index(spark, sf_dir))
     cb = load_codebook(spark, path + "/codebook")
     qv = (_quantized_vectors(spark, sf_dir)
           .filter((F.col("id") % _DRIFT_MOD == 0)
@@ -1669,3 +1677,112 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     os.rename(live, old)
     os.rename(tmp, live)
     shutil.rmtree(old)
+
+
+def _ivf_inc_serve_oracle_sql(k: int = 8, iters: int = 3,
+                              nprobe: int = _SERVE_NPROBE,
+                              topk: int = _SERVE_TOPK) -> str:
+    base = f"vec_id % {_DRIFT_MOD} <> 0"
+    appended = (f"vec_id % {_DRIFT_MOD} = 0"
+                f" AND vec_id >= {_SERVE_QBOUND}")
+    base_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {base}"""
+    chain = _prefixed_kmeans_ctes(
+        "b", k, iters, dims_sql=base_dims,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {base}")
+    return f"""WITH {chain},
+incdims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {appended}
+),
+incd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS d2
+  FROM incdims v JOIN bcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+incasg AS (
+  SELECT vec_id, cid AS cell FROM incd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+cand AS (
+  SELECT vec_id, cell FROM basgfin
+  UNION ALL
+  SELECT vec_id, cell FROM incasg
+),
+qdims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings
+  WHERE vec_id % {_DRIFT_MOD} = 0 AND vec_id < {_SERVE_QBOUND}
+),
+qd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM qdims v JOIN bcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM qd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+          <= {nprobe}
+),
+qn AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qnn AS (SELECT vec_id, qv,
+               list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+        FROM qn),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM probe p
+  JOIN cand c ON c.cell = p.probe_cell
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {topk}"""
+
+
+@q("similarity_ivf_incremental_serve", _ivf_inc_serve_oracle_sql())
+def similarity_ivf_incremental_serve(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """ANN top-{k} served from a MAINTAINED IVF index — the lifecycle
+    gate for the persisted vector artifact: the index is built over the
+    BASE split only, then the already-arrived increment (vec_id %
+    {_DRIFT_MOD} == 0 AND vec_id >= {_SERVE_QBOUND} — yesterday's
+    batches, excluding today's query batch) is APPENDED through
+    ``append_to_ivf_index`` (assigned by the SAVED codebook, its own
+    ingest_batch partitions) — never rebuilt or retrained — and the
+    fresh query batch searches the grown artifact. The oracle
+    recomputes both splits' cell assignments under the base-trained
+    centroids, so a green row proves append+serve is BIT-IDENTICAL to
+    a from-scratch assignment of the grown corpus: fresh arrivals can
+    now match yesterday's arrivals, not just the base (compare
+    similarity_ivf_serve_topk, whose neighbors are base-only). This
+    certifies the maintenance path streaming/ivf_ingest.py relies on.
+
+    Scale path: identical to similarity_ivf_serve_topk (the serve core
+    is shared — bounded probe collect, partition-pruned cells read,
+    inline candidate vectors, per-query top-k window); the append
+    assigns only the increment. Build + append run once per session
+    (memoized) — the artifact lifecycle, not the per-query cost."""
+    def make() -> str:
+        p = _ivf_index_path(sf_dir) + "_inc"
+        build_ivf_index(spark, sf_dir, p)
+        inc = (_quantized_vectors(spark, sf_dir)
+               .filter((F.col("id") % _DRIFT_MOD == 0)
+                       & (F.col("id") >= _SERVE_QBOUND)))
+        append_to_ivf_index(spark, p, inc, batch_id=0)
+        return p
+
+    path = cached_scalar(spark, sf_dir, "ivf_inc_index_path", make)
+    return ivf_serve(spark, sf_dir, path)

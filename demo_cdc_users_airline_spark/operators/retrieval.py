@@ -768,3 +768,41 @@ def bm25_serve(spark: SparkSession, path: str,
             .select("doc_id", "n_tokens", "n_terms_matched", "score_micro",
                     (F.col("score_micro").cast("double") / F.lit(1000000.0))
                     .alias("score")))
+
+
+@q("retrieval_bm25_incremental_serve", _bm25_serve_oracle_sql())
+def retrieval_bm25_incremental_serve(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """BM25 served from a MAINTAINED index — the lifecycle gate for the
+    persisted postings artifact: the index is built over the BASE
+    corpus split (doc_id % 8 != 0) only, then the increment
+    (doc_id % 8 == 0, the daily batch) is APPENDED through
+    ``append_to_bm25_index`` (its own ingest_batch partitions, one-row
+    stats partial) — never rebuilt — and serving reads the grown
+    artifact. The oracle recomputes BM25 over the FULL corpus, so a
+    green row proves append+serve is BIT-IDENTICAL to a from-scratch
+    rebuild: per-term df (postings complete within their pfx slices
+    across batch partitions), n_docs/avgdl (the stats partials sum to
+    the full-corpus row), and every score's IEEE tree all survive the
+    incremental path. Where retrieval_bm25_serve certifies the serve
+    plan, this certifies the MAINTENANCE path the streaming ingest
+    (streaming/bm25_ingest.py) relies on.
+
+    Scale path: identical to retrieval_bm25_serve (the serve core is
+    shared); the append tokenizes only the increment. Build + append
+    run once per session (memoized) — the artifact lifecycle, not the
+    per-query cost."""
+    def make() -> str:
+        path = _bm25_index_path(sf_dir) + "_inc"
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        base = parallel_scan(spark, docs.filter(F.col("doc_id") % 8 != 0),
+                             "doc_id")
+        _write_bm25_batch(base, path, tag=-1, mode="overwrite")
+        inc = parallel_scan(spark, docs.filter(F.col("doc_id") % 8 == 0),
+                            "doc_id")
+        append_to_bm25_index(spark, path, inc, batch_id=0)
+        return path
+
+    path = cached_scalar(spark, sf_dir, "bm25_inc_index_path", make)
+    return bm25_serve(spark, path)

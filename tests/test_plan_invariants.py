@@ -177,6 +177,13 @@ MAX_SHUFFLES = {
     "similarity_ivf_serve_topk": 1,  # ONLY the bounded per-query top-k
     # window; the probed-cell set partition-prunes the index read, the
     # query frame broadcasts, candidate vectors are inline in the index
+    "retrieval_bm25_incremental_serve": 2,  # the shared bm25_serve core
+    # over the MAINTAINED index (base build + appended batch partitions)
+    # — identical serve plan budget to retrieval_bm25_serve
+    "similarity_ivf_incremental_serve": 1,  # the shared ivf_serve core
+    # over the MAINTAINED index — identical budget to
+    # similarity_ivf_serve_topk (the append happens at memoized build
+    # time, not in the serve plan)
     "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
