@@ -1,0 +1,149 @@
+"""Operational envelope of the three streaming index maintainers:
+batch arrival → SERVEABLE from the persisted artifact inside the same
+15 s budget the CDC loop honors (the reference's wait_for() bound,
+modules/utils.py:48) — measured, not asserted from structure. The
+timed leg ends at the trigger-once commit (the index write happens
+inside the batch, so a committed batch IS serveable); an untimed
+check then exercises the real consumer path: an LSH probe must reject
+a copy of the ingested document, a BM25 query must rank it, an IVF
+serve-style read must surface its vector."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from demo_cdc_users_airline_spark.operators.dedup import (
+    build_lsh_index,
+    probe_lsh_index,
+)
+from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+    _DRIFT_MOD,
+    build_ivf_index,
+)
+from demo_cdc_users_airline_spark.operators.retrieval import (
+    bm25_serve,
+    build_bm25_index,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+from demo_cdc_users_airline_spark.sources.tables import AppendTable
+from demo_cdc_users_airline_spark.streaming.bm25_ingest import (
+    StreamingBm25Ingest,
+)
+from demo_cdc_users_airline_spark.streaming.ivf_ingest import (
+    StreamingIvfIngest,
+)
+from demo_cdc_users_airline_spark.streaming.lsh_ingest import (
+    StreamingLshIngest,
+)
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 15.0
+
+DOC_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+VEC_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+NOVEL = ("zebra xylophone quantum harmonica sediment glacier aurora "
+         "borealis cantilever mezzanine theodolite sprocket bandolier")
+
+
+def run_once(pipe, stream, ckpt):
+    q = pipe.start(stream, str(ckpt), trigger_once=True)
+    q.awaitTermination(int(BUDGET))
+    assert not q.isActive
+
+
+def doc_stream(spark, directory):
+    return (spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1).load(str(directory))
+            .select(F.from_json(F.col("value"), DOC_SCHEMA).alias("j"))
+            .select("j.doc_id", "j.text"))
+
+
+def test_lsh_ingest_to_probe_latency(spark, tmp_path):
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingLshIngest(
+        index_path=path, out_table=AppendTable(spark,
+                                               str(tmp_path / "adm")))
+    src = tmp_path / "src"
+    src.mkdir()
+    # warmup batch: the budget models a RUNNING system's per-batch
+    # latency (the reference polls a live loop) — the session's first
+    # streaming query pays one-time init that no steady-state batch does
+    (src / "warm.json").write_text(
+        json.dumps({"doc_id": 900_001, "text": "warm up batch doc"})
+        + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1_000_001, "text": NOVEL}) + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    # the batch is SERVEABLE once the trigger-once commit returns (the
+    # index write is inside the batch) — that is the timed leg; the
+    # probe below is the untimed correctness check that it really is:
+    total = time.monotonic() - t0
+    copy = spark.createDataFrame([(1_000_002, NOVEL)], DOC_SCHEMA)
+    verdict = probe_lsh_index(spark, copy, path).collect()
+    assert verdict[0]["admitted"] == 0
+    assert verdict[0]["dup_of"] == 1_000_001
+    print(f"\nlsh ingest -> serveable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET
+
+
+def test_bm25_ingest_to_serve_latency(spark, tmp_path):
+    path = build_bm25_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingBm25Ingest(index_path=path)
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1_000_001,
+                    "text": "zebraterm zebraterm unique"}) + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: a query for the batch's unique term
+    # ranks the new doc from the maintained artifact
+    rows = bm25_serve(spark, path, terms=("zebraterm",)).collect()
+    assert [r["doc_id"] for r in rows] == [1_000_001]
+    print(f"\nbm25 ingest -> serveable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET
+
+
+def test_ivf_ingest_to_serve_latency(spark, tmp_path):
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingIvfIngest(
+        index_path=path,
+        report_table=AppendTable(spark, str(tmp_path / "rep")))
+    vec = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") % _DRIFT_MOD == 0)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding"))
+           .orderBy("id").first())
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"id": 1_000_001,
+                    "embedding": list(vec["embedding"])}) + "\n")
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 1).load(str(src))
+              .select(F.from_json(F.col("value"), VEC_SCHEMA).alias("j"))
+              .select("j.id", "j.embedding"))
+    run_once(pipe, stream, tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: the vector is a candidate posting row
+    # in its cell (a serve reads candidates inline from the pruned read)
+    got = (spark.read.parquet(path + "/cells")
+           .filter(F.col("vec_id") == 1_000_001).collect())
+    assert len(got) == 1 and got[0]["vec"] is not None
+    print(f"\nivf ingest -> serveable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET
