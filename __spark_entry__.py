@@ -97,7 +97,8 @@ _DRIVER_PRIORITY = [
     # (r05-certified) — rotate into the r9 window, list reproducible via
     # tools/certification_report.py --suggest 50. ALSO front in r9 the
     # never-certified late-r8 additions:
-    # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve.
+    # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve,
+    # returned_item_revenue_topk, orders_with_returns_by_priority.
     # Then the stale tail:
     # similarity_lsh_buckets,
     # embedding_quantize_int8, similarity_topk_ivf_learned,

@@ -1489,3 +1489,104 @@ def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("tot").cast("long").alias("n_from"),
                     F.expr("CAST(n * 1000000 DIV tot AS BIGINT)")
                     .alias("p_micro")))
+
+
+@q("returned_item_revenue_topk", """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       c.c_acctbal AS acctbal,
+       n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def returned_item_revenue_topk(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 20 customers who
+    returned the most revenue in a quarter — the complaint-triage /
+    churn-risk report, and the classic 4-table top-k whose fact side
+    shrinks twice before anything wide happens.
+
+    Scale path: BOTH fact filters push to their scans (o_orderdate to
+    orders — partition pruning at scale; l_returnflag = 'R' to
+    lineitem, killing ~2/3 of the fact before the join);
+    lineitem⋈orders shuffles co-partitioned on orderkey, the survivor
+    set joins customer on custkey, and the ≤25-row nation dim
+    broadcasts; the top-20 is orderBy().limit() →
+    TakeOrderedAndProject, never a global sort. Exactness: revenue
+    through DECIMAL(38,6) (the dec_sum rule) with ONE final double
+    cast; acctbal is a GROUP KEY (never summed — no float accumulation
+    hazard); total order (revenue DESC, c_custkey)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-04-01")))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("c_custkey") == F.col("o_custkey"))
+              .join(F.broadcast(n),
+                    F.col("n_nationkey") == F.col("c_nationkey")))
+    return (joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount)"
+                              " AS DECIMAL(38,6))")).alias("__rev"),
+                 F.count(F.lit(1)).cast("long").alias("n_returned_items"))
+            .select("c_custkey", "c_name",
+                    F.col("__rev").cast("double").alias("revenue"),
+                    F.col("c_acctbal").alias("acctbal"),
+                    F.col("n_name").alias("nation"),
+                    "n_returned_items")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@q("orders_with_returns_by_priority", """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY 1
+""")
+def orders_with_returns_by_priority(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape (order-priority checking): orders in a year
+    that had AT LEAST ONE returned line item, counted by priority —
+    the EXISTS/semi-join surface (the testdata carries no
+    l_commitdate/l_receiptdate, so the reference predicate "committed
+    late" becomes "had a return"; the join SHAPE — fact-to-fact EXISTS
+    decorrelated to a semi join — is the point). Completes the join
+    family: inner (J1), left outer (J2), anti (J6/P8), full outer
+    (users_customer_reconciliation), and now semi as a gated query.
+
+    Scale path: both filters push to their scans; the semi join
+    shuffles co-partitioned on orderkey and emits each qualifying
+    order ONCE regardless of its return count (no post-join distinct —
+    left_semi's semantics ARE the dedup); the priority aggregate
+    reduces to ≤5 rows map-side. Exactness: int64 counts, total order
+    on the priority string."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1997-01-01")))
+    returned = (load_table(spark, sf_dir, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (o.join(returned, o["o_orderkey"] == returned["l_orderkey"],
+                   "left_semi")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy("priority"))

@@ -184,6 +184,12 @@ MAX_SHUFFLES = {
     # over the MAINTAINED index — identical budget to
     # similarity_ivf_serve_topk (the append happens at memoized build
     # time, not in the serve plan)
+    "returned_item_revenue_topk": 1,  # TPC-H Q10: at gate SF every join
+    # broadcasts, leaving only the groupBy exchange; both fact filters
+    # push to the scans and the top-20 is TakeOrderedAndProject
+    "orders_with_returns_by_priority": 2,  # TPC-H Q4 shape: the semi
+    # join's exchange pair at gate SF; returnflag + date filters push,
+    # the ≤5-row priority agg reduces map-side
     "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
