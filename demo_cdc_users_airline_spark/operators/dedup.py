@@ -1444,7 +1444,16 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted index is a deterministic function of the base text,
     so probing the artifact and recomputing agree bit-for-bit; int64
     match counts and micro floor-divisions; the best-match window is
-    totally ordered."""
+    totally ordered.
+
+    Cost profile at gate SF (r8 stage timings, sf0.1 idle): increment
+    signatures 0.85 s, prefix collect 0.62 s, and ~1 s of the probe is
+    OPENING the 256 pfx slices' files for a 17.5 K-row bands read —
+    i.e. the wall time is fixed small-file/footer overhead, not data
+    volume (at sf0.1 the increment's prefixes saturate all 256 slices,
+    so pruning is a no-op by construction). At production scale the
+    slices are large, opens amortize, and pruning bites — the part
+    that scales is exactly the part that is already bounded."""
     path = cached_scalar(spark, sf_dir, "lsh_index_path",
                          lambda: build_lsh_index(spark, sf_dir))
     inc_docs = (load_table(spark, sf_dir, "documents")
