@@ -95,3 +95,33 @@ def test_ivf_compaction_preserves_cells(spark, tmp_path):
     assert len(parquet_files(path + "/cells")) < n_files
     assert not [d for d in os.listdir(str(tmp_path / "idx"))
                 if ".compact." in d]
+
+
+def test_multiday_lifecycle_with_midstream_compaction(spark, tmp_path):
+    """Three 'days' of the production loop — probe → admit → append —
+    with a maintenance-window compaction after day 0 on one index and
+    never on the control: every day's verdicts and the final row sets
+    must be identical (compaction happens BETWEEN batches and changes
+    nothing a probe or a later append can observe)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    paths = {tag: build_lsh_index(spark, SF, str(tmp_path / tag))
+             for tag in ("compacted", "control")}
+    for day, mod in enumerate((0, 4, 8)):
+        batch = docs.filter(f"doc_id % 16 = {mod}")
+        verdicts = {}
+        for tag, path in paths.items():
+            v = probe_lsh_index(spark, batch, path)
+            verdicts[tag] = sorted_rows(v)
+            admitted = (batch.join(
+                v.filter(F.col("admitted") == 1).select("doc_id"),
+                "doc_id", "left_semi"))
+            append_to_lsh_index(spark, path, admitted, batch_id=day)
+        assert verdicts["compacted"] == verdicts["control"], f"day {day}"
+        if day == 0:
+            compact_lsh_index(spark, paths["compacted"])
+    for sub in ("/sig", "/bands"):
+        assert sorted_rows(
+            spark.read.parquet(paths["compacted"] + sub)
+            .drop("ingest_batch")) == sorted_rows(
+            spark.read.parquet(paths["control"] + sub)
+            .drop("ingest_batch"))
