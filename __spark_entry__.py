@@ -98,7 +98,8 @@ _DRIVER_PRIORITY = [
     # tools/certification_report.py --suggest 50. ALSO front in r9 the
     # never-certified late-r8 additions:
     # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve,
-    # returned_item_revenue_topk, orders_with_returns_by_priority.
+    # returned_item_revenue_topk, orders_with_returns_by_priority,
+    # promo_revenue_share.
     # Then the stale tail:
     # similarity_lsh_buckets,
     # embedding_quantize_int8, similarity_topk_ivf_learned,

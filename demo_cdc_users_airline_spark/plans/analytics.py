@@ -1590,3 +1590,52 @@ def orders_with_returns_by_priority(spark: SparkSession,
             .groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
             .orderBy("priority"))
+
+
+@q("promo_revenue_share", """
+SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+       THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+       AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+  100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+       THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+              AS DECIMAL(38,6))) AS DOUBLE) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01'
+""")
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of a period's revenue
+    from promotional parts — the conditional-sum-over-join ratio every
+    marketing dashboard runs (the testdata's p_type domain is flat
+    labels, so the reference predicate LIKE 'PROMO%' is the equality).
+
+    Scale path: the shipdate filter pushes to the lineitem scan
+    (partition pruning at scale); lineitem⋈part joins by AQE's choice —
+    part scales with SF, so no forced broadcast (the r2 lesson, same
+    as Q5's supplier side); both conditional sums ride ONE global
+    aggregate (map-side partials → a 1-row result). Exactness: both
+    sums through DECIMAL(38,6) (exact integer-like accumulation in any
+    partition order), each cast to DOUBLE once, and the percentage is
+    the IDENTICAL IEEE tree on both engines (100.0 * promo / total —
+    two exact doubles in, one rounding per operator)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-07-01")))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+    agg = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+           .agg(F.expr(f"sum(CASE WHEN p_type = 'PROMO' THEN {rev}"
+                       f" ELSE CAST(0 AS DECIMAL(38,6)) END)")
+                .alias("__promo"),
+                F.expr(f"sum({rev})").alias("__total")))
+    return agg.select(
+        F.col("__promo").cast("double").alias("promo_revenue"),
+        F.col("__total").cast("double").alias("total_revenue"),
+        F.expr("100.0 * CAST(__promo AS DOUBLE)"
+               " / CAST(__total AS DOUBLE)").alias("promo_pct"))

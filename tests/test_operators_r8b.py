@@ -63,3 +63,33 @@ def test_q4_shape_matches_python_replay(spark):
     assert {r["priority"]: r["n_orders"] for r in got} == dict(want)
     # an order with MANY returned lines still counts once (semi join)
     assert [r["priority"] for r in got] == sorted(want)
+
+
+def test_q14_matches_python_replay(spark):
+    from decimal import Decimal
+
+    ptype = {r["p_partkey"]: r["p_type"] for r in
+             spark.read.parquet(f"{SF}/part.parquet").collect()}
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    promo = total = Decimal(0)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        rev = Decimal(str(
+            r["l_extendedprice"] * (1 - r["l_discount"]))).quantize(
+                Decimal("0.000001"))
+        total += rev
+        if ptype[r["l_partkey"]] == "PROMO":
+            promo += rev
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        promo_revenue_share,
+    )
+
+    got = promo_revenue_share(spark, SF).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["promo_revenue"] == float(promo)
+    assert r["total_revenue"] == float(total)
+    assert r["promo_pct"] == 100.0 * float(promo) / float(total)
+    assert 0.0 < r["promo_pct"] < 100.0

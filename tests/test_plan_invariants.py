@@ -190,6 +190,9 @@ MAX_SHUFFLES = {
     "orders_with_returns_by_priority": 2,  # TPC-H Q4 shape: the semi
     # join's exchange pair at gate SF; returnflag + date filters push,
     # the ≤5-row priority agg reduces map-side
+    "promo_revenue_share": 1,  # TPC-H Q14: the 1-row global agg's
+    # exchange; shipdate pushes to the lineitem scan, the part join is
+    # AQE's choice (never a forced broadcast of an SF-scaling side)
     "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
