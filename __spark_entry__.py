@@ -99,7 +99,7 @@ _DRIVER_PRIORITY = [
     # never-certified late-r8 additions:
     # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve,
     # returned_item_revenue_topk, orders_with_returns_by_priority,
-    # promo_revenue_share.
+    # promo_revenue_share, forecast_revenue_change.
     # Then the stale tail:
     # similarity_lsh_buckets,
     # embedding_quantize_int8, similarity_topk_ivf_learned,

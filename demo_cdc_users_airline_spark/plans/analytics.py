@@ -1639,3 +1639,41 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__total").cast("double").alias("total_revenue"),
         F.expr("100.0 * CAST(__promo AS DOUBLE)"
                " / CAST(__total AS DOUBLE)").alias("promo_pct"))
+
+
+@q("forecast_revenue_change", """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount
+            AS DECIMAL(38,6))) AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the revenue a year's
+    small-quantity mid-discount lines would have added had the discount
+    been dropped — THE scan-efficiency marker query: no join, no group
+    key, one conjunctive filter block over the fact and a single global
+    sum. A warehouse that cannot run Q6 at IO speed cannot run anything.
+
+    Scale path: every predicate (shipdate range, discount range,
+    quantity bound) pushes to the parquet scan — row-group statistics
+    prune before decode, partition pruning applies at scale — and the
+    aggregate is map-side partials into a 1-row result: the whole plan
+    is scan → filter → partial agg → ONE exchange. Exactness: the
+    product sums through DECIMAL(38,6) (partition-order-independent),
+    one final double cast; discount literals parse to the same doubles
+    in both engines, so the BETWEEN is the identical comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.expr("CAST(l_extendedprice * l_discount"
+                              " AS DECIMAL(38,6))")).alias("__d"),
+                 F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+            .select(F.col("__d").cast("double").alias("revenue_delta"),
+                    "n_lineitems"))

@@ -93,3 +93,39 @@ def test_q14_matches_python_replay(spark):
     assert r["total_revenue"] == float(total)
     assert r["promo_pct"] == 100.0 * float(promo) / float(total)
     assert 0.0 < r["promo_pct"] < 100.0
+
+
+def test_q6_matches_python_replay_and_pushes_filters(spark):
+    import contextlib
+    import io
+
+    from decimal import Decimal
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        forecast_revenue_change,
+    )
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    delta = Decimal(0)
+    n = 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if (lo <= r["l_shipdate"] < hi
+                and 0.05 <= r["l_discount"] <= 0.07
+                and r["l_quantity"] < 24):
+            delta += Decimal(str(
+                r["l_extendedprice"] * r["l_discount"])).quantize(
+                    Decimal("0.000001"))
+            n += 1
+
+    got = forecast_revenue_change(spark, SF).collect()
+    assert len(got) == 1
+    assert got[0]["revenue_delta"] == float(delta)
+    assert got[0]["n_lineitems"] == n
+
+    # every predicate must reach the parquet scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        forecast_revenue_change(spark, SF).explain("formatted")
+    pushed = buf.getvalue().split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed

@@ -193,6 +193,8 @@ MAX_SHUFFLES = {
     "promo_revenue_share": 1,  # TPC-H Q14: the 1-row global agg's
     # exchange; shipdate pushes to the lineitem scan, the part join is
     # AQE's choice (never a forced broadcast of an SF-scaling side)
+    "forecast_revenue_change": 1,  # TPC-H Q6: scan → pushed filters →
+    # map-side partials → the single 1-row agg exchange; no join at all
     "similarity_incremental_ivf": 3,  # two k-row cell censuses (increment
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
