@@ -1359,14 +1359,18 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     sig = (_signatures_from(_hashed_shingles_of(
         parallel_scan(spark, base, "doc_id")))
         .withColumn("ingest_batch", F.lit(-1)))
-    (sig.write.mode("overwrite")
+    # STATIC overwrite: a (re)build must wipe the whole directory —
+    # under a session-level dynamic partitionOverwriteMode a rebuild
+    # over an old-layout index would leave stale partitions behind
+    # (the CLAUDE.md r8 failure mode; _write_bm25_batch sets it too)
+    (sig.write.mode("overwrite").option("partitionOverwriteMode", "static")
      .partitionBy("ingest_batch").parquet(path + "/sig"))
     bands = _band_frame(spark.read.parquet(path + "/sig")
                         .drop("ingest_batch"))
     (bands.withColumn("pfx", F.substring("band_key", 1, 2))
      .withColumn("ingest_batch", F.lit(-1))
      .repartition("pfx")
-     .write.mode("overwrite")
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
      .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
     return path
 
@@ -1503,8 +1507,15 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
     from the probe — a re-run of a failed foreachBatch attempt must not
     be shadowed by its own earlier rows (the same self-exclusion rule
     as StreamingNearDupDedup's admitted-state read)."""
+    # eager localCheckpoint, NOT cache(): the signatures are scanned
+    # three times (bands, prefix collect, verify join) so materializing
+    # once matters, but a cache() would pin the frame in the session's
+    # CacheManager forever — under StreamingLshIngest every micro-batch
+    # would leak one cached frame for the stream's lifetime. Checkpoint
+    # blocks are dropped by the ContextCleaner when the batch's frames
+    # are garbage-collected.
     inc_sig = _signatures_from(_hashed_shingles_of(
-        parallel_scan(spark, docs, "doc_id"))).cache()
+        parallel_scan(spark, docs, "doc_id"))).localCheckpoint(eager=True)
     inc_bands = (_band_frame(inc_sig)
                  .withColumn("pfx", F.substring("band_key", 1, 2)))
     # hard-bounded collect: the prefix domain is the 256 2-hex-char

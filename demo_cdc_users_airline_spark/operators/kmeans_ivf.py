@@ -78,13 +78,17 @@ def assign_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
 def update_centroids(assigned: DataFrame, k: int, dim: int) -> list[tuple[int, list[int]]]:
     """Per-cell dimension means, floor'd back to micro-unit integers.
 
-    sum(int64) and count are exactly representable in double here
-    (sums ≪ 2^53), the division is correctly rounded identically on
-    every engine, and floor removes the final ambiguity.
+    The component sum runs through DECIMAL(38,0) — DuckDB's sum(BIGINT)
+    is already hugeint (128-bit), so a plain int64 Spark sum would wrap
+    silently where the oracle stays exact (~9e12 rows/cell; the
+    ADVICE-r7 widening rule). Below 2^53 the double cast is exact, the
+    division is correctly rounded identically on every engine, and
+    floor removes the final ambiguity.
     """
     dims = assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
     means = (dims.groupBy("cell", "dim")
-             .agg(F.floor(F.sum("val").cast("double")
+             .agg(F.floor(F.sum(F.col("val").cast("decimal(38,0)"))
+                          .cast("double")
                           / F.count(F.lit(1))).alias("m")))
     rows = means.collect()
     by_cell: dict[int, list[int]] = {}
@@ -293,7 +297,16 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector to its cell, report per-cell stats + quantization error
     (micro-unit² fixed point). Deterministic end-to-end and hash-exact
     against the unrolled DuckDB oracle; invariant tests in
-    tests/test_kmeans_ivf.py."""
+    tests/test_kmeans_ivf.py.
+
+    Headroom: every Lloyd-objective total (``total_sq_err_micro`` here,
+    the topic-cluster twin, the incremental-ingest ``sqe``, the
+    streaming drift report, and the centroid-mean component sums) runs
+    through DECIMAL(38,0) on the Spark side, matching DuckDB's hugeint
+    sums — per-vector q_err stays int64-safe (dim·(1e6)² ≈ 1e14) while
+    per-cell totals pass int64 around sf10, so overflow now fails
+    loudly on both engines instead of diverging (ROADMAP known-weak #1,
+    closed r9)."""
     vectors = _quantized_vectors(spark, sf_dir)
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     assigned = assign_cells(vectors, centroids)
@@ -1380,7 +1393,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
      .withColumn("ingest_batch", F.lit(-1))
      .repartition("cell")  # one writer per cell; at production nlist
      # (thousands of cells) this is a balanced exchange, not a fan-in
-     .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+     # STATIC overwrite: a (re)build must wipe the whole directory even
+     # if the session default is dynamic (see build_lsh_index)
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "ingest_batch")
      .parquet(path + "/cells"))
     return path
 

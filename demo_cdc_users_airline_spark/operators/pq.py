@@ -113,7 +113,10 @@ def _pq_update(assigned: DataFrame) -> Codebook:
     every subspace's codebook together."""
     dims = assigned.select("sub", "cell", F.posexplode("svec").alias("dim", "val"))
     means = (dims.groupBy("sub", "cell", "dim")
-             .agg(F.floor(F.sum("val").cast("double")
+             # DECIMAL(38,0) sum: match DuckDB's hugeint exactness
+             # instead of wrapping int64 silently (see update_centroids)
+             .agg(F.floor(F.sum(F.col("val").cast("decimal(38,0)"))
+                          .cast("double")
                           / F.count(F.lit(1))).alias("m")))
     by_key: dict[tuple[int, int], list[int]] = {}
     for r in means.collect():

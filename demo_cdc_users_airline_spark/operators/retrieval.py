@@ -584,7 +584,11 @@ def _write_bm25_batch(docs: DataFrame, path: str, tag: int,
      .partitionBy("pfx", "ingest_batch").parquet(path + "/postings"))
     (docs.select(tokens("text").alias("__toks"))
      .agg(F.count(F.lit(1)).alias("n_docs"),
-          F.sum(F.size("__toks").cast("long")).alias("sum_dl"))
+          # coalesce: an EMPTY batch's sum is NULL, and a NULL partial
+          # would crash the Python merge in bm25_serve — an empty
+          # micro-batch must write the additive identity (0, 0)
+          F.coalesce(F.sum(F.size("__toks").cast("long")), F.lit(0))
+          .cast("long").alias("sum_dl"))
      .withColumn("ingest_batch", F.lit(tag))
      .coalesce(1)
      .write.mode(mode).option("partitionOverwriteMode", ow_mode)
@@ -733,11 +737,6 @@ def bm25_serve(spark: SparkSession, path: str,
     the batch with no rebuild; see tests/test_bm25_serve.py)."""
     import hashlib
 
-    pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2]
-                   for t in terms})
-    posts = (spark.read.parquet(path + "/postings")
-             .filter(F.col("pfx").isin(pfxs))        # partition-pruned
-             .filter(F.col("term").isin(list(terms))))
     # stats are mergeable per-batch partials (one row per ingest
     # batch, folded to one by compact_bm25_index) — a hard-bounded
     # collect; integer sums are order-independent, and with only the
@@ -746,7 +745,21 @@ def bm25_serve(spark: SparkSession, path: str,
     stats_rows = spark.read.parquet(path + "/stats") \
         .select("n_docs", "sum_dl").collect()
     n_docs = sum(r["n_docs"] for r in stats_rows)
-    sum_dl = sum(r["sum_dl"] for r in stats_rows)
+    # `or 0`: partials written before the empty-batch coalesce landed
+    # may carry sum_dl=NULL — treat them as the additive identity
+    sum_dl = sum(r["sum_dl"] or 0 for r in stats_rows)
+    if n_docs == 0:
+        # nothing indexed: avgdl is undefined (0/0) and the postings
+        # directory may hold no files at all — serve the empty result
+        # instead of NaN scores / a schema-inference error
+        return (spark.createDataFrame(
+            [], "doc_id bigint, n_tokens bigint, n_terms_matched bigint,"
+                " score_micro bigint, score double"))
+    pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2]
+                   for t in terms})
+    posts = (spark.read.parquet(path + "/postings")
+             .filter(F.col("pfx").isin(pfxs))        # partition-pruned
+             .filter(F.col("term").isin(list(terms))))
     st = spark.createDataFrame([(n_docs, sum_dl)],
                                "n_docs bigint, sum_dl bigint") \
         .select("n_docs",

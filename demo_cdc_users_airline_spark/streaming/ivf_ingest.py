@@ -74,9 +74,17 @@ class StreamingIvfIngest:
         report = (assign_cells(vecs, cb)
                   .groupBy("cell")
                   .agg(F.count(F.lit(1)).cast("long").alias("n_added"),
-                       F.sum("q_err").cast("long").alias("sum_q_err"))
+                       # DECIMAL(38,0): a very large batch concentrated
+                       # in one cell would wrap an int64 q_err total
+                       # silently (the ADVICE-r7 rule, as
+                       # similarity_incremental_ivf applies it)
+                       F.sum(F.col("q_err").cast("decimal(38,0)"))
+                       .alias("sum_q_err"))
                   .withColumn("avg_q_err",
-                              F.expr("sum_q_err DIV n_added")))
+                              F.expr("CAST(sum_q_err DIV n_added"
+                                     " AS BIGINT)"))
+                  .withColumn("sum_q_err",
+                              F.col("sum_q_err").cast("decimal(38,0)")))
         self.report_table.append_idempotent(report, batch_id)
 
     def start(self, vectors: DataFrame, checkpoint_dir: str,

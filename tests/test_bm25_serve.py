@@ -62,3 +62,45 @@ def test_zero_match_docs_are_lossless_to_drop(spark):
     # ties at 0, which the oracle would also emit; assert we're not in
     # that regime at this SF so the equivalence argument holds)
     assert retrieval_bm25_serve(spark, SF).count() == TOP_K
+
+
+def test_empty_batch_partial_is_additive_identity(spark, index_path,
+                                                  tmp_path):
+    # ADVICE r8: an EMPTY micro-batch (foreachBatch delivers them) must
+    # write a (n_docs=0, sum_dl=0) stats partial — a NULL sum_dl would
+    # crash the serve-side Python merge — and serving after the append
+    # must be bit-identical to serving before it
+    import shutil
+
+    from demo_cdc_users_airline_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_serve,
+    )
+
+    path = str(tmp_path / "idx_empty")
+    shutil.copytree(index_path, path)
+    before = [tuple(r) for r in bm25_serve(spark, path).collect()]
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    append_to_bm25_index(spark, path, empty, batch_id=7)
+    parts = spark.read.parquet(path + "/stats") \
+        .filter(F.col("ingest_batch") == 7).collect()
+    assert [(r["n_docs"], r["sum_dl"]) for r in parts] == [(0, 0)]
+    after = [tuple(r) for r in bm25_serve(spark, path).collect()]
+    assert after == before
+
+
+def test_serve_empty_index_returns_empty(spark, tmp_path):
+    # n_docs == 0 guard: a never-ingested index serves an empty result
+    # (typed schema) instead of NaN-scored rows
+    from demo_cdc_users_airline_spark.operators.retrieval import (
+        _write_bm25_batch,
+        bm25_serve,
+    )
+
+    path = str(tmp_path / "idx_none")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    _write_bm25_batch(empty, path, tag=-1, mode="overwrite")
+    out = bm25_serve(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "n_terms_matched", "score_micro", "score"]
