@@ -36,80 +36,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # NEVER driver-certified (tools/certification_report.py: the only
-    # two catalog queries without a green row in any round).
-    "events_type_markov",           # r7 op, missed the r7 window
-    "text_token_entropy",           # r7 op, missed the r7 window
-    # Round 8 NEW operators.
-    "dedup_incremental_lsh",        # NEW in r8 (persisted-index probe)
-    "similarity_index_staleness",   # NEW in r8 (codebook rebuild monitor)
-    "similarity_incremental_ivf",   # NEW in r8 (persisted-IVF ingest)
-    "retrieval_bm25_serve",         # NEW in r8 (persisted postings serve)
-    "similarity_ivf_serve_topk",    # NEW in r8 (partition-pruned ANN serve)
-    # Round 8 changed queries (code/plan changes this round — a fresh
-    # driver row must certify the shipping code).
-    "text_bpe_merges",              # r8: top-K training-vocab cap
-    "text_bpe_encode",              # r8: same (shares the merge table)
-    "text_bpe_vocab",               # r8: same
-    "similarity_ivf_cell_balance",  # r8: DECIMAL-widened ratios (ADVICE)
-    "orders_large_volume_topk",     # r8: AQE-decided broadcast (ADVICE)
-    "score_bigram_logprob",         # r8: memoized vocab scalar
-    "dedup_graph_pagerank",         # r8: memoized edge collect (ADVICE)
-    "dedup_graph_triangles",        # r8: same
-    # Stale rows, oldest first (tools/certification_report.py --suggest:
-    # newest driver-green row predates the r6 parallel_scan plan change).
-    "multimodal_decode_pipeline",   # r02
-    "events_asof_last_purchase",    # r02
-    "cdc_latest_row_per_key",       # r04 from here
-    "cdc_latest_state_argmax",
-    "cdc_soft_delete_filtered_state",
-    "cdc_incremental_snapshot",
-    "events_per_minute_gapfill",
-    "events_last_hour_stats",
-    "events_json_extract",
-    "pricing_summary",
-    "regional_customer_value",
-    "customer_order_summary_left",
-    "customers_without_urgent_orders",
-    "orders_above_global_avg",
-    "top_customers",
-    "order_priority_conditional_agg",
-    "order_status_case_rank",
-    "union_order_segments",
-    "part_supplier_analysis",
-    "lineitem_ship_minute_projection",
-    "airport_status_board",
-    "airport_missed_pct_series",
-    "users_api_batch_live",
-    "pipe_node_dag",
-    "users_mv_rmt_endpoint",
-    "orders_rollup_summary",
-    "events_sessionization",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_minute_anomalies",
-    "events_daily_moving_stats",
-    "events_type_pivot",            # r05 from here
-    "events_type_hour_cube",
-    "text_rolling_hash",
-    "similarity_neardup_cosine",
-    # remaining stale rows that don't fit this round's 50-row window
-    # (r05-certified) — rotate into the r9 window, list reproducible via
-    # tools/certification_report.py --suggest 50. ALSO front in r9 the
-    # never-certified late-r8 additions:
-    # retrieval_bm25_incremental_serve, similarity_ivf_incremental_serve,
-    # returned_item_revenue_topk, orders_with_returns_by_priority,
-    # promo_revenue_share, forecast_revenue_change.
-    # Then the stale tail:
-    # similarity_lsh_buckets,
-    # embedding_quantize_int8, similarity_topk_ivf_learned,
-    # similarity_ann_recall, embedding_knn_classify, similarity_semdedup,
-    # corpus_sample_by_quality, corpus_stats_report,
-    # corpus_curriculum_order, events_value_percentiles,
-    # events_scd2_history, events_activity_streaks, score_unigram_logprob,
-    # corpus_perplexity_buckets, corpus_source_divergence,
-    # corpus_token_cms_topk, events_value_quantile_sketch,
-    # events_hll_distinct.
+    # Round 9 NEW operators.
+    "part_min_cost_supplier",         # NEW r9 (TPC-H Q2-shape argmin)
+    "similarity_ivf_rebuild_serve",   # NEW r9 (monitor→rebuild→swap)
+    "dedup_lsh_compaction_policy",    # NEW r9 (merge-scheduler census)
+    # NEVER driver-certified (landed after the r8 gate ran; the queue
+    # VERDICT r8 item 1 asked for).
+    "retrieval_bm25_incremental_serve",
+    "similarity_ivf_incremental_serve",
+    "returned_item_revenue_topk",
+    "orders_with_returns_by_priority",
+    "promo_revenue_share",
+    "forecast_revenue_change",
+    # Round 9 changed queries (code changes this round — a fresh driver
+    # row must certify the shipping code).
+    "dedup_incremental_lsh",        # r9: artifact-parameter pfx width
+    "retrieval_bm25_serve",         # r9: stats-first read + empty guard
+    "similarity_kmeans_ivf",        # r9: DECIMAL centroid-mean sums
+    "corpus_topic_clusters",        # r9: same (shared Lloyd update)
+    "similarity_ivf_serve_topk",    # r9: static-overwrite build writer
+    # Stale rows, r05 vintage (tools/certification_report.py --suggest).
+    "similarity_lsh_buckets",
+    "embedding_quantize_int8",
+    "similarity_topk_ivf_learned",
+    "similarity_ann_recall",
+    "embedding_knn_classify",
+    "similarity_semdedup",
+    "corpus_sample_by_quality",
+    "corpus_stats_report",
+    "corpus_curriculum_order",
+    "events_value_percentiles",
+    "events_scd2_history",
+    "events_activity_streaks",
+    "score_unigram_logprob",
+    "corpus_perplexity_buckets",
+    "corpus_source_divergence",
+    "corpus_token_cms_topk",
+    "events_value_quantile_sketch",
+    "events_hll_distinct",
+    # Oldest fresh rows next (r06/r07 vintage), kmeans/PQ-affected
+    # first (their values flow through the r9-widened Lloyd update).
+    "similarity_topk_ivf_nprobe",
+    "similarity_ann_recall_curve",
+    "corpus_topic_keywords",
+    "corpus_cluster_split",
+    "similarity_pq_codes",
+    "similarity_ivfpq_topk",
+    "supplier_part_coverage",
+    "shipping_priority_topk",
+    "users_customer_reconciliation",
+    "text_winnowing",
+    "text_lang_id_ngram",
+    "corpus_quality_percentile",
+    "text_rake_keywords",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_estimate",
+    "dedup_jaccard_containment",
+    "similarity_hard_negatives",
+    # r10 rotation queue (reproducible via
+    # tools/certification_report.py --suggest 50): any new/changed r10
+    # queries first, then the remaining oldest-vintage rows —
+    # similarity_matryoshka_recall,
+    # similarity_range_search, similarity_topk_ivf, text_lang_id_confusion,
+    # multimodal_png_roundtrip, multimodal_image_phash,
+    # multimodal_phash_neardup, multimodal_gif_frame_sample,
+    # multimodal_wav_roundtrip, multimodal_jpeg_roundtrip,
+    # multimodal_mulaw_roundtrip, multimodal_avi_frame_sample,
+    # corpus_token_spectrum, corpus_cluster_split (if not re-greened),
+    # events_reservoir_sample, events_cumulative_users,
+    # corpus_chunk_overlap, retrieval_mmr_rerank, retrieval_tfidf_topk,
+    # corpus_temperature_sample, corpus_pmi_collocations,
+    # corpus_bigram_next_word, score_bigram_accuracy,
+    # orders_table_profile, events_key_skew_report, orders_zorder_layout,
+    # events_agg_state_rollup, and the remaining PQ family.
 ]
 
 

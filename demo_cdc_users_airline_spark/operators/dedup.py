@@ -1622,6 +1622,91 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
                  .cast("long").alias("admitted")))
 
 
+_COMPACT_AFTER_BATCHES = 2  # a slice holding >= this many ingest
+# batches' file sets is due for a background merge
+
+
+def _lsh_compaction_policy_oracle_sql() -> str:
+    mins = _minhash_select_sql()
+    cb = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_sql(b)} AS band_key"
+        f" FROM csig" for b in range(_N_BANDS))
+    ib = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_sql(b)} AS band_key"
+        f" FROM isig" for b in range(_N_BANDS))
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+csig AS (SELECT * FROM sig WHERE doc_id % {_INC_MOD} <> 0),
+isig AS (SELECT * FROM sig WHERE doc_id % {_INC_MOD} = 0),
+cb AS ({cb}),
+ib AS ({ib}),
+cpfx AS (SELECT substr(band_key, 1, 1) AS pfx, count(*) AS n
+         FROM cb GROUP BY 1),
+ipfx AS (SELECT substr(band_key, 1, 1) AS pfx, count(*) AS n
+         FROM ib GROUP BY 1)
+SELECT pfx,
+       CAST(coalesce(c.n, 0) + coalesce(i.n, 0) AS BIGINT) AS n_rows,
+       CAST((CASE WHEN c.n IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN i.n IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_batches,
+       CAST(CASE WHEN (CASE WHEN c.n IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN i.n IS NULL THEN 0 ELSE 1 END)
+                    >= {_COMPACT_AFTER_BATCHES}
+            THEN 1 ELSE 0 END AS BIGINT) AS compact_due
+FROM cpfx c
+FULL OUTER JOIN ipfx i USING (pfx)
+ORDER BY pfx"""
+
+
+@q("dedup_lsh_compaction_policy", _lsh_compaction_policy_oracle_sql())
+def dedup_lsh_compaction_policy(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Compaction SCHEDULER report for the maintained LSH index
+    (VERDICT r8 item 7's suggested lifecycle report): per band slice
+    (pfx partition), how many ingest batches' file sets it holds, and
+    whether a background merge is due (>= {_COMPACT_AFTER_BATCHES}
+    batch partitions — each append lays one file set per touched
+    slice, so probes pay n_batches footer opens per slice until
+    ``compact_lsh_index`` folds them; this query is the decision the
+    maintenance window runs before paying the fold). The artifact is
+    the maintained index: built on the base split, one appended
+    increment batch (the retrieval_bm25_incremental_serve recipe
+    applied to LSH).
+
+    Scale path: a pure PARTITION-COLUMN census — the scan projects
+    only (pfx, ingest_batch), so parquet reads footers, never band
+    rows; one 16^width-row aggregate. Exactness: the oracle re-derives
+    which slices each batch's band keys touch from the corpus (the
+    index is a deterministic function of it); int64 counts; pfx is the
+    1-hex-char width every gate corpus builds (< 1M docs —
+    _pfx_width_for), matching the artifact the Spark side reads.
+
+    Reference: background merges are ClickHouse MergeTree's part-count
+    discipline (SURVEY §2 S2); the reference delegates scheduling to
+    managed ClickHouse — here it is an explicit, gateable report."""
+    def make() -> str:
+        p = _lsh_index_path(sf_dir) + "_inc"
+        build_lsh_index(spark, sf_dir, p)
+        inc = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % _INC_MOD == 0)
+               .select("doc_id", "text"))
+        append_to_lsh_index(spark, p, inc, batch_id=0)
+        return p
+
+    path = cached_scalar(spark, sf_dir, "lsh_inc_index_path", make)
+    return (spark.read.parquet(path + "/bands")
+            .groupBy("pfx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("ingest_batch").cast("long")
+                 .alias("n_batches"))
+            .select("pfx", "n_rows", "n_batches",
+                    F.when(F.col("n_batches") >= _COMPACT_AFTER_BATCHES,
+                           1).otherwise(0).cast("long")
+                    .alias("compact_due"))
+            .orderBy("pfx"))
+
+
 def compact_lsh_index(spark: SparkSession, path: str) -> None:
     """Background-merge the persisted index: fold every ``ingest_batch``
     partition into the base (-1) partition, one writer per pfx slice —

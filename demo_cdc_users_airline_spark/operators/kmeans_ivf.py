@@ -1802,3 +1802,145 @@ def similarity_ivf_incremental_serve(spark: SparkSession,
 
     path = cached_scalar(spark, sf_dir, "ivf_inc_index_path", make)
     return ivf_serve(spark, sf_dir, path)
+
+
+def rebuild_ivf_index(spark: SparkSession, path: str,
+                      k: int = 8, iters: int = 3) -> None:
+    """REBUILD the persisted IVF index in place — the action the
+    staleness monitor (similarity_index_staleness) triggers when the
+    saved codebook's recall gap exceeds the SLO: a FRESH Lloyd fit on
+    the full drifted corpus currently in the index, every vector
+    re-assigned to the new cells, and both artifact tables swapped
+    rename-aside. This completes the artifact's lifecycle state
+    machine: build → append → serve → compact → monitor → REBUILD.
+
+    The training set is read back from the index's own cells table —
+    the artifact is self-contained (quantized vectors are inline), so a
+    rebuild never re-scans or re-quantizes the source corpus, and the
+    fit covers exactly what the index serves (base + every appended
+    batch). Determinism: Lloyd init is the first k rows by vec_id —
+    identical to a from-scratch ``kmeans_fit`` on the same vectors —
+    so rebuild ≡ retrain by construction (the property the staleness
+    monitor's "fresh" arm measures; proven serve-bit-identical in
+    tests/test_index_rebuild.py).
+
+    Safety is the compact_*/AppendTable._swap_rewrite recipe per table
+    (write-to-tmp, rename-aside, remove old); run it in a maintenance
+    window — it must not race a concurrent append, and a crash between
+    the two table swaps leaves a recoverable .rebuild.old beside the
+    directory that still needs swapping. The rewrite folds every
+    ingest_batch partition into the new base (-1) — a rebuild retires
+    batch provenance exactly like compaction does."""
+    import os
+    import shutil
+
+    vecs = (spark.read.parquet(path + "/cells")
+            .select(F.col("vec_id").alias("id"), "vec").cache())
+    cb = kmeans_fit(vecs, k=k, iters=iters)
+    cb_tmp = path + "/codebook.rebuild.tmp"
+    cells_tmp = path + "/cells.rebuild.tmp"
+    save_codebook(spark, cb_tmp, cb)
+    (assign_cells(vecs, cb)
+     .select(F.col("id").alias("vec_id"), "cell", "q_err", "vec")
+     .withColumn("ingest_batch", F.lit(-1))
+     .repartition("cell")
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("cell", "ingest_batch").parquet(cells_tmp))
+    vecs.unpersist()
+    for live, tmp in ((path + "/codebook", cb_tmp),
+                      (path + "/cells", cells_tmp)):
+        old = live + ".rebuild.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+
+
+def _ivf_rebuild_serve_oracle_sql(k: int = 8, iters: int = 3,
+                                  nprobe: int = _SERVE_NPROBE,
+                                  topk: int = _SERVE_TOPK) -> str:
+    grown = (f"NOT (vec_id % {_DRIFT_MOD} = 0"
+             f" AND vec_id < {_SERVE_QBOUND})")
+    grown_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {grown}"""
+    chain = _prefixed_kmeans_ctes(
+        "g", k, iters, dims_sql=grown_dims,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {grown}")
+    return f"""WITH {chain},
+qdims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings
+  WHERE vec_id % {_DRIFT_MOD} = 0 AND vec_id < {_SERVE_QBOUND}
+),
+qd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM qdims v JOIN gcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM qd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+          <= {nprobe}
+),
+qn AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qnn AS (SELECT vec_id, qv,
+               list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+        FROM qn),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+           / sqrt(a.nn * b.nn) AS cosine
+  FROM probe p
+  JOIN gasgfin c ON c.cell = p.probe_cell
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {topk}"""
+
+
+@q("similarity_ivf_rebuild_serve", _ivf_rebuild_serve_oracle_sql())
+def similarity_ivf_rebuild_serve(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ANN top-{k} served from a REBUILT IVF index — the lifecycle gate
+    for the staleness monitor's action (VERDICT r8 item 3): the index
+    is built over the BASE split, grown by appending yesterday's
+    increment (vec_id % {_DRIFT_MOD} == 0 AND vec_id >= {_SERVE_QBOUND}
+    — the drift similarity_index_staleness detects), then REBUILT
+    (``rebuild_ivf_index``: fresh Lloyd on the full drifted corpus read
+    back from the artifact itself, rename-aside swap), and the fresh
+    query batch searches the swapped artifact. The oracle runs one
+    Lloyd chain over the grown corpus and probes its final assignment —
+    so a green row proves rebuild ≡ retrain-from-scratch on everything
+    the index holds, bit-for-bit: the recall gap the monitor measures
+    closes to zero by construction after the rebuild (the "fresh" arm
+    of similarity_index_staleness IS this codebook).
+
+    Scale path: the rebuild's Lloyd iterates over the index's inline
+    vectors (never re-scans the source corpus) with the broadcast-
+    codebook assign + k×dim-row update of every other fit; the swap is
+    two directory renames; serving is the shared partition-pruned
+    ``ivf_serve`` core. Build + append + rebuild run once per session
+    (memoized) — the maintenance-window lifecycle, not per-query cost."""
+    def make() -> str:
+        p = _ivf_index_path(sf_dir) + "_rb"
+        build_ivf_index(spark, sf_dir, p)
+        inc = (_quantized_vectors(spark, sf_dir)
+               .filter((F.col("id") % _DRIFT_MOD == 0)
+                       & (F.col("id") >= _SERVE_QBOUND)))
+        append_to_ivf_index(spark, p, inc, batch_id=0)
+        rebuild_ivf_index(spark, p)
+        return p
+
+    path = cached_scalar(spark, sf_dir, "ivf_rebuilt_index_path", make)
+    return ivf_serve(spark, sf_dir, path)

@@ -1677,3 +1677,100 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("long").alias("n_lineitems"))
             .select(F.col("__d").cast("double").alias("revenue_delta"),
                     "n_lineitems"))
+
+
+@q("part_min_cost_supplier", """
+WITH eligible AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+ec AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+           AS cost
+  FROM lineitem l
+  JOIN eligible e ON e.s_suppkey = l.l_suppkey
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+),
+argmin AS (
+  SELECT l_partkey, min({'cost': cost, 'sk': l_suppkey}) AS b
+  FROM ec GROUP BY 1
+),
+best AS (
+  SELECT l_partkey, b.sk AS s_suppkey, b.cost AS min_cost FROM argmin
+)
+SELECT p.p_partkey, p.p_name, e.s_name AS supplier_name,
+       e.n_name AS nation, e.s_acctbal AS acctbal,
+       CAST(b.min_cost AS DOUBLE) AS min_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN eligible e ON e.s_suppkey = b.s_suppkey
+ORDER BY min_cost, p_partkey
+LIMIT 100
+""")
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape (minimum-cost supplier): for each size-15 part,
+    the EUROPE supplier offering it at the lowest effective price — the
+    correlated scalar subquery (``cost = (SELECT min(cost) ... WHERE
+    same part)``) DECORRELATED to a per-key min aggregate + join-back,
+    the one classic decorrelation the catalog didn't gate yet (Q4's
+    EXISTS became a semi join; this becomes argmin-per-group). The
+    testdata has no partsupp table, so the offer relation is lineitem
+    and ps_supplycost is the line's discounted price — the join SHAPE
+    is the point (reference kit has no TPC-H; the shape completes the
+    §2 join family alongside plans/analytics.py Q4/Q10/Q14).
+
+    Scale path: the part filter (1/50 of a SF-scaling dim) reduces the
+    fact FIRST via a semi join, and the region filter reduces it again
+    through the supplier side — both before any aggregate; the argmin
+    is ONE ordered-struct min on the fact's own key (l_partkey) —
+    min(struct(cost, suppkey)) is min_by with a TOTAL ordering key —
+    so the whole decorrelation costs one fact scan and one exchange
+    (the equivalent min-aggregate + equality-join-back form scans the
+    fact twice in Spark, which shares broadcast exchanges but not
+    scans); AQE picks broadcast for the reduced semi-join sides (no
+    forced broadcast on SF-scaling dims — the r2 lesson); the final
+    dim joins carry ≤|filtered parts| rows; top-100 is
+    TakeOrderedAndProject. Exactness: cost through DECIMAL(38,6) (the
+    dec_sum rule — min is exact), lexicographic struct comparison
+    makes the tiebreak min(l_suppkey)-at-equal-cost on BOTH engines,
+    ONE final double cast, total order (min_cost, p_partkey)."""
+    eligible = (load_table(spark, sf_dir, "supplier")
+                .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                                  .select("n_nationkey", "n_regionkey",
+                                          "n_name")),
+                      F.col("n_nationkey") == F.col("s_nationkey"))
+                .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                  .filter(F.col("r_name") == "EUROPE")
+                                  .select("r_regionkey")),
+                      F.col("r_regionkey") == F.col("n_regionkey"))
+                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    parts = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_size") == 15))
+    ec = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  F.expr("CAST(l_extendedprice * (1 - l_discount)"
+                         " AS DECIMAL(38,6))").alias("cost"))
+          .join(parts.select("p_partkey"),
+                F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+          .join(eligible.select("s_suppkey"),
+                F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"))
+    best = (ec.groupBy("l_partkey")
+            .agg(F.min(F.struct("cost", "l_suppkey")).alias("__b"))
+            .select("l_partkey",
+                    F.col("__b.l_suppkey").alias("s_suppkey"),
+                    F.col("__b.cost").alias("min_cost")))
+    return (best
+            .join(parts.select("p_partkey", "p_name"),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(eligible, "s_suppkey")
+            .select("p_partkey", "p_name",
+                    F.col("s_name").alias("supplier_name"),
+                    F.col("n_name").alias("nation"),
+                    F.col("s_acctbal").alias("acctbal"),
+                    F.col("min_cost").cast("double").alias("min_cost"))
+            .orderBy("min_cost", "p_partkey")
+            .limit(100))

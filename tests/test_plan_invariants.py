@@ -199,6 +199,18 @@ MAX_SHUFFLES = {
     # assignment agg + the artifact's partition-column census) + the
     # k-row ordering sort; assignment is the zero-shuffle broadcast-
     # codebook map and the assembly joins broadcast bounded k-row sides
+    # round-9 wave
+    "part_min_cost_supplier": 3,  # TPC-H Q2 shape: ONE fact scan — the
+    # argmin is a single ordered-struct min on l_partkey (no join-back
+    # re-scan) — plus the eligible-supplier exchange pair the static
+    # plan keeps for the semi/final joins (AQE broadcasts them at gate
+    # SF); part/region/nation filters push to their scans
+    "similarity_ivf_rebuild_serve": 1,  # the shared ivf_serve core over
+    # the REBUILT artifact — identical budget to similarity_ivf_serve_topk
+    # (build + append + rebuild run at memoized artifact time)
+    "dedup_lsh_compaction_policy": 3,  # a partition-column census: the
+    # pfx groupBy + countDistinct's two-phase expand + the 16^width-row
+    # ordering sort; band rows are never read (footer-only projection)
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
