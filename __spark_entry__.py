@@ -40,6 +40,9 @@ _DRIVER_PRIORITY = [
     "part_min_cost_supplier",         # NEW r9 (TPC-H Q2-shape argmin)
     "similarity_ivf_rebuild_serve",   # NEW r9 (monitor→rebuild→swap)
     "dedup_lsh_compaction_policy",    # NEW r9 (merge-scheduler census)
+    "top_supplier_by_revenue",        # NEW r9 (TPC-H Q15 max-of-agg)
+    "small_quantity_order_revenue",   # NEW r9 (TPC-H Q17 corr. AVG)
+    "discounted_brand_revenue",       # NEW r9 (TPC-H Q19 disjunction)
     # NEVER driver-certified (landed after the r8 gate ran; the queue
     # VERDICT r8 item 1 asked for).
     "retrieval_bm25_incremental_serve",
@@ -91,13 +94,11 @@ _DRIVER_PRIORITY = [
     "text_rake_keywords",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_estimate",
-    "dedup_jaccard_containment",
-    "similarity_hard_negatives",
     # r10 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r10
     # queries first, then the remaining oldest-vintage rows —
-    # similarity_matryoshka_recall,
+    # dedup_minhash_estimate, dedup_jaccard_containment,
+    # similarity_hard_negatives, similarity_matryoshka_recall,
     # similarity_range_search, similarity_topk_ivf, text_lang_id_confusion,
     # multimodal_png_roundtrip, multimodal_image_phash,
     # multimodal_phash_neardup, multimodal_gif_frame_sample,

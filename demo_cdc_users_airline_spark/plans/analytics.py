@@ -1774,3 +1774,170 @@ def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("min_cost").cast("double").alias("min_cost"))
             .orderBy("min_cost", "p_partkey")
             .limit(100))
+
+
+@q("top_supplier_by_revenue", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""")
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the MAXIMUM per-supplier revenue — the max-of-an-aggregate
+    scalar subquery, the third classic decorrelation in the catalog
+    (Q4's EXISTS → semi join; Q2's per-group min → ordered-struct
+    argmin; this one → aggregate once, collect the 1-row max as a
+    literal, filter — the reference's own `WITH (SELECT max(...))`
+    watermark pattern, users_batch_copy.pipe:10, applied to an
+    aggregate instead of a column). Emits EVERY tied supplier, as the
+    spec requires — an argmax-row shortcut would drop ties.
+
+    Scale path: the shipdate filter pushes to the fact scan; revenue
+    reduces map-side onto the fact's own key (supplier-count rows out);
+    the max is a driver literal from that SMALL aggregate (one extra
+    pass over supplier-count rows, never the fact — the fact is
+    scanned ONCE); the equality filter survivors (>=1 row) join the
+    supplier dim by AQE's choice. Exactness: revenue through
+    DECIMAL(38,6) — the max and the equality filter compare exact
+    decimals, never doubles — with ONE final double cast; total order
+    on s_suppkey."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount)"
+                             " AS DECIMAL(38,6))")).alias("total_revenue")))
+    # scalar subquery → broadcast literal (J5 pattern): the max of a
+    # supplier-count-sized aggregate, collected exactly as DECIMAL
+    mx = rev.agg(F.max("total_revenue")).first()[0]
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.filter(F.col("total_revenue") == F.lit(mx))
+            .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@q("small_quantity_order_revenue", """
+WITH pl AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+         sum(CAST(l.l_quantity AS DECIMAL(38,6)))
+           OVER (PARTITION BY l.l_partkey) AS qsum,
+         count(*) OVER (PARTITION BY l.l_partkey) AS qcnt
+  FROM lineitem l
+  WHERE l.l_partkey IN
+        (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM pl
+WHERE l_quantity < 0.2 * (CAST(qsum AS DOUBLE) / qcnt)
+""")
+def small_quantity_order_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    a brand's small-quantity orders (below 20% of the part's average
+    order quantity) moved to bulk — the CORRELATED AVG subquery
+    (`l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE same
+    part)`), the fourth decorrelation shape in the catalog. Instead of
+    the aggregate + join-back (which re-scans the fact), the per-part
+    average rides a WINDOW over l_partkey: ONE fact scan, ONE keyed
+    exchange — each line sees its own part's average and filters
+    in-place.
+
+    Scale path: the brand filter (1/|brands| of an SF-scaling dim)
+    reduces the fact first via a semi join (AQE broadcast at gate SF);
+    the window partitions on the fact's own join key — no skew beyond
+    a part's line count; the final 1-row aggregate is map-side
+    partials. Exactness: the quantity average is a DECIMAL(38,6)
+    windowed sum with ONE double cast then the division — the same
+    IEEE tree both engines (never a native double avg, whose
+    accumulation order is engine-dependent); revenue through
+    DECIMAL(38,6), one double cast, /7.0 is one more identical
+    rounding."""
+    parts = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_brand") == "Brand#13")
+             .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(parts, F.col("p_partkey") == F.col("l_partkey"),
+                "left_semi"))
+    w = Window.partitionBy("l_partkey")
+    pl = (li.withColumn("qsum", F.sum(F.expr(
+              "CAST(l_quantity AS DECIMAL(38,6))")).over(w))
+          .withColumn("qcnt", F.count(F.lit(1)).over(w)))
+    return (pl.filter(F.col("l_quantity")
+                      < 0.2 * (F.col("qsum").cast("double")
+                               / F.col("qcnt")))
+            .agg(F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))"))
+                 .alias("__rev"),
+                 F.count(F.lit(1)).cast("long").alias("n_small_lines"))
+            .select((F.col("__rev").cast("double") / F.lit(7.0))
+                    .alias("avg_yearly"),
+                    "n_small_lines"))
+
+
+@q("discounted_brand_revenue", """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def discounted_brand_revenue(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): one revenue total over a
+    DISJUNCTION of brand/size/quantity predicate blocks — the classic
+    OR-of-ANDs pushdown marker: a naive engine evaluates the whole
+    disjunction post-join; a good plan pushes each side's derivable
+    conjuncts to its own scan (quantity bounds to lineitem, brand/size
+    to part) and keeps only the cross-table residual on the join.
+
+    Scale path: Catalyst derives `l_quantity BETWEEN min-lo AND
+    max-hi` for the fact scan and the brand/size union for the part
+    scan (asserted in tests/test_operators_r9.py), so both scans prune
+    before the join; the join is AQE's choice (SF-scaling part side);
+    the 1-row aggregate is map-side partials. Exactness: revenue
+    through DECIMAL(38,6), one double cast; integer-valued quantity
+    bounds compare identically as doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#13")
+         & F.col("p_size").between(1, 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#20")
+           & F.col("p_size").between(1, 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#9")
+           & F.col("p_size").between(1, 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount)"
+                              " AS DECIMAL(38,6))")).alias("__rev"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .select(F.col("__rev").cast("double").alias("revenue"),
+                    "n_lines"))

@@ -58,3 +58,76 @@ def test_q2_shape_single_fact_scan_and_pushdown(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "EqualTo(p_size,15)" in plan
     assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_q15_matches_python_replay_and_emits_ties(spark):
+    import datetime
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        top_supplier_by_revenue,
+    )
+
+    rev = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if lo <= r["l_shipdate"] < hi:
+            rev[r["l_suppkey"]] += Decimal(str(
+                r["l_extendedprice"] * (1 - r["l_discount"]))).quantize(
+                    Decimal("0.000001"))
+    mx = max(rev.values())
+    want = sorted(k for k, v in rev.items() if v == mx)
+
+    got = top_supplier_by_revenue(spark, SF).collect()
+    assert [r["s_suppkey"] for r in got] == want  # every tie, in order
+    assert all(r["total_revenue"] == float(mx) for r in got)
+
+
+def test_q17_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        small_quantity_order_revenue,
+    )
+
+    brand = {r["p_partkey"] for r in
+             spark.read.parquet(f"{SF}/part.parquet").collect()
+             if r["p_brand"] == "Brand#13"}
+    qsum = defaultdict(Decimal)
+    qcnt = defaultdict(int)
+    lines = [r for r in
+             spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+             if r["l_partkey"] in brand]
+    for r in lines:
+        qsum[r["l_partkey"]] += Decimal(str(r["l_quantity"])).quantize(
+            Decimal("0.000001"))
+        qcnt[r["l_partkey"]] += 1
+    tot, n = Decimal(0), 0
+    for r in lines:
+        thr = 0.2 * (float(qsum[r["l_partkey"]]) / qcnt[r["l_partkey"]])
+        if r["l_quantity"] < thr:
+            tot += Decimal(str(r["l_extendedprice"])).quantize(
+                Decimal("0.000001"))
+            n += 1
+    got = small_quantity_order_revenue(spark, SF).collect()
+    assert len(got) == 1
+    assert got[0]["n_small_lines"] == n
+    assert got[0]["avg_yearly"] == float(tot) / 7.0
+
+
+def test_q19_shape_pushes_disjunction_conjuncts_to_both_scans(spark):
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        discounted_brand_revenue,
+    )
+
+    plan = discounted_brand_revenue(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    li_scan = [seg for seg in plan.split("FileScan parquet")
+               if "lineitem.parquet" in seg][0]
+    p_scan = [seg for seg in plan.split("FileScan parquet")
+              if "part.parquet" in seg][0]
+    # each scan receives its own side's derivable disjunction (the
+    # toString view truncates long filter lists, so match the prefix)
+    assert "LessThanOrEqual(l_quantity" in li_scan
+    assert "Or(Or(And(EqualTo(p_brand" in p_scan

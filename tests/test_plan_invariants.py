@@ -211,6 +211,14 @@ MAX_SHUFFLES = {
     "dedup_lsh_compaction_policy": 3,  # a partition-column census: the
     # pfx groupBy + countDistinct's two-phase expand + the 16^width-row
     # ordering sort; band rows are never read (footer-only projection)
+    "top_supplier_by_revenue": 2,  # TPC-H Q15: revenue reduces on the
+    # fact's own key (the fact is scanned ONCE — the max is a driver
+    # literal off the small aggregate) + the supplier join at static
+    "small_quantity_order_revenue": 2,  # TPC-H Q17: the correlated AVG
+    # rides ONE l_partkey window exchange + the 1-row final agg; the
+    # brand semi join broadcasts at gate SF
+    "discounted_brand_revenue": 1,  # TPC-H Q19: both scans prune via
+    # the derived disjunction conjuncts; only the 1-row agg exchange
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
