@@ -1326,25 +1326,33 @@ def _pfx_width_for(n_docs: int) -> int:
     return width
 
 
-def _write_lsh_meta(path: str, pfx_width: int) -> None:
+def _write_lsh_meta(bands_dir: str, pfx_width: int) -> None:
+    # the meta lives INSIDE the bands directory (underscore-prefixed —
+    # invisible to parquet file discovery, like _SUCCESS), so a
+    # rebuild's rename-aside swap changes the width and the layout it
+    # describes ATOMICALLY: there is no window where probes would slice
+    # band keys with one width against the other width's partitions
+    # (silent pruning misses, the worst failure mode)
     import json
     import os
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    os.makedirs(bands_dir, exist_ok=True)
+    with open(os.path.join(bands_dir, "_lsh_meta.json"), "w") as f:
         json.dump({"pfx_width": int(pfx_width)}, f)
 
 
 def lsh_pfx_width(path: str) -> int:
     """The index's band-partition prefix width, read from the artifact
     (probes/appends must slice band keys exactly as the build did).
-    Indexes written before meta.json existed used a fixed width of 2."""
+    Falls back to the pre-r9 top-level meta.json location, then to the
+    fixed width of 2 that predates the parameter."""
     import json
     import os
-    meta = os.path.join(path, "meta.json")
-    if not os.path.exists(meta):
-        return 2
-    with open(meta) as f:
-        return int(json.load(f)["pfx_width"])
+    for meta in (os.path.join(path, "bands", "_lsh_meta.json"),
+                 os.path.join(path, "meta.json")):
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return int(json.load(f)["pfx_width"])
+    return 2
 
 
 def _hashed_shingles_of(docs: DataFrame) -> DataFrame:
@@ -1415,13 +1423,13 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
         # footer-only count of the just-written signature table — one
         # row per shingled base doc, so it IS the corpus size
         pfx_width = _pfx_width_for(sig_back.count())
-    _write_lsh_meta(path, pfx_width)
     bands = _band_frame(sig_back)
     (bands.withColumn("pfx", F.substring("band_key", 1, int(pfx_width)))
      .withColumn("ingest_batch", F.lit(-1))
      .repartition("pfx")
      .write.mode("overwrite").option("partitionOverwriteMode", "static")
      .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
+    _write_lsh_meta(path + "/bands", pfx_width)
     return path
 
 
@@ -1726,6 +1734,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     import os
     import shutil
 
+    width = lsh_pfx_width(path)
     for sub, parts in (("/sig", ["ingest_batch"]),
                        ("/bands", ["pfx", "ingest_batch"])):
         live = path + sub
@@ -1735,8 +1744,72 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
             df = df.repartition("pfx")
         tmp, old = live + ".compact.tmp", live + ".compact.old"
         df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        if "pfx" in parts:
+            # the width rides inside the bands dir — carry it through
+            # the rewrite so the swapped directory stays self-described
+            _write_lsh_meta(tmp, width)
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(live, old)
         os.rename(tmp, live)
         shutil.rmtree(old)
+
+
+def rebuild_lsh_index(spark: SparkSession, path: str,
+                      pfx_width: int | None = None) -> None:
+    """REBUILD the band layout from the artifact's own signature table
+    — the width-migration action the _pfx_width_for policy implies:
+    when appends grow the corpus past a width threshold (1M docs → 2
+    hex chars, 16M → 3, …), the existing slices become too coarse to
+    prune well, and the bands must be re-laid-out at the new width.
+    Signatures never recompute (they are width-independent and corpus
+    text is NOT needed); the bands re-derive from the sig table with a
+    freshly chosen (or given) width, batch provenance folds into the
+    new base — the LSH twin of rebuild_ivf_index, completing the same
+    lifecycle state machine for this artifact.
+
+    Atomicity: the new width's meta rides INSIDE the rebuilt bands
+    directory, so the single rename swaps layout and width together —
+    no window where probes slice band keys with a width that doesn't
+    match the partitions they prune against. Same maintenance-window
+    caveat as every swap recipe here: don't race a concurrent append."""
+    import os
+    import shutil
+
+    sig = spark.read.parquet(path + "/sig").drop("ingest_batch")
+    if pfx_width is None:
+        pfx_width = _pfx_width_for(sig.count())
+    live = path + "/bands"
+    tmp, old = live + ".rebuild.tmp", live + ".rebuild.old"
+    (_band_frame(sig)
+     .withColumn("pfx", F.substring("band_key", 1, int(pfx_width)))
+     .withColumn("ingest_batch", F.lit(-1))
+     .repartition("pfx")
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("pfx", "ingest_batch").parquet(tmp))
+    _write_lsh_meta(tmp, pfx_width)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+    # retire the pre-r9 top-level meta if present (bands/_lsh_meta.json
+    # is checked first, so a stale legacy file is harmless — removing
+    # it just keeps the artifact single-sourced)
+    legacy = os.path.join(path, "meta.json")
+    if os.path.exists(legacy):
+        os.remove(legacy)
+    # fold the sig table's batch provenance into the new base, like
+    # every rebuild/compaction does (probes read sig without slicing,
+    # so this is pure hygiene and file-count reduction)
+    sig_live = path + "/sig"
+    sig_tmp, sig_old = sig_live + ".rebuild.tmp", sig_live + ".rebuild.old"
+    (spark.read.parquet(sig_live)
+     .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1))
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("ingest_batch").parquet(sig_tmp))
+    if os.path.exists(sig_old):
+        shutil.rmtree(sig_old)
+    os.rename(sig_live, sig_old)
+    os.rename(sig_tmp, sig_live)
+    shutil.rmtree(sig_old)

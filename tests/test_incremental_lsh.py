@@ -169,3 +169,60 @@ def test_probe_verdicts_invariant_under_pfx_width(spark, tmp_path):
         return sorted(tuple(r) for r in rows)
 
     assert verdicts(1) == verdicts(2)
+
+
+def test_rebuild_migrates_width_and_preserves_verdicts(spark, tmp_path):
+    # the width-migration lifecycle: appends grow the corpus past a
+    # width threshold -> rebuild re-lays the bands from the artifact's
+    # OWN signature table at the new width (corpus text never touched),
+    # folds batch provenance, and probes keep serving identical
+    # verdicts through the swap
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        lsh_pfx_width,
+        rebuild_lsh_index,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    inc = docs.filter("doc_id % 8 = 0")
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"))
+    append_to_lsh_index(spark, path,
+                        docs.filter("doc_id % 16 = 8"), batch_id=1)
+    assert lsh_pfx_width(path) == 1
+
+    before = sorted(tuple(r) for r in
+                    probe_lsh_index(spark, inc, path).collect())
+    rebuild_lsh_index(spark, path, pfx_width=2)  # simulate growth
+
+    assert lsh_pfx_width(path) == 2
+    bands = spark.read.parquet(path + "/bands")
+    assert bands.select(F.length("pfx")).distinct().collect() == [(2,)]
+    # provenance folded into the new base on both tables
+    assert {r[0] for r in bands.select("ingest_batch").distinct()
+            .collect()} == {-1}
+    assert {r[0] for r in spark.read.parquet(path + "/sig")
+            .select("ingest_batch").distinct().collect()} == {-1}
+    # probes slice with the artifact's new width and agree bit-for-bit
+    after = sorted(tuple(r) for r in
+                   probe_lsh_index(spark, inc, path).collect())
+    assert after == before
+    # no swap debris
+    assert not [d for d in os.listdir(str(tmp_path / "idx"))
+                if ".rebuild." in d]
+
+
+def test_compaction_preserves_width_meta(spark, tmp_path):
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        compact_lsh_index,
+        lsh_pfx_width,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"), pfx_width=2)
+    append_to_lsh_index(spark, path,
+                        docs.filter("doc_id % 16 = 0"), batch_id=1)
+    compact_lsh_index(spark, path)
+    assert lsh_pfx_width(path) == 2  # the rewrite carried the meta
