@@ -43,6 +43,9 @@ _DRIVER_PRIORITY = [
     "top_supplier_by_revenue",        # NEW r9 (TPC-H Q15 max-of-agg)
     "small_quantity_order_revenue",   # NEW r9 (TPC-H Q17 corr. AVG)
     "discounted_brand_revenue",       # NEW r9 (TPC-H Q19 disjunction)
+    "important_part_value",           # NEW r9 (TPC-H Q11 HAVING-scalar)
+    "sole_returner_suppliers",        # NEW r9 (TPC-H Q21 semi+anti)
+    "similarity_ivf_compaction_policy",  # NEW r9 (merge-due census)
     # NEVER driver-certified (landed after the r8 gate ran; the queue
     # VERDICT r8 item 1 asked for).
     "retrieval_bm25_incremental_serve",
@@ -91,12 +94,10 @@ _DRIVER_PRIORITY = [
     "text_winnowing",
     "text_lang_id_ngram",
     "corpus_quality_percentile",
-    "text_rake_keywords",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     # r10 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r10
     # queries first, then the remaining oldest-vintage rows —
+    # text_rake_keywords, dedup_exact, dedup_ngram_jaccard,
     # dedup_minhash_estimate, dedup_jaccard_containment,
     # similarity_hard_negatives, similarity_matryoshka_recall,
     # similarity_range_search, similarity_topk_ivf, text_lang_id_confusion,

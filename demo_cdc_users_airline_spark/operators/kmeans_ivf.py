@@ -1791,17 +1791,101 @@ def similarity_ivf_incremental_serve(spark: SparkSession,
     inline candidate vectors, per-query top-k window); the append
     assigns only the increment. Build + append run once per session
     (memoized) — the artifact lifecycle, not the per-query cost."""
-    def make() -> str:
-        p = _ivf_index_path(sf_dir) + "_inc"
-        build_ivf_index(spark, sf_dir, p)
-        inc = (_quantized_vectors(spark, sf_dir)
-               .filter((F.col("id") % _DRIFT_MOD == 0)
-                       & (F.col("id") >= _SERVE_QBOUND)))
-        append_to_ivf_index(spark, p, inc, batch_id=0)
-        return p
-
-    path = cached_scalar(spark, sf_dir, "ivf_inc_index_path", make)
+    path = cached_scalar(spark, sf_dir, "ivf_inc_index_path",
+                         lambda: _build_inc_ivf_index(spark, sf_dir))
     return ivf_serve(spark, sf_dir, path)
+
+
+_COMPACT_AFTER_BATCHES = 2  # a cell holding >= this many ingest
+# batches' file sets is due for a background merge
+
+
+def _ivf_compaction_policy_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    base = f"vec_id % {_DRIFT_MOD} <> 0"
+    appended = (f"vec_id % {_DRIFT_MOD} = 0"
+                f" AND vec_id >= {_SERVE_QBOUND}")
+    base_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {base}"""
+    chain = _prefixed_kmeans_ctes(
+        "b", k, iters, dims_sql=base_dims,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {base}")
+    return f"""WITH {chain},
+incdims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
+  FROM embeddings WHERE {appended}
+),
+incd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS d2
+  FROM incdims v JOIN bcent{iters} c USING (dim)
+  GROUP BY 1, 2
+),
+incasg AS (
+  SELECT vec_id, cid AS cell FROM incd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+pb AS (SELECT cell, count(*) AS n FROM basgfin GROUP BY 1),
+pi AS (SELECT cell, count(*) AS n FROM incasg GROUP BY 1)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(coalesce(b.n, 0) + coalesce(i.n, 0) AS BIGINT) AS n_rows,
+       CAST((CASE WHEN b.n IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN i.n IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_batches,
+       CAST(CASE WHEN (CASE WHEN b.n IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN i.n IS NULL THEN 0 ELSE 1 END)
+                    >= {_COMPACT_AFTER_BATCHES}
+            THEN 1 ELSE 0 END AS BIGINT) AS compact_due
+FROM pb b
+FULL OUTER JOIN pi i USING (cell)
+ORDER BY cell"""
+
+
+@q("similarity_ivf_compaction_policy", _ivf_compaction_policy_oracle_sql())
+def similarity_ivf_compaction_policy(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Compaction SCHEDULER report for the maintained IVF index — the
+    vector twin of dedup_lsh_compaction_policy: per cell, how many
+    ingest batches' file sets an nprobe search would open (each append
+    lays one file set per touched cell) and whether the background
+    merge (compact_ivf_index) is due (>= {_COMPACT_AFTER_BATCHES}
+    batch partitions). Shares the maintained artifact the incremental-
+    serve gate builds (base index + one appended batch), so the report
+    certifies the exact layout that serving reads.
+
+    Scale path: a pure PARTITION-COLUMN census — the scan projects
+    only (cell, ingest_batch), parquet reads footers, never vector
+    rows; one k-row aggregate. Exactness: the oracle re-derives which
+    cells each batch touches (base Lloyd chain + saved-codebook
+    increment assignment — the artifact is a deterministic function of
+    the corpus); int64 counts; total order on cell."""
+    path = cached_scalar(spark, sf_dir, "ivf_inc_index_path",
+                         lambda: _build_inc_ivf_index(spark, sf_dir))
+    return (spark.read.parquet(path + "/cells")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("ingest_batch").cast("long")
+                 .alias("n_batches"))
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_rows", "n_batches",
+                    F.when(F.col("n_batches") >= _COMPACT_AFTER_BATCHES,
+                           1).otherwise(0).cast("long")
+                    .alias("compact_due"))
+            .orderBy("cell"))
+
+
+def _build_inc_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build + one-batch append of the maintained IVF index — shared by
+    similarity_ivf_incremental_serve and the compaction-policy census
+    (same memo key, so one artifact serves both gates per session)."""
+    p = _ivf_index_path(sf_dir) + "_inc"
+    build_ivf_index(spark, sf_dir, p)
+    inc = (_quantized_vectors(spark, sf_dir)
+           .filter((F.col("id") % _DRIFT_MOD == 0)
+                   & (F.col("id") >= _SERVE_QBOUND)))
+    append_to_ivf_index(spark, p, inc, batch_id=0)
+    return p
 
 
 def rebuild_ivf_index(spark: SparkSession, path: str,

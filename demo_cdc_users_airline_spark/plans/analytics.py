@@ -1941,3 +1941,116 @@ def discounted_brand_revenue(spark: SparkSession,
                  F.count(F.lit(1)).cast("long").alias("n_lines"))
             .select(F.col("__rev").cast("double").alias("revenue"),
                     "n_lines"))
+
+
+@q("important_part_value", """
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS v
+  FROM lineitem GROUP BY 1
+)
+SELECT pv.l_partkey AS p_partkey, p.p_name,
+       CAST(pv.v AS DOUBLE) AS total_value
+FROM pv
+JOIN part p ON p.p_partkey = pv.l_partkey
+WHERE pv.v * (SELECT count(*) * 2 FROM pv) > (SELECT sum(v) * 3 FROM pv)
+ORDER BY pv.v DESC, p_partkey
+""")
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape (important stock): parts whose traded value
+    exceeds a data-derived global threshold — the group-aggregate-vs-
+    global-scalar HAVING, the fifth decorrelation shape in the catalog
+    (the global scalars collect as driver literals off the already-
+    reduced per-part frame, the Q15 recipe one level up: the group
+    values AND the threshold derive from ONE aggregate pass). TPC-H
+    scales Q11's share threshold by 1/SF; the testdata's part-value
+    distribution is flat (max ≈ 1.8× mean at every SF), so the
+    SF-stable spec is "parts trading above 1.5× the mean part value" —
+    2 / 29 / 252 survivors at sf0.001/0.01/0.1.
+
+    Scale path: ONE fact scan reduces onto the fact's own key
+    (localCheckpoint pins the per-part frame so the threshold fold
+    never re-scans the fact); the survivor set joins the part dim by
+    AQE's choice. Exactness: the 1.5×-mean test is the all-integer
+    DECIMAL comparison ``v · 2n > 3 · total`` — no float fraction, no
+    division on either engine; the order key is the exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (li.groupBy("l_partkey")
+          .agg(F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(38,6))"))
+               .alias("v")))
+    # localCheckpoint: the global scalars fold over this SAME per-part
+    # frame — without pinning it, the lazy survivor plan would re-scan
+    # the fact a second time for a part-count-sized reduction
+    pv = pv.localCheckpoint(eager=True)
+    total, n = pv.agg(F.sum("v"), F.count(F.lit(1))).first()
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (pv.filter(F.col("v") * (2 * int(n)) > F.lit(total) * 3)
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .select(F.col("l_partkey").alias("p_partkey"), "p_name",
+                    F.col("v").cast("double").alias("total_value"),
+                    F.col("v").alias("__v"))
+            .orderBy(F.col("__v").desc(), "p_partkey")
+            .drop("__v"))
+
+
+@q("sole_returner_suppliers", """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT)
+         AS n_orders
+FROM l l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY n_orders DESC, s_name
+LIMIT 10
+""")
+def sole_returner_suppliers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept orders waiting): the
+    hardest classic decorrelation — a correlated EXISTS and a
+    correlated NOT EXISTS against the SAME fact, both with an
+    inequality residual (another supplier's line / another supplier's
+    offending line). The testdata has no receipt/commit dates, so the
+    predicate becomes "the order's SOLE returner on a multi-supplier
+    order" (l_returnflag takes the late-delivery role); the join
+    SHAPE — fact ⋉ fact ▷ fact with (equi key + non-equi residual) —
+    is the point. Spark decorrelates to a left-semi and a left-anti
+    self-join, each hashing on l_orderkey with the ``suppkey <>``
+    residual evaluated post-probe.
+
+    Scale path: all three fact legs project 3 narrow columns; the
+    semi/anti joins co-partition on l_orderkey (one exchange each leg,
+    shared key); the anti leg pre-filters to returned lines only; the
+    supplier dim joins after the fact collapses to qualifying
+    (order, supplier) pairs; top-10 is TakeOrderedAndProject.
+    Exactness: int64 distinct-order counts; total order
+    (n_orders DESC, s_name)."""
+    l = (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_suppkey", "l_returnflag"))
+    l1 = (l.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_suppkey").alias("sk")))
+    l2 = l.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_suppkey").alias("sk2"))
+    l3 = (l.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("ok3"),
+                  F.col("l_suppkey").alias("sk3")))
+    qualified = (l1
+                 .join(l2, (F.col("ok") == F.col("ok2"))
+                       & (F.col("sk") != F.col("sk2")), "left_semi")
+                 .join(l3, (F.col("ok") == F.col("ok3"))
+                       & (F.col("sk") != F.col("sk3")), "left_anti"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (qualified
+            .join(s, F.col("s_suppkey") == F.col("sk"))
+            .groupBy("s_name")
+            .agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), "s_name")
+            .limit(10))

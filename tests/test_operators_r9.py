@@ -131,3 +131,53 @@ def test_q19_shape_pushes_disjunction_conjuncts_to_both_scans(spark):
     # toString view truncates long filter lists, so match the prefix)
     assert "LessThanOrEqual(l_quantity" in li_scan
     assert "Or(Or(And(EqualTo(p_brand" in p_scan
+
+
+def test_q11_shape_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        important_part_value,
+    )
+
+    pv = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        pv[r["l_partkey"]] += Decimal(str(r["l_extendedprice"])).quantize(
+            Decimal("0.000001"))
+    total, n = sum(pv.values()), len(pv)
+    want = sorted(((v, k) for k, v in pv.items()
+                   if v * 2 * n > 3 * total),
+                  key=lambda t: (-t[0], t[1]))
+
+    got = important_part_value(spark, SF).collect()
+    assert [(r["p_partkey"]) for r in got] == [k for _, k in want]
+    assert [r["total_value"] for r in got] == [float(v) for v, _ in want]
+    assert len(got) > 0  # the threshold must select rows at gate SF
+
+
+def test_q21_shape_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        sole_returner_suppliers,
+    )
+
+    by_order = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        by_order[r["l_orderkey"]].append(
+            (r["l_suppkey"], r["l_returnflag"]))
+    sname = {r["s_suppkey"]: r["s_name"] for r in
+             spark.read.parquet(f"{SF}/supplier.parquet").collect()}
+    counts = defaultdict(set)
+    for ok, lines in by_order.items():
+        for sk, rf in lines:
+            if rf != "R":
+                continue
+            others = [(s, r) for s, r in lines if s != sk]
+            if others and not any(r == "R" for _, r in others):
+                counts[sname[sk]].add(ok)
+    want = sorted(((len(v), k) for k, v in counts.items()),
+                  key=lambda t: (-t[0], t[1]))[:10]
+
+    got = sole_returner_suppliers(spark, SF).collect()
+    assert [(r["n_orders"], r["s_name"]) for r in got] == want

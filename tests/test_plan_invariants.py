@@ -219,6 +219,15 @@ MAX_SHUFFLES = {
     # brand semi join broadcasts at gate SF
     "discounted_brand_revenue": 1,  # TPC-H Q19: both scans prune via
     # the derived disjunction conjuncts; only the 1-row agg exchange
+    "important_part_value": 1,  # TPC-H Q11 shape: the survivor plan
+    # rides the pinned per-part frame (the fact reduced once at
+    # checkpoint time); only the bounded ordering sort remains
+    "sole_returner_suppliers": 2,  # TPC-H Q21 shape: the semi and
+    # anti self-join legs co-partition on l_orderkey (the probe side's
+    # exchange is shared); the supplier join broadcasts at gate SF and
+    # the distinct-count agg rides the pair frame
+    "similarity_ivf_compaction_policy": 3,  # partition-column census:
+    # cell groupBy + countDistinct's two-phase expand + the k-row sort
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
