@@ -46,6 +46,8 @@ _DRIVER_PRIORITY = [
     "important_part_value",           # NEW r9 (TPC-H Q11 HAVING-scalar)
     "sole_returner_suppliers",        # NEW r9 (TPC-H Q21 semi+anti)
     "similarity_ivf_compaction_policy",  # NEW r9 (merge-due census)
+    "dormant_valuable_customers",     # NEW r9 (TPC-H Q22 composite)
+    "dominant_part_suppliers",        # NEW r9 (TPC-H Q20 nested-agg)
     # NEVER driver-certified (landed after the r8 gate ran; the queue
     # VERDICT r8 item 1 asked for).
     "retrieval_bm25_incremental_serve",
@@ -92,11 +94,10 @@ _DRIVER_PRIORITY = [
     "shipping_priority_topk",
     "users_customer_reconciliation",
     "text_winnowing",
-    "text_lang_id_ngram",
-    "corpus_quality_percentile",
     # r10 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r10
     # queries first, then the remaining oldest-vintage rows —
+    # text_lang_id_ngram, corpus_quality_percentile,
     # text_rake_keywords, dedup_exact, dedup_ngram_jaccard,
     # dedup_minhash_estimate, dedup_jaccard_containment,
     # similarity_hard_negatives, similarity_matryoshka_recall,

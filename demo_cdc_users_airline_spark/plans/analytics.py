@@ -2054,3 +2054,126 @@ def sole_returner_suppliers(spark: SparkSession,
             .agg(F.countDistinct("ok").cast("long").alias("n_orders"))
             .orderBy(F.col("n_orders").desc(), "s_name")
             .limit(10))
+
+
+@q("dormant_valuable_customers", """
+WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0.0)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
+                                 AS DOUBLE) / count(*) FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+ORDER BY 1
+""")
+def dormant_valuable_customers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (global sales opportunity): customers whose
+    balance beats the average POSITIVE balance but who placed no
+    recent order, rolled up per nation — the composite that stacks
+    three already-gated primitives exactly as Q22 does: a scalar
+    subquery over a DIFFERENT filter of the same dim (avg positive
+    balance → driver literal), a filtered NOT EXISTS (→ left-anti
+    join against the recent orders slice), and the per-nation rollup.
+    (The testdata's every customer has SOME order, so Q22's "never
+    ordered" becomes "no order since 2000" — the churn cut.)
+
+    Scale path: the threshold folds over the customer dim once
+    (driver literal); the anti join pre-filters orders to the recent
+    window (pushed date filter — at scale, partition pruning) and
+    co-partitions on custkey; nation broadcasts; the rollup is
+    ≤25 rows. Exactness: the average is the DECIMAL-sum/count tree
+    (identical on both engines); the survivor sum runs through
+    DECIMAL(38,6) with one double cast; int64 counts; total order on
+    nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((dec_sum("c_acctbal") / F.count(F.lit(1))))
+               .first()[0])
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"],
+                  "left_anti")
+            .join(F.broadcast(n),
+                  F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
+                 F.sum(F.expr("CAST(c_acctbal AS DECIMAL(38,6))"))
+                 .cast("double").alias("total_acctbal"))
+            .orderBy("nation"))
+
+
+@q("dominant_part_suppliers", """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(38,6))) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN pt USING (l_partkey)
+  WHERE ps.l_partkey IN
+        (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND ps.q * 2 > pt.tq
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+""")
+def dominant_part_suppliers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape (potential part promotion): suppliers who
+    shipped MORE THAN HALF of some promo part's yearly volume — the
+    nested-aggregate-threshold-inside-a-semi-join-chain (Q20's
+    `ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)` correlated
+    threshold, re-anchored on lineitem since the testdata has no
+    partsupp): per-(part, supplier) volume compares against the
+    per-part total derived FROM THE SAME aggregate, the survivors
+    collapse to a supplier id set, and that set semi-joins into the
+    supplier dim.
+
+    Scale path: the fact reduces ONCE onto (partkey, suppkey) — the
+    pinned frame (localCheckpoint) feeds both the per-part total and
+    the comparison join, so the fact is never re-scanned; the part
+    filter prunes before the totals compare; the dominant set is
+    supplier-count-bounded and semi-joins the dim. Exactness: volumes
+    through DECIMAL(38,6); the half test is the all-integer comparison
+    ``q·2 > tq``; total order on s_suppkey."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")))
+    promo = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    ps = (li.join(promo, F.col("p_partkey") == F.col("l_partkey"),
+                  "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,6))"))
+               .alias("q"))
+          .localCheckpoint(eager=True))  # feeds pt AND the compare join
+    pt = ps.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dominant = (ps.join(pt, "l_partkey")
+                .filter(F.col("q") * 2 > F.col("tq"))
+                .select("l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"],
+                   "left_semi")
+            .join(F.broadcast(n),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+            .orderBy("s_suppkey"))

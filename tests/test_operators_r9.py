@@ -181,3 +181,65 @@ def test_q21_shape_matches_python_replay(spark):
 
     got = sole_returner_suppliers(spark, SF).collect()
     assert [(r["n_orders"], r["s_name"]) for r in got] == want
+
+
+def test_q22_shape_matches_python_replay(spark):
+    import datetime
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        dormant_valuable_customers,
+    )
+
+    custs = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    pos = [Decimal(str(r["c_acctbal"])).quantize(Decimal("0.000001"))
+           for r in custs if r["c_acctbal"] > 0.0]
+    threshold = float(sum(pos)) / len(pos)
+    cutoff = datetime.datetime(2000, 1, 1)
+    recent = {r["o_custkey"] for r in
+              spark.read.parquet(f"{SF}/orders.parquet").collect()
+              if r["o_orderdate"] >= cutoff}
+    nname = {r["n_nationkey"]: r["n_name"] for r in
+             spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in custs:
+        if r["c_acctbal"] > threshold and r["c_custkey"] not in recent:
+            a = agg[nname[r["c_nationkey"]]]
+            a[0] += 1
+            a[1] += Decimal(str(r["c_acctbal"])).quantize(
+                Decimal("0.000001"))
+
+    got = dormant_valuable_customers(spark, SF).collect()
+    assert len(got) > 0
+    assert {r["nation"]: (r["n_custs"], r["total_acctbal"])
+            for r in got} == {k: (c, float(s))
+                              for k, (c, s) in agg.items()}
+    assert [r["nation"] for r in got] == sorted(agg)
+
+
+def test_q20_shape_matches_python_replay(spark):
+    import datetime
+    from collections import defaultdict
+
+    from demo_cdc_users_airline_spark.plans.analytics import (
+        dominant_part_suppliers,
+    )
+
+    promo = {r["p_partkey"] for r in
+             spark.read.parquet(f"{SF}/part.parquet").collect()
+             if r["p_type"] == "PROMO"}
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    ps = defaultdict(Decimal)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if lo <= r["l_shipdate"] < hi and r["l_partkey"] in promo:
+            ps[(r["l_partkey"], r["l_suppkey"])] += Decimal(
+                str(r["l_quantity"])).quantize(Decimal("0.000001"))
+    pt = defaultdict(Decimal)
+    for (pk, _), q in ps.items():
+        pt[pk] += q
+    dominant = sorted({sk for (pk, sk), q in ps.items()
+                       if q * 2 > pt[pk]})
+
+    got = dominant_part_suppliers(spark, SF).collect()
+    assert [r["s_suppkey"] for r in got] == dominant
+    assert len(got) > 0

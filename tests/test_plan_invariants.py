@@ -228,6 +228,12 @@ MAX_SHUFFLES = {
     # the distinct-count agg rides the pair frame
     "similarity_ivf_compaction_policy": 3,  # partition-column census:
     # cell groupBy + countDistinct's two-phase expand + the k-row sort
+    "dormant_valuable_customers": 2,  # TPC-H Q22 shape: the recent-
+    # orders anti join co-partitions on custkey (threshold is a driver
+    # literal); nation broadcasts, the rollup is <=25 rows
+    "dominant_part_suppliers": 3,  # TPC-H Q20 shape: the fact reduces
+    # once onto (part, supplier) at checkpoint time; the per-part total
+    # + compare join + dominant-set distinct ride small keyed exchanges
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded
