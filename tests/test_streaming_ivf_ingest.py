@@ -118,3 +118,13 @@ def test_batch_rerun_is_idempotent(spark, tmp_path, pipe, increment):
     assert spark.read.parquet(pipe.index_path + "/cells").count() == n_idx
     assert sorted(map(tuple, spark.read.parquet(
         pipe.report_table.path).collect())) == rep_rows
+
+
+def test_empty_micro_batch_is_a_safe_noop(spark, pipe):
+    # the LSH/BM25 maintainers' empty-batch guarantee, asserted for
+    # the IVF maintainer too: no error, index and report unchanged
+    n_cells = spark.read.parquet(pipe.index_path + "/cells").count()
+    empty = spark.createDataFrame([], SCHEMA)
+    pipe.process_batch(empty, 99)
+    assert spark.read.parquet(pipe.index_path + "/cells").count() \
+        == n_cells

@@ -111,3 +111,29 @@ def test_batch_rerun_is_idempotent(spark, tmp_path, pipe):
     assert {r["doc_id"] for r in
             pipe.out_table.read().select("doc_id").collect()} == \
         {3_000_001, 3_000_002}
+
+
+def test_empty_micro_batch_is_a_safe_noop(spark, pipe):
+    # foreachBatch delivers empty batches (idle triggers, filtered
+    # sources): the maintainer must process one without error and
+    # leave both sinks and the index unchanged (the BM25 maintainer's
+    # ADVICE-r8 empty-batch guarantee, asserted for LSH too)
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        probe_lsh_index,
+    )
+
+    docs = (load_table(spark, SF, "documents")
+            .filter("doc_id % 8 = 0").select("doc_id", "text"))
+    before = sorted(tuple(r) for r in
+                    probe_lsh_index(spark, docs, pipe.index_path)
+                    .collect())
+    n_sig = spark.read.parquet(pipe.index_path + "/sig").count()
+
+    empty = spark.createDataFrame([], SCHEMA)
+    pipe.process_batch(empty, 99)
+
+    assert spark.read.parquet(pipe.index_path + "/sig").count() == n_sig
+    after = sorted(tuple(r) for r in
+                   probe_lsh_index(spark, docs, pipe.index_path)
+                   .collect())
+    assert after == before
