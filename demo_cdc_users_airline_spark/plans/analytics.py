@@ -2093,6 +2093,8 @@ def dormant_valuable_customers(spark: SparkSession,
     DECIMAL(38,6) with one double cast; int64 counts; total order on
     nation."""
     cust = load_table(spark, sf_dir, "customer")
+    # dec_sum already ends in the double cast, so this is the oracle's
+    # exact CAST(sum AS DOUBLE)/count tree
     avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
                .agg((dec_sum("c_acctbal") / F.count(F.lit(1))))
                .first()[0])
