@@ -1398,8 +1398,9 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
               batch reads only the matching slices of the index, not
               the whole band table: corpus-side IO scales with the
               increment, which is the whole point of the operator.
-      meta.json  the prefix width. It is an ARTIFACT parameter, chosen
-              at build time from the corpus row count (_pfx_width_for:
+      bands/_lsh_meta.json  the prefix width. It is an ARTIFACT
+              parameter, chosen at build time from the corpus row
+              count (_pfx_width_for:
               16 slices under 1M docs, 256 under 16M, …) and read back
               by every probe/append — a gate-sized index must not pay
               256 parquet-footer opens for a 17 K-row probe read, and
@@ -1495,7 +1496,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + groupBy over the batch); the increment's band-key prefix
     set — a hard-bounded collect over the 16^width hex-prefix domain,
     width being an artifact parameter chosen at build time from the
-    corpus size (meta.json; _pfx_width_for) — pushes into the index
+    corpus size (bands/_lsh_meta.json; _pfx_width_for) — pushes into the index
     read as a PARTITION filter, so corpus-side IO is the matching
     index slices, not the corpus: work scales with the increment.
     Verification compares 16-component
