@@ -1818,7 +1818,11 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l_shipdate") < "1996-04-01")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount)"
-                             " AS DECIMAL(38,6))")).alias("total_revenue")))
+                             " AS DECIMAL(38,6))")).alias("total_revenue"))
+           # pin the reduced frame: the max fold AND the equality
+           # filter both read it — without the checkpoint each would
+           # re-scan the fact (the Q11/Q20 recipe)
+           .localCheckpoint(eager=True))
     # scalar subquery → broadcast literal (J5 pattern): the max of a
     # supplier-count-sized aggregate, collected exactly as DECIMAL
     mx = rev.agg(F.max("total_revenue")).first()[0]
