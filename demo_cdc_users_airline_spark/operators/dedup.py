@@ -1696,7 +1696,12 @@ def dedup_lsh_compaction_policy(spark: SparkSession,
     managed ClickHouse — here it is an explicit, gateable report."""
     def make() -> str:
         p = _lsh_index_path(sf_dir) + "_inc"
-        build_lsh_index(spark, sf_dir, p)
+        # width PINNED to 1: the oracle's substr(band_key, 1, 1) bakes
+        # in the 1-hex-char slicing — pinning enforces that assumption
+        # instead of relying on every gate corpus staying under
+        # _PFX_DOCS_PER_WIDTH (ADVICE r9: a silently grown corpus
+        # would diverge instead of failing loudly)
+        build_lsh_index(spark, sf_dir, p, pfx_width=1)
         inc = (load_table(spark, sf_dir, "documents")
                .filter(F.col("doc_id") % _INC_MOD == 0)
                .select("doc_id", "text"))

@@ -41,8 +41,11 @@ from pyspark.sql import functions as F
 from ..operators.kmeans_ivf import (
     append_to_ivf_index,
     assign_cells,
+    ivf_cells_path,
+    ivf_codebook_path,
     load_codebook,
     quantize,
+    rebuild_ivf_index,
 )
 from ..sources.tables import AppendTable
 
@@ -51,10 +54,34 @@ from ..sources.tables import AppendTable
 class StreamingIvfIngest:
     """embeddings stream (id, embedding: array<double>) → (a) the
     persisted IVF index kept current batch-by-batch, (b) an append-only
-    per-(batch, cell) ingest report (n_added, sum/avg q_err)."""
+    per-(batch, cell) ingest report (n_added, sum/avg q_err).
+
+    Auto-rebuild (VERDICT r9 item 3 — the monitor's ACTION wired into
+    the loop): with ``rebuild_check_every=N`` > 0, every Nth batch the
+    maintainer compares the batch's mean quantization error (already in
+    the drift report) against the live index's mean under the current
+    codebook; when the ratio exceeds ``rebuild_qerr_ratio_ppm`` (parts
+    per million — an all-integer cross-multiplied comparison, never a
+    float fraction), it triggers ``rebuild_ivf_index`` right there.
+    foreachBatch serializes batches per stream, so the hook runs in a
+    naturally quiesced window — no append can race the swap, and the
+    swap itself is the one-pointer-replace publish. The rebuild keeps
+    batch provenance so a batch retried ACROSS the swap still replaces
+    its own partitions (append_to_ivf_index purges them under the new
+    codebook's assignment)."""
 
     index_path: str
     report_table: AppendTable
+    rebuild_check_every: int = 0          # 0 = hook disabled
+    rebuild_qerr_ratio_ppm: int = 2_000_000  # batch avg > 2× live avg
+
+    def __post_init__(self) -> None:
+        self._batches_since_check = 0
+        # (sum q_err, n rows) of the live index under its current
+        # codebook — the drift reference point; recomputed lazily after
+        # each rebuild (one bounded column aggregate per rebuild cycle,
+        # NOT per batch)
+        self._live_stats: tuple[int, int] | None = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -70,22 +97,76 @@ class StreamingIvfIngest:
 
         # the drift report: a k-row-bounded aggregate of the SAME
         # deterministic assignment the append used
-        cb = load_codebook(spark, self.index_path + "/codebook")
+        cb = load_codebook(spark, ivf_codebook_path(self.index_path))
         report = (assign_cells(vecs, cb)
                   .groupBy("cell")
+                  # accumulate in DECIMAL(38,0) (a very large batch
+                  # concentrated in one cell would wrap an int64 q_err
+                  # total silently — the ADVICE-r7 rule), but PERSIST
+                  # BIGINT: the report table's parquet schema predates
+                  # the widening, and appending decimal files next to
+                  # long files breaks the mixed-vintage read (ADVICE
+                  # r9). Overflow past int64 fails LOUDLY instead.
                   .agg(F.count(F.lit(1)).cast("long").alias("n_added"),
-                       # DECIMAL(38,0): a very large batch concentrated
-                       # in one cell would wrap an int64 q_err total
-                       # silently (the ADVICE-r7 rule, as
-                       # similarity_incremental_ivf applies it)
                        F.sum(F.col("q_err").cast("decimal(38,0)"))
-                       .alias("sum_q_err"))
+                       .alias("sum_q_err_dec"))
                   .withColumn("avg_q_err",
-                              F.expr("CAST(sum_q_err DIV n_added"
+                              F.expr("CAST(sum_q_err_dec DIV n_added"
                                      " AS BIGINT)"))
-                  .withColumn("sum_q_err",
-                              F.col("sum_q_err").cast("decimal(38,0)")))
+                  .withColumn(
+                      "sum_q_err",
+                      F.when(F.col("sum_q_err_dec")
+                             <= F.lit(2 ** 63 - 1).cast("decimal(38,0)"),
+                             F.col("sum_q_err_dec").cast("long"))
+                      .otherwise(F.raise_error(F.lit(
+                          "ivf ingest report: sum_q_err overflows"
+                          " BIGINT — widen the report table schema"))
+                          .cast("long")))
+                  .drop("sum_q_err_dec"))
         self.report_table.append_idempotent(report, batch_id)
+
+        if self.rebuild_check_every > 0:
+            self._batches_since_check += 1
+            if self._batches_since_check >= self.rebuild_check_every:
+                self._batches_since_check = 0
+                self._maybe_rebuild(spark, int(batch_id))
+
+    # -- auto-rebuild hook --------------------------------------------------
+
+    def _live_index_stats(self, spark) -> tuple[int, int]:
+        if self._live_stats is None:
+            row = (spark.read.parquet(ivf_cells_path(self.index_path))
+                   .agg(F.sum(F.col("q_err").cast("decimal(38,0)"))
+                        .alias("s"),
+                        F.count(F.lit(1)).alias("n")).collect()[0])
+            self._live_stats = (int(row["s"] or 0), int(row["n"] or 0))
+        return self._live_stats
+
+    def _maybe_rebuild(self, spark, batch_id: int) -> bool:
+        """The check-every-N-batches drift gate: reread THIS batch's
+        k-row report slice (footer-pruned by ingest_batch_id), compare
+        its mean q_err against the live index's mean, rebuild on
+        breach. Returns whether the rebuild fired (for tests/ops)."""
+        rep = (spark.read.parquet(self.report_table.path)
+               .filter(F.col("ingest_batch_id") == batch_id)
+               .agg(F.sum(F.col("sum_q_err").cast("decimal(38,0)"))
+                    .alias("s"),
+                    F.sum("n_added").alias("n")).collect()[0])
+        b_sum, b_n = int(rep["s"] or 0), int(rep["n"] or 0)
+        if b_n == 0:
+            return False  # empty micro-batch: nothing to measure
+        live_sum, live_n = self._live_index_stats(spark)
+        if live_n == 0:
+            return False
+        # batch_avg > (ratio_ppm / 1e6) × live_avg, cross-multiplied —
+        # exact integer arithmetic, no float fraction (the threshold
+        # rule from CLAUDE.md), driver-side Python ints can't overflow
+        if (b_sum * live_n * 1_000_000
+                <= self.rebuild_qerr_ratio_ppm * live_sum * b_n):
+            return False
+        rebuild_ivf_index(spark, self.index_path, keep_provenance=True)
+        self._live_stats = None  # re-anchor on the NEW codebook
+        return True
 
     def start(self, vectors: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):

@@ -13,6 +13,8 @@ from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
     _quantized_vectors,
     assign_cells,
     build_ivf_index,
+    ivf_cells_path,
+    ivf_codebook_path,
     load_codebook,
 )
 from demo_cdc_users_airline_spark.sources.loader import load_table
@@ -128,3 +130,91 @@ def test_empty_micro_batch_is_a_safe_noop(spark, pipe):
     pipe.process_batch(empty, 99)
     assert spark.read.parquet(pipe.index_path + "/cells").count() \
         == n_cells
+
+
+# -- auto-rebuild hook (VERDICT r9 item 3): drift injected mid-stream →
+#    rebuild fires in the quiesced foreachBatch window → serve
+#    continuity + recall-gap closure across the one-pointer swap -----------
+
+def _dequantized_centroids(spark, path, n):
+    """In-distribution rows for the no-drift batch: the index's own
+    centroids (q_err ≈ 0 by construction — can never breach a >1×
+    ratio threshold), with fresh ids."""
+    cb = load_codebook(spark, ivf_codebook_path(path))
+    return [(10_000_000 + i, [x / 1e6 for x in vec])
+            for i, (_, vec) in enumerate(cb[:n])]
+
+
+def test_auto_rebuild_fires_on_drift_and_serve_survives(
+        spark, tmp_path, increment):
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    report = AppendTable(spark, str(tmp_path / "report"))
+    pipe = StreamingIvfIngest(index_path=path, report_table=report,
+                              rebuild_check_every=1)  # check every batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: in-distribution (centroid copies) — must NOT trigger
+    write_vecs(src / "b0.json", _dequantized_centroids(spark, path, 6))
+    # batch 1: DRIFT — the same rows shifted by +1.0 per coordinate
+    # (quantized distance ~64×1e12, two orders above the base mean)
+    drifted = [(20_000_000 + i, [x + 1.0 for x in e])
+               for i, (_, e) in
+               enumerate(_dequantized_centroids(spark, path, 6))]
+    write_vecs(src / "b1.json", drifted)
+
+    q = pipe.start(source(spark, src), str(tmp_path / "ckpt"),
+                   trigger_once=True)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # the rebuild fired exactly once, on the drifted batch: the index
+    # is now versioned (pointer published) at generation v1
+    assert (tmp_path / "idx" / "_ivf_live.json").exists()
+    assert ivf_cells_path(str(tmp_path / "idx")).endswith("/v1/cells")
+
+    cells = spark.read.parquet(ivf_cells_path(path))
+    # nothing lost across the swap: base + both streamed batches, with
+    # batch provenance preserved (the retry-across-swap contract)
+    assert {r[0] for r in cells.select("ingest_batch").distinct()
+            .collect()} == {-1, 0, 1}
+    base_n = (load_table(spark, SF, "embeddings")
+              .filter(F.col("vec_id") % _DRIFT_MOD != 0).count())
+    assert cells.count() == base_n + 12
+
+    # recall-gap closure: the published codebook IS a fresh Lloyd fit
+    # on everything the index now holds (the staleness monitor's fresh
+    # arm — gap closes to zero by construction)
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        ivf_serve,
+        kmeans_fit,
+    )
+    vecs = cells.select(F.col("vec_id").alias("id"), "vec")
+    assert load_codebook(spark, ivf_codebook_path(path)) == \
+        kmeans_fit(vecs)
+
+    # serve continuity: the swapped artifact answers the standing
+    # query batch
+    assert ivf_serve(spark, SF, path).count() > 0
+
+    # a batch RETRIED ACROSS THE SWAP stays idempotent: the purge
+    # removes its pre-rebuild rows before re-appending under the new
+    # codebook (foreachBatch's at-least-once, survived)
+    b1 = spark.createDataFrame(drifted, SCHEMA)
+    n_before = cells.count()
+    pipe.process_batch(b1, 1)
+    after = spark.read.parquet(ivf_cells_path(path))
+    assert after.count() == n_before
+    assert after.filter(F.col("ingest_batch") == 1).count() == 6
+
+
+def test_auto_rebuild_does_not_fire_in_distribution(spark, tmp_path):
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    report = AppendTable(spark, str(tmp_path / "report"))
+    pipe = StreamingIvfIngest(index_path=path, report_table=report,
+                              rebuild_check_every=1)
+    b0 = spark.createDataFrame(_dequantized_centroids(spark, path, 6),
+                               SCHEMA)
+    pipe.process_batch(b0, 0)
+    # no drift → no rebuild: the index stays on the flat (build) layout
+    assert not (tmp_path / "idx" / "_ivf_live.json").exists()
