@@ -1557,26 +1557,17 @@ def append_to_lsh_index(spark: SparkSession, path: str,
      .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
 
 
-def probe_lsh_index(spark: SparkSession, docs: DataFrame,
-                    path: str,
-                    exclude_batch: int | None = None) -> DataFrame:
-    """The incremental-probe core: per-document admission verdict of
-    ``docs`` against the persisted index at ``path`` (shared by the
-    catalog query and multi-batch lifecycle pipelines/tests).
-
-    ``exclude_batch`` drops the index's ``ingest_batch=<id>`` partition
-    from the probe — a re-run of a failed foreachBatch attempt must not
-    be shadowed by its own earlier rows (the same self-exclusion rule
-    as StreamingNearDupDedup's admitted-state read)."""
-    # eager localCheckpoint, NOT cache(): the signatures are scanned
-    # three times (bands, prefix collect, verify join) so materializing
-    # once matters, but a cache() would pin the frame in the session's
-    # CacheManager forever — under StreamingLshIngest every micro-batch
-    # would leak one cached frame for the stream's lifetime. Checkpoint
-    # blocks are dropped by the ContextCleaner when the batch's frames
-    # are garbage-collected.
-    inc_sig = _signatures_from(_hashed_shingles_of(
-        parallel_scan(spark, docs, "doc_id"))).localCheckpoint(eager=True)
+def _verified_matches(spark: SparkSession, inc_sig: DataFrame, path: str,
+                      exclude_batch: int | None = None) -> DataFrame:
+    """(new_id, corpus_id, n_match) for every band-key collision of the
+    probe signatures against the index at ``path`` — the shared
+    candidate+verify core of probe_lsh_index (which keeps only each
+    doc's best match) and the cluster-index update (which needs EVERY
+    verified edge: connected components over best-only edges would
+    split clusters). Partition-pruned exactly like the probe: the
+    probe's band-key prefixes push into the bands read as a partition
+    filter, and verification compares persisted 16-component
+    signatures — corpus text is never touched."""
     width = lsh_pfx_width(path)  # slice band keys as the build did
     inc_bands = (_band_frame(inc_sig)
                  .withColumn("pfx", F.substring("band_key", 1, width)))
@@ -1607,9 +1598,32 @@ def probe_lsh_index(spark: SparkSession, docs: DataFrame,
                          for i in range(_N_PERMS)])
     n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
                   for i in range(_N_PERMS))
-    m = (cand.join(a, "new_id").join(b, "corpus_id")
-         .select("new_id", "corpus_id",
-                 n_match.cast("long").alias("n_match")))
+    return (cand.join(a, "new_id").join(b, "corpus_id")
+            .select("new_id", "corpus_id",
+                    n_match.cast("long").alias("n_match")))
+
+
+def probe_lsh_index(spark: SparkSession, docs: DataFrame,
+                    path: str,
+                    exclude_batch: int | None = None) -> DataFrame:
+    """The incremental-probe core: per-document admission verdict of
+    ``docs`` against the persisted index at ``path`` (shared by the
+    catalog query and multi-batch lifecycle pipelines/tests).
+
+    ``exclude_batch`` drops the index's ``ingest_batch=<id>`` partition
+    from the probe — a re-run of a failed foreachBatch attempt must not
+    be shadowed by its own earlier rows (the same self-exclusion rule
+    as StreamingNearDupDedup's admitted-state read)."""
+    # eager localCheckpoint, NOT cache(): the signatures are scanned
+    # three times (bands, prefix collect, verify join) so materializing
+    # once matters, but a cache() would pin the frame in the session's
+    # CacheManager forever — under StreamingLshIngest every micro-batch
+    # would leak one cached frame for the stream's lifetime. Checkpoint
+    # blocks are dropped by the ContextCleaner when the batch's frames
+    # are garbage-collected.
+    inc_sig = _signatures_from(_hashed_shingles_of(
+        parallel_scan(spark, docs, "doc_id"))).localCheckpoint(eager=True)
+    m = _verified_matches(spark, inc_sig, path, exclude_batch)
     best = (m.filter(F.col("n_match") >= _INC_MIN_MATCH)
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy("new_id")
@@ -1819,3 +1833,383 @@ def rebuild_lsh_index(spark: SparkSession, path: str,
     os.rename(sig_live, sig_old)
     os.rename(sig_tmp, sig_live)
     shutil.rmtree(sig_old)
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED near-dup cluster labels (build → incremental update → read)
+# ---------------------------------------------------------------------------
+# The last heavyweight derived state to graduate from session memo to
+# maintained artifact (VERDICT r9 item 1): where dedup_cluster_labels
+# recomputes the CC fixpoint per session, this artifact persists the
+# labels once and extends them per increment batch WITHOUT re-running
+# the global fixpoint — components can only GROW when documents are
+# added, so the increment's work is a union-find over the contracted
+# graph {new doc ids} ∪ {touched component labels}, never the corpus.
+#
+# Layout under <path>/ :
+#   lsh/     the MinHash-LSH probe artifact (build_lsh_index layout:
+#            sig + pfx-partitioned bands) — the increment finds its
+#            candidate edges by probing THIS, so base text is read
+#            exactly once, at build time.
+#   edges/   (u, v) verified near-dup edges (u < v), PARTITIONED BY
+#            ingest_batch — batch re-runs replace their own partition.
+#   labels/  (doc_id, label) as assigned AT WRITE TIME, PARTITIONED BY
+#            ingest_batch. Historical rows are never rewritten by an
+#            increment — relabels ride the merges/ overlay instead
+#            (rewriting label partitions would shuffle rows ACROSS
+#            partitions, which dynamic overwrite cannot retire safely:
+#            the r8 stale-partition failure mode).
+#   merges/  (old_label, new_label) — the FLATTENED relabel mapping
+#            (pointer-jumped at write time, so reads resolve in ONE
+#            broadcast join, no recursion). Tiny: one row per component
+#            that ever lost a merge; compact_cluster_index folds it
+#            into labels/ in a maintenance window.
+#
+# Edge rule (identical at build, probe, and in the oracle): two docs
+# are near-dups iff they collide on >= 1 LSH band AND >= _INC_MIN_MATCH
+# of _N_PERMS signature components agree — symmetric and a pure
+# function of the immutable signatures, so base<->base edges never
+# change after build: an increment only ADDS edges incident to new
+# docs (new<->corpus via the index probe, new<->new within the batch).
+
+
+def _cluster_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark-graft-warehouse")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, "cluster_index", key)
+
+
+_MERGES_SCHEMA = "old_label long, new_label long"
+
+
+def _write_merges(spark: SparkSession, path: str,
+                  mapping: dict[int, int]) -> None:
+    """Overwrite the flattened merges overlay (STATIC: it is a whole
+    tiny table, not a partition append). coalesce(1): bounded by the
+    number of ever-merged components — a k-row scheduler table, not
+    data."""
+    rows = sorted((int(o), int(n)) for o, n in mapping.items())
+    (spark.createDataFrame(rows, _MERGES_SCHEMA) if rows
+     else spark.createDataFrame([], _MERGES_SCHEMA)) \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+
+
+def _read_merges(spark: SparkSession, path: str) -> dict[int, int]:
+    return {int(r["old_label"]): int(r["new_label"]) for r in
+            spark.read.parquet(path + "/merges").collect()}
+
+
+def cluster_labels_of(spark: SparkSession, path: str) -> DataFrame:
+    """Resolved (doc_id, cluster_id) view of the artifact: stored
+    labels overlaid with the flattened merges mapping — ONE broadcast
+    join against a k-row table (k = merged components ever), so the
+    read stays a single pass over labels/ at any scale."""
+    labels = spark.read.parquet(path + "/labels")
+    merges = spark.read.parquet(path + "/merges") \
+        .withColumnRenamed("old_label", "label")
+    return (labels.join(F.broadcast(merges), "label", "left")
+            .select("doc_id",
+                    F.coalesce("new_label", "label").cast("long")
+                    .alias("cluster_id")))
+
+
+def _base_verified_edges(spark: SparkSession, path: str) -> DataFrame:
+    """(u < v) verified near-dup edges among everything currently in
+    the artifact's OWN sig table — used at build time (and by tests as
+    the full-recompute reference). Candidates come from band-key
+    collisions, verification from the persisted signatures: text-free."""
+    sig = spark.read.parquet(path + "/lsh/sig").drop("ingest_batch") \
+        .localCheckpoint(eager=True)
+    cand = _minhash_band_candidates(sig)
+    a = sig.select(F.col("doc_id").alias("doc1"),
+                   *[F.col(f"h{i}").alias(f"a{i}")
+                     for i in range(_N_PERMS)])
+    b = sig.select(F.col("doc_id").alias("doc2"),
+                   *[F.col(f"h{i}").alias(f"b{i}")
+                     for i in range(_N_PERMS)])
+    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(_N_PERMS))
+    return (cand.join(a, "doc1").join(b, "doc2")
+            .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"),
+                    n_match.cast("long").alias("n_match"))
+            .filter(F.col("n_match") >= _INC_MIN_MATCH)
+            .select("u", "v"))
+
+
+def build_cluster_index(spark: SparkSession, sf_dir: str,
+                        path: str | None = None,
+                        pfx_width: int | None = None) -> str:
+    """Build and PERSIST the near-dup cluster artifact over the BASE
+    split (doc_id % {_INC_MOD} != 0): the LSH probe index, the verified
+    edge table, the exact min-label CC labels, and an empty merges
+    overlay. Corpus text is touched HERE, once — every later increment
+    probes the persisted index instead (update_cluster_index)."""
+    import os
+    import shutil
+    path = path or _cluster_index_path(sf_dir)
+    if os.path.exists(path):  # a BUILD is a full rewrite (STATIC rule)
+        shutil.rmtree(path)
+    build_lsh_index(spark, sf_dir, path + "/lsh", pfx_width=pfx_width)
+    edges = _base_verified_edges(spark, path).localCheckpoint(eager=True)
+    (edges.withColumn("ingest_batch", F.lit(-1))
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("ingest_batch").parquet(path + "/edges"))
+    nodes = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % _INC_MOD != 0).select("doc_id"))
+    labels = connected_components(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        nodes)
+    (labels.select("doc_id", F.col("label").cast("long").alias("label"))
+     .withColumn("ingest_batch", F.lit(-1))
+     .write.mode("overwrite").option("partitionOverwriteMode", "static")
+     .partitionBy("ingest_batch").parquet(path + "/labels"))
+    _write_merges(spark, path, {})
+    return path
+
+
+def update_cluster_index(spark: SparkSession, path: str,
+                         docs: DataFrame, batch_id: int) -> None:
+    """Extend the persisted cluster labels with one increment batch —
+    O(increment), never the corpus, and NEVER the global CC fixpoint:
+
+    1. probe: the batch's signatures find verified edges against the
+       saved index (partition-pruned bands + persisted-signature
+       verify — the dedup_incremental_lsh machinery, ALL matches, not
+       best-only) plus new<->new edges within the batch;
+    2. contract: every touched corpus doc is replaced by its RESOLVED
+       component label (labels/ + merges overlay, a bounded lookup
+       join) — valid because a base component's label IS its min id,
+       so contracting preserves the global min;
+    3. union-find (driver-side, bounded by the batch's edge count —
+       the _local_union_find recipe) over {new ids} ∪ {touched
+       labels}: each new doc's final label and each merged component's
+       winner fall out; components only grow, so untouched labels are
+       untouched rows;
+    4. write: the batch's edges and labels land in their own
+       ingest_batch partitions (idempotent re-runs — a retry replaces
+       its own rows; its probe self-excludes via exclude_batch); the
+       k merged components go into the FLATTENED merges overlay
+       (existing entries pointer-jump through new winners, so reads
+       stay one join deep).
+
+    A re-run after a crash recomputes the same final labels: the
+    union-find's inputs (immutable signatures, resolved pre-batch
+    labels) are deterministic, and min() is idempotent under replay —
+    asserted in tests/test_cluster_index.py."""
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=True)
+    inc_sig = _signatures_from(_hashed_shingles_of(
+        parallel_scan(spark, docs, "doc_id"))).localCheckpoint(eager=True)
+
+    # -- 1. edges -----------------------------------------------------------
+    nc = (_verified_matches(spark, inc_sig, path + "/lsh",
+                            exclude_batch=int(batch_id))
+          .filter(F.col("n_match") >= _INC_MIN_MATCH)
+          .select("new_id", "corpus_id"))
+    cand_nn = _minhash_band_candidates(inc_sig)
+    a = inc_sig.select(F.col("doc_id").alias("doc1"),
+                       *[F.col(f"h{i}").alias(f"a{i}")
+                         for i in range(_N_PERMS)])
+    b = inc_sig.select(F.col("doc_id").alias("doc2"),
+                       *[F.col(f"h{i}").alias(f"b{i}")
+                         for i in range(_N_PERMS)])
+    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(_N_PERMS))
+    nn = (cand_nn.join(a, "doc1").join(b, "doc2")
+          .filter(n_match >= _INC_MIN_MATCH)
+          .select("doc1", "doc2"))
+
+    # bounded collects: near-dup edges INCIDENT TO THE BATCH only — the
+    # same driver-trivial scale class as connected_components' local
+    # finish (daily-increment edges, never corpus edges)
+    nc_rows = [(int(r["new_id"]), int(r["corpus_id"]))
+               for r in nc.collect()]
+    nn_rows = [(int(r["doc1"]), int(r["doc2"])) for r in nn.collect()]
+
+    # -- 2. contract touched corpus docs to their resolved labels -----------
+    touched = sorted({c for _, c in nc_rows})
+    lab_of: dict[int, int] = {}
+    if touched:
+        tdf = spark.createDataFrame([(t,) for t in touched],
+                                    "doc_id long")
+        lab_of = {int(r["doc_id"]): int(r["cluster_id"]) for r in
+                  (cluster_labels_of(spark, path)
+                   .join(F.broadcast(tdf), "doc_id").collect())}
+
+    # -- 3. union-find over the contracted graph ----------------------------
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+
+    for n, c in nc_rows:
+        union(n, lab_of[c])
+    for d1, d2 in nn_rows:
+        union(d1, d2)
+
+    new_ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
+    new_labels = [(i, find(i) if i in parent else i) for i in new_ids]
+
+    # -- 4. publish ----------------------------------------------------------
+    edge_rows = sorted({(min(x, y), max(x, y))
+                        for x, y in nc_rows + nn_rows})
+    (spark.createDataFrame(edge_rows, "u long, v long") if edge_rows
+     else spark.createDataFrame([], "u long, v long")) \
+        .withColumn("ingest_batch", F.lit(int(batch_id))) \
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("ingest_batch").parquet(path + "/edges")
+    (spark.createDataFrame(new_labels, "doc_id long, label long")
+     .withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_batch").parquet(path + "/labels"))
+    merges = _read_merges(spark, path)
+    changed = False
+    for lab in {v for v in lab_of.values()}:
+        w = find(lab) if lab in parent else lab
+        if w != lab:
+            merges[lab] = w
+            changed = True
+    if changed:
+        # pointer-jump EXISTING entries through the new winners so the
+        # mapping stays flat (one-join reads); new winners are either
+        # new doc ids or still-live labels, never old_label keys
+        merges = {o: merges.get(n, n) for o, n in merges.items()}
+    _write_merges(spark, path, merges)
+    # keep the probe index current: the batch's signatures/bands join
+    # the corpus so the NEXT batch's probe sees them (idempotent by
+    # batch id, same as every maintainer append)
+    append_to_lsh_index(spark, path + "/lsh", docs,
+                        batch_id=int(batch_id))
+
+
+def compact_cluster_index(spark: SparkSession, path: str) -> None:
+    """Background-fold the artifact: resolve the merges overlay INTO
+    labels/ (one pass, rewritten rename-aside), fold edge/label batch
+    provenance into the base partition, and empty the overlay. Resolved
+    reads are invariant (cluster_labels_of composes the same mapping);
+    the overlay returns to zero join-side rows. Same maintenance-window
+    caveat as every swap recipe here."""
+    import os
+    import shutil
+    resolved = (cluster_labels_of(spark, path)
+                .select("doc_id", F.col("cluster_id").alias("label"))
+                .withColumn("ingest_batch", F.lit(-1)))
+    live = path + "/labels"
+    tmp, old = live + ".compact.tmp", live + ".compact.old"
+    (resolved.write.mode("overwrite").partitionBy("ingest_batch")
+     .parquet(tmp))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+    _write_merges(spark, path, {})
+    e_live = path + "/edges"
+    e_tmp, e_old = e_live + ".compact.tmp", e_live + ".compact.old"
+    (spark.read.parquet(e_live)
+     .drop("ingest_batch").dropDuplicates(["u", "v"])
+     .withColumn("ingest_batch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("ingest_batch").parquet(e_tmp))
+    if os.path.exists(e_old):
+        shutil.rmtree(e_old)
+    os.rename(e_live, e_old)
+    os.rename(e_tmp, e_live)
+    shutil.rmtree(e_old)
+
+
+def _inc_clusters_oracle_sql() -> str:
+    """Full-recompute min-label CC over the WHOLE corpus (base +
+    increment) under the artifact's edge rule — the recursive
+    reachability template of _cluster_oracle_sql with MinHash-LSH
+    verified edges instead of simhash ones. A hash-match proves the
+    incremental path (build on base → probe/union-find/overlay on the
+    increment) equals retraining from scratch, bit for bit."""
+    mins = _minhash_select_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key"
+        f" FROM sig" for b in range(_N_BANDS))
+    match_sum = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END"
+        for i in range(_N_PERMS))
+    return f"""WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+edges AS MATERIALIZED (
+  SELECT doc1 AS src, doc2 AS dst FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.doc1
+  JOIN sig s2 ON s2.doc_id = c.doc2
+  WHERE ({match_sum}) >= {_INC_MIN_MATCH}
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT w.doc_id, s.dst AS r
+  FROM reach w JOIN sym s ON s.src = w.r
+)
+SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
+
+@q("dedup_incremental_clusters", _inc_clusters_oracle_sql())
+def dedup_incremental_clusters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels served from the MAINTAINED artifact —
+    the lifecycle gate (VERDICT r9 item 1): the cluster index is built
+    over the BASE split, then the daily increment (doc_id %
+    {_INC_MOD} == 0) is folded in by ``update_cluster_index`` — probe
+    the saved LSH index for the batch's edges, contract touched
+    components to their labels, a batch-bounded union-find, and the
+    flattened merges overlay — WITHOUT re-running the global CC
+    fixpoint. The oracle recomputes true reachability over the full
+    corpus, so a green row proves increment ≡ full retrain exactly.
+
+    Scale path: the curation pipeline's most expensive derived state
+    becomes O(increment) per day: only increment text is shingled; the
+    probe reads matching index slices (partition-pruned); the
+    union-find runs over the batch's edges; label history is never
+    rewritten (relabels are a k-row overlay resolved by ONE broadcast
+    join at read). Build + update run once per session (memoized) —
+    the artifact lifecycle, not per-query cost."""
+    def make() -> str:
+        p = _cluster_index_path(sf_dir) + "_inc"
+        # width pinned like the policy gate: every gate corpus builds
+        # 1-hex-char slices; the probe reads the width off the artifact
+        build_cluster_index(spark, sf_dir, p, pfx_width=1)
+        inc = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % _INC_MOD == 0)
+               .select("doc_id", "text"))
+        update_cluster_index(spark, p, inc, batch_id=0)
+        return p
+
+    path = cached_scalar(spark, sf_dir, "cluster_index_path", make)
+    return (cluster_labels_of(spark, path)
+            .select("doc_id", "cluster_id",
+                    F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+                    .otherwise(0).cast("long").alias("is_canonical"))
+            .orderBy("doc_id"))
