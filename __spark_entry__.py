@@ -36,83 +36,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 9 NEW operators.
-    "part_min_cost_supplier",         # NEW r9 (TPC-H Q2-shape argmin)
-    "similarity_ivf_rebuild_serve",   # NEW r9 (monitor→rebuild→swap)
-    "dedup_lsh_compaction_policy",    # NEW r9 (merge-scheduler census)
-    "top_supplier_by_revenue",        # NEW r9 (TPC-H Q15 max-of-agg)
-    "small_quantity_order_revenue",   # NEW r9 (TPC-H Q17 corr. AVG)
-    "discounted_brand_revenue",       # NEW r9 (TPC-H Q19 disjunction)
-    "important_part_value",           # NEW r9 (TPC-H Q11 HAVING-scalar)
-    "sole_returner_suppliers",        # NEW r9 (TPC-H Q21 semi+anti)
-    "similarity_ivf_compaction_policy",  # NEW r9 (merge-due census)
-    "dormant_valuable_customers",     # NEW r9 (TPC-H Q22 composite)
-    "dominant_part_suppliers",        # NEW r9 (TPC-H Q20 nested-agg)
-    # NEVER driver-certified (landed after the r8 gate ran; the queue
-    # VERDICT r8 item 1 asked for).
-    "retrieval_bm25_incremental_serve",
-    "similarity_ivf_incremental_serve",
-    "returned_item_revenue_topk",
-    "orders_with_returns_by_priority",
-    "promo_revenue_share",
-    "forecast_revenue_change",
-    # Round 9 changed queries (code changes this round — a fresh driver
-    # row must certify the shipping code).
-    "dedup_incremental_lsh",        # r9: artifact-parameter pfx width
-    "retrieval_bm25_serve",         # r9: stats-first read + empty guard
-    "similarity_kmeans_ivf",        # r9: DECIMAL centroid-mean sums
-    "corpus_topic_clusters",        # r9: same (shared Lloyd update)
-    "similarity_ivf_serve_topk",    # r9: static-overwrite build writer
-    # Stale rows, r05 vintage (tools/certification_report.py --suggest).
-    "similarity_lsh_buckets",
-    "embedding_quantize_int8",
-    "similarity_topk_ivf_learned",
-    "similarity_ann_recall",
-    "embedding_knn_classify",
-    "similarity_semdedup",
-    "corpus_sample_by_quality",
-    "corpus_stats_report",
-    "corpus_curriculum_order",
-    "events_value_percentiles",
-    "events_scd2_history",
-    "events_activity_streaks",
-    "score_unigram_logprob",
-    "corpus_perplexity_buckets",
-    "corpus_source_divergence",
-    "corpus_token_cms_topk",
-    "events_value_quantile_sketch",
-    "events_hll_distinct",
-    # Oldest fresh rows next (r06/r07 vintage), kmeans/PQ-affected
-    # first (their values flow through the r9-widened Lloyd update).
-    "similarity_topk_ivf_nprobe",
-    "similarity_ann_recall_curve",
-    "corpus_topic_keywords",
-    "corpus_cluster_split",
-    "similarity_pq_codes",
-    "similarity_ivfpq_topk",
-    "supplier_part_coverage",
-    "shipping_priority_topk",
-    "users_customer_reconciliation",
-    "text_winnowing",
-    # r10 rotation queue (reproducible via
-    # tools/certification_report.py --suggest 50): any new/changed r10
-    # queries first, then the remaining oldest-vintage rows —
-    # text_lang_id_ngram, corpus_quality_percentile,
-    # text_rake_keywords, dedup_exact, dedup_ngram_jaccard,
-    # dedup_minhash_estimate, dedup_jaccard_containment,
-    # similarity_hard_negatives, similarity_matryoshka_recall,
-    # similarity_range_search, similarity_topk_ivf, text_lang_id_confusion,
-    # multimodal_png_roundtrip, multimodal_image_phash,
-    # multimodal_phash_neardup, multimodal_gif_frame_sample,
-    # multimodal_wav_roundtrip, multimodal_jpeg_roundtrip,
-    # multimodal_mulaw_roundtrip, multimodal_avi_frame_sample,
-    # corpus_token_spectrum, corpus_cluster_split (if not re-greened),
-    # events_reservoir_sample, events_cumulative_users,
-    # corpus_chunk_overlap, retrieval_mmr_rerank, retrieval_tfidf_topk,
-    # corpus_temperature_sample, corpus_pmi_collocations,
-    # corpus_bigram_next_word, score_bigram_accuracy,
-    # orders_table_profile, events_key_skew_report, orders_zorder_layout,
-    # events_agg_state_rollup, and the remaining PQ family.
+    # Round 10 NEW operators (never driver-certified).
+    "dedup_incremental_clusters",        # NEW r10 (persisted cluster labels)
+    "retrieval_bm25_compaction_policy",  # NEW r10 (merge-due census)
+    # Round 10 CHANGED queries (code touched this round — a fresh
+    # driver row must certify the shipping code).
+    "dedup_incremental_lsh",             # r10: _verified_matches refactor
+    "dedup_lsh_compaction_policy",       # r10: pinned pfx_width=1
+    "similarity_incremental_ivf",        # r10: versioned-root resolver
+    "similarity_ivf_serve_topk",         # r10: resolver
+    "similarity_ivf_incremental_serve",  # r10: resolver + append purge
+    "similarity_ivf_rebuild_serve",      # r10: one-pointer atomic swap
+    "similarity_ivf_compaction_policy",  # r10: resolver
+    "retrieval_bm25_incremental_serve",  # r10: shared make() refactor
+    # Oldest fresh rows next (r06 vintage first, then r07) so no row
+    # ages past ~3 rounds (tools/certification_report.py --suggest 50).
+    "text_lang_id_ngram",
+    "corpus_quality_percentile",
+    "text_rake_keywords",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_estimate",
+    "dedup_jaccard_containment",
+    "similarity_hard_negatives",
+    "similarity_matryoshka_recall",
+    "similarity_range_search",
+    "multimodal_png_roundtrip",
+    "multimodal_image_phash",
+    "multimodal_phash_neardup",
+    "multimodal_gif_frame_sample",
+    "multimodal_wav_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mulaw_roundtrip",
+    "multimodal_avi_frame_sample",
+    "corpus_token_spectrum",
+    "events_reservoir_sample",
+    "events_cumulative_users",
+    "corpus_chunk_overlap",
+    "retrieval_mmr_rerank",
+    "retrieval_tfidf_topk",
+    "corpus_temperature_sample",
+    "corpus_pmi_collocations",
+    "corpus_bigram_next_word",
+    "score_bigram_accuracy",
+    "orders_table_profile",
+    "events_key_skew_report",
+    "orders_zorder_layout",
+    "events_agg_state_rollup",
+    "events_limit3_by_user",
+    "events_user_anomaly_days",
+    "regional_supplier_revenue",
+    "orders_per_customer_histogram",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    # r11 rotation queue (reproducible via
+    # tools/certification_report.py --suggest 50): any new/changed r11
+    # queries first, then the remaining r07-vintage rows —
+    # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
+    # dedup_minhash_signatures, dedup_minhash_lsh_pairs, dedup_simhash,
+    # dedup_simhash_pairs, dedup_cluster_labels, dedup_duplicate_spans,
+    # dedup_edit_distance, corpus_ngram_novelty,
+    # dedup_prefix_containment, similarity_topk_brute,
+    # similarity_topk_ivf, similarity_lsh_neardup, corpus_vocabulary,
+    # dataset_sample_split, corpus_decontaminate,
+    # corpus_decontaminate_bloom, corpus_pack_chunks,
+    # corpus_curation_pipeline, corpus_source_scorecard,
+    # dedup_cluster_keep_best, corpus_ngram_overlap,
+    # corpus_curation_funnel, similarity_pq_adc_topk,
+    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk,
+    # retrieval_bm25_topk, retrieval_hybrid_rrf, score_dsir_importance,
+    # corpus_mixture_weights, corpus_budget_selection,
+    # corpus_quality_classifier, score_unigram_logprob (if aged).
 ]
 
 
