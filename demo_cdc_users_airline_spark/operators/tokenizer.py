@@ -393,3 +393,270 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.length("symbol") > 1, 1).otherwise(0)
                      .cast("long").alias("is_merged")))
 
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: the second trainer of the
+# family (learn / encode / vocab × {BPE, unigram} — VERDICT r9 item 8)
+# ---------------------------------------------------------------------------
+# Real SentencePiece unigram training is EM over float log-probs — not
+# cross-engine-exact. This is the deterministic INTEGER variant with the
+# same pipeline shape: (1) seed a piece vocabulary from corpus-weighted
+# substrings of the capped word table (SentencePiece's
+# make_seed_sentence_pieces does exactly this suffix-substring seeding);
+# (2) score each piece by its integer corpus weight; (3) encode by
+# Viterbi DP per word minimizing (token_count, -score_sum) — "fewest
+# pieces, then most probable", all int64, so Spark and DuckDB agree
+# bit-for-bit (the ordered-struct-min rule: both engines compare
+# structs lexicographically).
+#
+# Spec constants shared verbatim by both engines:
+U_MAX_WORD = 16    # words truncate to 16 chars for the unigram ops
+# (SentencePiece's max_sentencepiece_length-style bound; non-binding on
+# the gate corpora, whose longest word is 8 chars — it exists so the
+# oracle's position-unrolled DP has a fixed depth)
+U_MAX_PIECE = 4    # max piece length (seed substrings 1..4 chars)
+U_TOP_PIECES = 64  # multi-char pieces kept, by (weight DESC, piece ASC)
+# (production: tens of thousands; the DP cost is per CANDIDATE WINDOW —
+# U_MAX_PIECE lookups per char — so vocab size only affects the map)
+
+
+def _unigram_seed_sql() -> str:
+    """Shared oracle CTEs: capped word table → substring weights →
+    top pieces ∪ full-alphabet single chars (coverage guarantee)."""
+    return rf"""wfu AS MATERIALIZED (
+  SELECT substr(w, 1, {U_MAX_WORD}) AS w, count(*) AS n
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+  GROUP BY 1
+  ORDER BY n DESC, w LIMIT {VOCAB_CAP}
+),
+subs AS MATERIALIZED (
+  SELECT substr(w, p, j) AS piece, sum(n) AS weight
+  FROM wfu
+  CROSS JOIN (SELECT unnest(range(1, {U_MAX_PIECE + 1})) AS j)
+  CROSS JOIN (SELECT unnest(range(1, {U_MAX_WORD + 1})) AS p)
+  WHERE p + j - 1 <= length(w)
+  GROUP BY 1
+),
+upieces AS MATERIALIZED (
+  SELECT piece, weight FROM subs WHERE length(piece) >= 2
+  ORDER BY weight DESC, piece LIMIT {U_TOP_PIECES}
+),
+uchars AS MATERIALIZED (
+  SELECT DISTINCT substr(w, p, 1) AS piece
+  FROM (SELECT DISTINCT substr(w, 1, {U_MAX_WORD}) AS w
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0)
+  CROSS JOIN (SELECT unnest(range(1, {U_MAX_WORD + 1})) AS p)
+  WHERE p <= length(w)
+),
+uvocab AS MATERIALIZED (
+  SELECT piece, weight FROM upieces
+  UNION ALL
+  SELECT c.piece, coalesce(s.weight, 0) AS weight
+  FROM uchars c LEFT JOIN subs s ON s.piece = c.piece
+)"""
+
+
+def _unigram_vocab_oracle_sql() -> str:
+    return f"""WITH {_unigram_seed_sql()}
+SELECT piece,
+       CAST(weight AS BIGINT) AS score,
+       CAST(length(piece) AS BIGINT) AS piece_len,
+       CAST(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_char
+FROM uvocab ORDER BY score DESC, piece"""
+
+
+def _unigram_encode_oracle_sql() -> str:
+    """Vocab CTEs + the Viterbi DP unrolled by character position:
+    dp{{i}} holds, per distinct (truncated) word of length >= i, the
+    minimal (tokens, -score) struct over all segmentations of the
+    first i chars; transitions come from the <= {U_MAX_PIECE} prior
+    levels joined on exact piece match. min over structs is
+    lexicographic on both engines — the ordered-struct-min rule."""
+    parts = [_unigram_seed_sql(), r""",
+docwu AS MATERIALIZED (
+  SELECT doc_id, substr(w, 1, %d) AS w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+),
+dwu AS MATERIALIZED (SELECT DISTINCT w FROM docwu),
+dp0 AS MATERIALIZED (
+  SELECT w, struct_pack(t := CAST(0 AS BIGINT),
+                        ns := CAST(0 AS BIGINT)) AS c
+  FROM dwu
+)""" % U_MAX_WORD]
+    for i in range(1, U_MAX_WORD + 1):
+        branches = []
+        for j in range(1, min(i, U_MAX_PIECE) + 1):
+            branches.append(f"""
+    SELECT d.w, struct_pack(t := d.c.t + CAST(1 AS BIGINT),
+                            ns := d.c.ns - v.weight) AS c
+    FROM dp{i - j} d
+    JOIN uvocab v ON v.piece = substr(d.w, {i - j + 1}, {j})
+    WHERE length(d.w) >= {i} AND length(v.piece) = {j}""")
+        parts.append(f""",
+dp{i} AS MATERIALIZED (
+  SELECT w, min(c) AS c FROM ({" UNION ALL ".join(branches)}
+  ) GROUP BY w
+)""")
+    fins = " UNION ALL ".join(
+        f"SELECT w, c FROM dp{i} WHERE length(w) = {i}"
+        for i in range(1, U_MAX_WORD + 1))
+    parts.append(f""",
+fin AS MATERIALIZED ({fins}),
+aggu AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_words, sum(length(d.w)) AS n_chars,
+         sum(f.c.t) AS n_tokens, sum(-f.c.ns) AS score_sum
+  FROM docwu d JOIN fin f USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.score_sum, 0) AS BIGINT) AS score_sum,
+       CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                 ELSE coalesce(a.n_chars, 0) * 1000000 // a.n_tokens
+            END AS BIGINT) AS chars_per_token_micro
+FROM documents d LEFT JOIN aggu a USING (doc_id)""")
+    return "WITH " + "".join(parts)
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str,
+                   with_doc: bool) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = (["doc_id"] if with_doc else [])
+    return (d.select(*cols, F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+            .filter(F.length("w") > 0)
+            .select(*cols, F.substring("w", 1, U_MAX_WORD).alias("w")))
+
+
+def learn_unigram_vocab(spark: SparkSession,
+                        sf_dir: str) -> list[tuple[str, int]]:
+    """The trained piece table [(piece, weight)] — memoized like every
+    training artifact. TWO bounded Spark jobs: the top-{U_TOP_PIECES}
+    substring-weight TakeOrdered over the capped word table, and the
+    alphabet collect (distinct single chars — bounded by the character
+    set at any corpus size); everything else is driver-trivial."""
+    def fit():
+        wf = (_unigram_words(spark, sf_dir, with_doc=False)
+              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
+        subs = (wf.select(F.explode(F.expr(
+                    f"flatten(transform("
+                    f" filter(sequence(1, {U_MAX_PIECE}),"
+                    f"        j -> j <= length(w)),"
+                    f" j -> transform(sequence(1, length(w) - j + 1),"
+                    f"                p -> substring(w, p, j))))"))
+                .alias("piece"), "n")
+                .groupBy("piece").agg(F.sum("n").alias("weight")))
+        pieces = [(r["piece"], int(r["weight"])) for r in
+                  (subs.filter(F.length("piece") >= 2)
+                   .orderBy(F.col("weight").desc(), "piece")
+                   .limit(U_TOP_PIECES).collect())]
+        char_w = {r["piece"]: int(r["weight"]) for r in
+                  subs.filter(F.length("piece") == 1).collect()}
+        alphabet = sorted(r["piece"] for r in
+                          _unigram_words(spark, sf_dir, with_doc=False)
+                          .select(F.explode(F.expr(
+                              "transform(sequence(1, length(w)),"
+                              " p -> substring(w, p, 1))")).alias("piece"))
+                          .distinct().collect())
+        return pieces + [(c, char_w.get(c, 0)) for c in alphabet]
+
+    return cached_scalar(spark, sf_dir, "unigram_vocab", fit)
+
+
+@q("text_unigram_vocab", _unigram_vocab_oracle_sql())
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's trained PIECE TABLE: the top
+    {U_TOP_PIECES} corpus-weighted substrings (1..{U_MAX_PIECE} chars,
+    SentencePiece's seed-piece construction) plus the full single-char
+    alphabet (coverage guarantee — every word is segmentable), each
+    with its integer score. The artifact the encoder (and a production
+    serving path) ships — the unigram twin of text_bpe_merges.
+
+    Scale path: one token explode + substring explode over the CAPPED
+    word table (bounded rows), a TakeOrdered for the pieces, and a
+    distinct over the alphabet — corpus-sized data is touched once."""
+    rows = learn_unigram_vocab(spark, sf_dir)
+    return (spark.createDataFrame(
+        [(p, w, len(p), 1 if len(p) == 1 else 0) for p, w in rows],
+        "piece string, score long, piece_len long, is_char long")
+        .orderBy(F.col("score").desc(), "piece"))
+
+
+_U_DP_EXPR = f"""
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('t', CAST(0 AS BIGINT), 'ns', CAST(0 AS BIGINT))),
+  (acc, i) -> array_append(acc,
+    array_min(filter(
+      transform(sequence(1, least(i, {U_MAX_PIECE})),
+        j -> CASE WHEN try_element_at(__vmap,
+                                      substring(w, i - j + 1, j))
+                       IS NOT NULL
+             THEN named_struct(
+                    't',  element_at(acc, i - j + 1).t
+                          + CAST(1 AS BIGINT),
+                    'ns', element_at(acc, i - j + 1).ns
+                          - try_element_at(__vmap,
+                                           substring(w, i - j + 1, j)))
+             ELSE NULL END),
+      x -> x IS NOT NULL))),
+  acc -> element_at(acc, -1))
+"""
+
+
+@q("text_unigram_encode", _unigram_encode_oracle_sql())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODING: every document's (truncated) words are
+    segmented by Viterbi DP over the learned piece table — minimal
+    (token_count, -score_sum), i.e. fewest pieces then most probable —
+    reporting per-document word/char/token counts, the total piece
+    score, and chars-per-token compression. Completes the tokenizer
+    family learn/encode/vocab × {{BPE, unigram}}.
+
+    Scale path: the DP runs once per DISTINCT word (the standard
+    distinct-word encode trick — occurrences join back by word), as a
+    single higher-order fold whose state is the dp prefix array;
+    piece scores travel as ONE broadcast map row (the assign_cells
+    codebook pattern — never a per-row literal rebuild, never a
+    per-merge job). Per char it does {U_MAX_PIECE} map lookups — cost
+    is O(word length), independent of vocab size. Exactness: int64
+    (tokens, -score) structs; min is lexicographic struct order on
+    both engines; score sums are bounded by word_len × corpus weight
+    per word (≪ 2^63 even at 100 TB weights ~1e12)."""
+    vocab = dict(learn_unigram_vocab(spark, sf_dir))
+    vmap = spark.createDataFrame([(vocab,)], "__vmap map<string,bigint>")
+    words = _unigram_words(spark, sf_dir, with_doc=True)
+    dw = (words.select("w").distinct()
+          .crossJoin(F.broadcast(vmap))
+          .select("w", F.expr(_U_DP_EXPR).alias("c")))
+    enc = words.join(dw, "w")
+    agg = (enc.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.length("w")).alias("n_chars"),
+                F.sum(F.col("c.t")).alias("n_tokens"),
+                F.sum(-F.col("c.ns")).alias("score_sum")))
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("long")
+                .alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("long")
+                .alias("n_chars"),
+                F.coalesce("n_tokens", F.lit(0)).cast("long")
+                .alias("n_tokens"),
+                F.coalesce("score_sum", F.lit(0)).cast("long")
+                .alias("score_sum"),
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
+                 .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
+                 .cast("long").alias("chars_per_token_micro")))

@@ -43,9 +43,12 @@ from ..operators.dedup import (
     _N_PERMS,
     _band_frame,
     _hashed_shingles_of,
+    _pfx_width_for,
     _signatures_from,
     append_to_lsh_index,
+    lsh_pfx_width,
     probe_lsh_index,
+    rebuild_lsh_index,
 )
 from ..sources.tables import AppendTable
 
@@ -54,11 +57,36 @@ from ..sources.tables import AppendTable
 class StreamingLshIngest:
     """documents stream → (a) append-only table of admitted documents
     with their MinHash signatures, (b) the persisted LSH index kept
-    current batch-by-batch."""
+    current batch-by-batch.
+
+    Width auto-rebuild (the LSH twin of StreamingIvfIngest's drift
+    hook): with ``rebuild_check_every=N`` > 0, every Nth batch the
+    maintainer compares the width the `_pfx_width_for` policy wants
+    for the CURRENT corpus size (a footer-only count of the sig
+    table) against the width the artifact was built with; when
+    appends have grown the corpus past a threshold, it fires
+    ``rebuild_lsh_index`` — bands re-lay-out from the artifact's own
+    signatures at the new width — inside the quiesced foreachBatch
+    window. Probe verdicts are width-invariant (proven in
+    tests/test_incremental_lsh.py), so a batch retried across the
+    swap is unaffected."""
 
     index_path: str
     out_table: AppendTable
     min_match: int = _INC_MIN_MATCH  # signature components (of 16)
+    rebuild_check_every: int = 0     # 0 = width hook disabled
+
+    def __post_init__(self) -> None:
+        self._batches_since_check = 0
+
+    def _maybe_rebuild_width(self, spark) -> bool:
+        # parquet row count = footer metadata only, never data pages
+        n = spark.read.parquet(self.index_path + "/sig").count()
+        want = _pfx_width_for(n)
+        if want <= lsh_pfx_width(self.index_path):
+            return False
+        rebuild_lsh_index(spark, self.index_path, pfx_width=want)
+        return True
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -108,6 +136,12 @@ class StreamingLshIngest:
                                   "left_semi")
         append_to_lsh_index(spark, self.index_path, admitted_docs,
                             batch_id=int(batch_id))
+
+        if self.rebuild_check_every > 0:
+            self._batches_since_check += 1
+            if self._batches_since_check >= self.rebuild_check_every:
+                self._batches_since_check = 0
+                self._maybe_rebuild_width(spark)
 
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):

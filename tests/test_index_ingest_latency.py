@@ -147,3 +147,36 @@ def test_ivf_ingest_to_serve_latency(spark, tmp_path):
     print(f"\nivf ingest -> serveable: {total:.2f}s "
           f"(budget {BUDGET:.0f}s)")
     assert total < BUDGET
+
+
+def test_cluster_ingest_to_read_latency(spark, tmp_path):
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        build_cluster_index,
+        cluster_labels_of,
+    )
+    from demo_cdc_users_airline_spark.streaming.cluster_ingest import (
+        StreamingClusterIngest,
+    )
+    path = build_cluster_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingClusterIngest(index_path=path)
+    src = tmp_path / "src"
+    src.mkdir()
+    # warmup batch (the running-system budget, as the LSH test models)
+    (src / "warm.json").write_text(
+        json.dumps({"doc_id": 900_001, "text": "warm up batch doc"})
+        + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1_000_001, "text": NOVEL}) + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: the batch's labels are readable from
+    # the maintained artifact (novel doc -> its own singleton cluster)
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              cluster_labels_of(spark, path)
+              .filter(F.col("doc_id") >= 900_000).collect()}
+    assert labels[1_000_001] == 1_000_001
+    print(f"\ncluster ingest -> readable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET

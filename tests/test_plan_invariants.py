@@ -47,6 +47,14 @@ MAX_SHUFFLES = {
     # after the first reduce is n_langs rows
     "dedup_minhash_estimate": 5,  # signature agg + band candidates + est
     # map + exact-verify join + final assembly; signatures/shingles cached
+    "dedup_incremental_clusters": 2,  # labels read + broadcast overlay
+    # join + ordered output; the build/update lifecycle is memoized
+    # artifact work, not in this serving plan
+    "retrieval_bm25_compaction_policy": 3,  # footer-only census:
+    # groupBy(pfx) w/ countDistinct (two-phase) + ordered output
+    "text_unigram_vocab": 1,      # driver-built piece table, one sort
+    "text_unigram_encode": 4,     # distinct-word DP + occurrence
+    # join-back on w + per-doc aggregate + doc-universe left join
     "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
     # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,

@@ -137,3 +137,45 @@ def test_empty_micro_batch_is_a_safe_noop(spark, pipe):
                    probe_lsh_index(spark, docs, pipe.index_path)
                    .collect())
     assert after == before
+
+
+def test_width_auto_rebuild_fires_on_corpus_growth(spark, tmp_path,
+                                                   monkeypatch):
+    """The LSH twin of the IVF drift hook: when appends grow the
+    corpus past a `_pfx_width_for` threshold, the maintainer rebuilds
+    the band layout at the wider prefix in its quiesced window —
+    verdicts invariant through the swap."""
+    from demo_cdc_users_airline_spark.operators import dedup as dd
+
+    # shrink the width policy so the gate corpus can cross a threshold:
+    # base split is 438 shingled docs -> width 1; +2 admitted -> width 2
+    base_n = (load_table(spark, SF, "documents")
+              .filter((F.col("doc_id") % 8 != 0)).count())
+    monkeypatch.setattr(dd, "_PFX_DOCS_PER_WIDTH", base_n + 1)
+
+    path = build_lsh_index(spark, SF, str(tmp_path / "idx"))
+    assert dd.lsh_pfx_width(path) == 1  # policy chose 1 at build size
+    out = AppendTable(spark, str(tmp_path / "admitted"))
+    pipe = StreamingLshIngest(index_path=path, out_table=out,
+                              rebuild_check_every=1)
+
+    batch = spark.createDataFrame(
+        [(2_000_001, NOVEL_1), (2_000_002, NOVEL_2)], SCHEMA)
+    pipe.process_batch(batch, 0)
+
+    # growth crossed the threshold: the hook re-laid-out the bands at
+    # width 2 (provenance folded by the rebuild)
+    assert dd.lsh_pfx_width(path) == 2
+    pfxs = {r["pfx"] for r in spark.read.parquet(path + "/bands")
+            .select("pfx").distinct().collect()}
+    assert pfxs and all(len(p) == 2 for p in pfxs)
+    # verdicts are width-invariant: a verbatim base copy is still
+    # rejected, a novel doc admitted, through the swapped layout
+    batch2 = spark.createDataFrame(
+        [(3_000_001, base_text(spark)),
+         (3_000_002, "totally novel words nobody ever wrote before "
+                     "hovercraft eel typewriter marmalade")], SCHEMA)
+    pipe.process_batch(batch2, 1)
+    admitted = {r["doc_id"]
+                for r in pipe.out_table.read().select("doc_id").collect()}
+    assert 3_000_001 not in admitted and 3_000_002 in admitted
