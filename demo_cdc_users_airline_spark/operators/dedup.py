@@ -2196,20 +2196,108 @@ def dedup_incremental_clusters(spark: SparkSession,
     rewritten (relabels are a k-row overlay resolved by ONE broadcast
     join at read). Build + update run once per session (memoized) —
     the artifact lifecycle, not per-query cost."""
-    def make() -> str:
-        p = _cluster_index_path(sf_dir) + "_inc"
-        # width pinned like the policy gate: every gate corpus builds
-        # 1-hex-char slices; the probe reads the width off the artifact
-        build_cluster_index(spark, sf_dir, p, pfx_width=1)
-        inc = (load_table(spark, sf_dir, "documents")
-               .filter(F.col("doc_id") % _INC_MOD == 0)
-               .select("doc_id", "text"))
-        update_cluster_index(spark, p, inc, batch_id=0)
-        return p
-
-    path = cached_scalar(spark, sf_dir, "cluster_index_path", make)
+    path = cached_scalar(spark, sf_dir, "cluster_index_path",
+                         lambda: _build_inc_cluster_index(spark, sf_dir))
     return (cluster_labels_of(spark, path)
             .select("doc_id", "cluster_id",
                     F.when(F.col("doc_id") == F.col("cluster_id"), 1)
                     .otherwise(0).cast("long").alias("is_canonical"))
             .orderBy("doc_id"))
+
+
+def _build_inc_cluster_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build + one-batch update of the maintained cluster artifact —
+    shared by the labels gate and the overlay-audit gate (same memo
+    key, one artifact per session)."""
+    p = _cluster_index_path(sf_dir) + "_inc"
+    # width pinned like the policy gate: every gate corpus builds
+    # 1-hex-char slices; the probe reads the width off the artifact
+    build_cluster_index(spark, sf_dir, p, pfx_width=1)
+    inc = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") % _INC_MOD == 0)
+           .select("doc_id", "text"))
+    update_cluster_index(spark, p, inc, batch_id=0)
+    return p
+
+
+def _cluster_merges_oracle_sql() -> str:
+    """The overlay's EXACT expected content, derived from first
+    principles: after one increment, the merges mapping must equal
+    {(L, full(L)) : L a BASE-split component label whose FULL-corpus
+    label differs} — i.e. exactly the base components the increment's
+    edges merged downward. Two recursive reachability chains (base
+    subgraph, full graph) under the same verified-edge rule."""
+    mins = _minhash_select_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key"
+        f" FROM sig" for b in range(_N_BANDS))
+    match_sum = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END"
+        for i in range(_N_PERMS))
+    return f"""WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+edges AS MATERIALIZED (
+  SELECT doc1 AS src, doc2 AS dst FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.doc1
+  JOIN sig s2 ON s2.doc_id = c.doc2
+  WHERE ({match_sum}) >= {_INC_MIN_MATCH}
+),
+symf AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+reachf AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT w.doc_id, s.dst AS r FROM reachf w JOIN symf s ON s.src = w.r
+),
+fullab AS MATERIALIZED (
+  SELECT doc_id, min(r) AS lab FROM reachf GROUP BY doc_id),
+symb AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  WHERE src % {_INC_MOD} <> 0 AND dst % {_INC_MOD} <> 0
+  UNION ALL
+  SELECT dst, src FROM edges
+  WHERE src % {_INC_MOD} <> 0 AND dst % {_INC_MOD} <> 0),
+reachb AS (
+  SELECT doc_id, doc_id AS r FROM documents WHERE doc_id % {_INC_MOD} <> 0
+  UNION
+  SELECT w.doc_id, s.dst AS r FROM reachb w JOIN symb s ON s.src = w.r
+),
+baselab AS MATERIALIZED (
+  SELECT doc_id, min(r) AS lab FROM reachb GROUP BY doc_id),
+baselabels AS (SELECT DISTINCT lab FROM baselab)
+SELECT CAST(b.lab AS BIGINT) AS old_label,
+       CAST(f.lab AS BIGINT) AS new_label
+FROM baselabels b
+JOIN fullab f ON f.doc_id = b.lab
+WHERE f.lab <> b.lab
+ORDER BY old_label"""
+
+
+@q("dedup_cluster_merges", _cluster_merges_oracle_sql())
+def dedup_cluster_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT of the cluster artifact's merges overlay: the persisted
+    (old_label → new_label) mapping the increment update wrote, gated
+    against its first-principles definition — the set of base-split
+    component labels whose full-corpus label differs (the components
+    the increment's edges merged downward). A green row proves the
+    overlay is EXACTLY the base-vs-full label delta: nothing spurious,
+    nothing missed, values fully flattened to the final winners —
+    the monitor-side companion of dedup_incremental_clusters (which
+    proves the RESOLVED read; this proves the overlay mechanism
+    itself, the part a production compactor schedules on).
+
+    Scale path: reading a k-row parquet table (k = merged components);
+    the oracle's two CC chains are the spec, not the implementation."""
+    path = cached_scalar(spark, sf_dir, "cluster_index_path",
+                         lambda: _build_inc_cluster_index(spark, sf_dir))
+    return (spark.read.parquet(path + "/merges")
+            .select(F.col("old_label").cast("long").alias("old_label"),
+                    F.col("new_label").cast("long").alias("new_label"))
+            .orderBy("old_label"))
