@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.tables import folded_batch_tag
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -1735,7 +1736,8 @@ def dedup_lsh_compaction_policy(spark: SparkSession,
             .orderBy("pfx"))
 
 
-def compact_lsh_index(spark: SparkSession, path: str) -> None:
+def compact_lsh_index(spark: SparkSession, path: str,
+                      exclude_batch: int | None = None) -> None:
     """Background-merge the persisted index: fold every ``ingest_batch``
     partition into the base (-1) partition, one writer per pfx slice —
     after K streaming appends each band slice holds K+1 small file
@@ -1743,6 +1745,13 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     run. Probe verdicts are invariant under compaction (the row set is
     unchanged; batch provenance is only needed for idempotent re-runs,
     which compaction retires).
+
+    ``exclude_batch`` keeps that one batch's partitions UNFOLDED — the
+    in-loop auto-compaction hook passes the batch it is currently
+    committing: folding the in-flight batch would strand its rows in
+    base if foreachBatch retries it (the retry's dynamic overwrite
+    could no longer replace them — duplicates). Full folds (no
+    exclusion) remain maintenance-window ops.
 
     Safety is the AppendTable._swap_rewrite recipe: write-to-tmp reads
     the live files (removed only after the write completes), then
@@ -1758,8 +1767,8 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     for sub, parts in (("/sig", ["ingest_batch"]),
                        ("/bands", ["pfx", "ingest_batch"])):
         live = path + sub
-        df = (spark.read.parquet(live)
-              .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1)))
+        df = spark.read.parquet(live).withColumn(
+            "ingest_batch", folded_batch_tag("ingest_batch", exclude_batch))
         if "pfx" in parts:
             df = df.repartition("pfx")
         tmp, old = live + ".compact.tmp", live + ".compact.old"

@@ -1737,18 +1737,24 @@ def ivf_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
             .drop("__rn"))
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> None:
+def compact_ivf_index(spark: SparkSession, path: str,
+                      exclude_batch: int | None = None) -> None:
     """Background-merge the cells table to one file set per cell —
     every append_to_ivf_index adds a file per touched cell, so after K
     ingest batches an nprobe search opens K files per probed cell for
-    rows that could be one run. Same rename-aside safety and same
-    no-concurrent-append caveat as dedup.compact_lsh_index."""
+    rows that could be one run. ``exclude_batch`` keeps the in-flight
+    batch's partitions unfolded (the auto-compaction hook's retry
+    contract — see dedup.compact_lsh_index). Same rename-aside safety
+    and same no-concurrent-append caveat."""
     import os
     import shutil
 
+    from ..sources.tables import folded_batch_tag
+
     live = ivf_cells_path(path)
     df = (spark.read.parquet(live)
-          .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1))
+          .withColumn("ingest_batch",
+                      folded_batch_tag("ingest_batch", exclude_batch))
           .repartition("cell"))
     tmp, old = live + ".compact.tmp", live + ".compact.old"
     df.write.mode("overwrite").partitionBy("cell", "ingest_batch") \

@@ -617,17 +617,22 @@ def append_to_bm25_index(spark: SparkSession, path: str,
     _write_bm25_batch(docs, path, tag=tag, mode=mode)
 
 
-def compact_bm25_index(spark: SparkSession, path: str) -> None:
+def compact_bm25_index(spark: SparkSession, path: str,
+                       exclude_batch: int | None = None) -> None:
     """Background-merge the persisted index: fold every batch's
     postings into the base (-1) partition, one writer per pfx slice,
     and the per-batch stats partials into ONE base row — after K
     streaming appends each queried slice opens K+1 file sets for rows
     that could be one run. Serve results are invariant (the posting
-    row set is unchanged; the stats SUM is associative). Same
-    rename-aside crash safety and same no-concurrent-append caveat as
-    dedup.compact_lsh_index."""
+    row set is unchanged; the stats SUM is associative).
+    ``exclude_batch`` keeps the in-flight batch's partitions — and its
+    stats partial — unfolded (the auto-compaction hook's retry
+    contract, see dedup.compact_lsh_index). Same rename-aside crash
+    safety and same no-concurrent-append caveat."""
     import os
     import shutil
+
+    from ..sources.tables import folded_batch_tag
 
     def swap(live: str, df: DataFrame, parts: list[str]) -> None:
         tmp, old = live + ".compact.tmp", live + ".compact.old"
@@ -640,14 +645,20 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
 
     swap(path + "/postings",
          (spark.read.parquet(path + "/postings")
-          .drop("ingest_batch").withColumn("ingest_batch", F.lit(-1))
+          .withColumn("ingest_batch",
+                      folded_batch_tag("ingest_batch", exclude_batch))
           .repartition("pfx")),
          ["pfx", "ingest_batch"])
+    # stats: the folded batches sum into one base partial; an excluded
+    # in-flight batch keeps its own row (sums stay associative)
     swap(path + "/stats",
          (spark.read.parquet(path + "/stats")
+          .withColumn("ingest_batch",
+                      folded_batch_tag("ingest_batch", exclude_batch))
+          .groupBy("ingest_batch")
           .agg(F.sum("n_docs").cast("long").alias("n_docs"),
                F.sum("sum_dl").cast("long").alias("sum_dl"))
-          .withColumn("ingest_batch", F.lit(-1))
+          .select("n_docs", "sum_dl", "ingest_batch")
           .coalesce(1)),
          ["ingest_batch"])
 

@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def folded_batch_tag(col: str, exclude_batch: int | None) -> F.Column:
+    """The ingest-batch value a compaction rewrite assigns: fold every
+    batch partition into the base (-1), EXCEPT the one in-flight batch
+    the auto-compaction hooks must leave replaceable (folding a batch
+    that foreachBatch may still retry would strand its rows in base —
+    the retry's dynamic partition overwrite could no longer replace
+    them). Shared by the LSH/IVF/BM25 compactors."""
+    if exclude_batch is None:
+        return F.lit(-1)
+    return (F.when(F.col(col) == int(exclude_batch), F.col(col))
+            .otherwise(F.lit(-1)))
+
+
 class AppendTable:
     """MergeTree-style append-only parquet table."""
 

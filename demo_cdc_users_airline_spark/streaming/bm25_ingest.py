@@ -30,22 +30,55 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.retrieval import append_to_bm25_index
+from ..operators.retrieval import (
+    _COMPACT_AFTER_BATCHES,
+    append_to_bm25_index,
+    compact_bm25_index,
+)
 
 
 @dataclass
 class StreamingBm25Ingest:
     """documents stream (doc_id, text) → the persisted inverted index
-    kept current batch-by-batch."""
+    kept current batch-by-batch.
+
+    Auto-compaction: with ``compact_check_every=N`` > 0, every Nth
+    batch the maintainer runs the retrieval_bm25_compaction_policy
+    census (partition columns only — footer/listing IO) and folds the
+    accumulated batch partitions when any pfx slice is merge-due,
+    EXCLUDING the batch being committed (compact_bm25_index's
+    exclude_batch retry contract)."""
 
     index_path: str
+    compact_check_every: int = 0  # 0 = compaction hook disabled
+
+    def __post_init__(self) -> None:
+        self._batches_since_compact = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         docs = (batch_df.select("doc_id", "text")
                 .localCheckpoint(eager=True))
-        append_to_bm25_index(docs.sparkSession, self.index_path, docs,
+        spark = docs.sparkSession
+        append_to_bm25_index(spark, self.index_path, docs,
                              batch_id=int(batch_id))
+        if self.compact_check_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_check_every:
+                self._batches_since_compact = 0
+                self._maybe_compact(spark, int(batch_id))
+
+    def _maybe_compact(self, spark, batch_id: int) -> bool:
+        due = (spark.read.parquet(self.index_path + "/postings")
+               .groupBy("pfx")
+               .agg(F.countDistinct("ingest_batch").alias("nb"))
+               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
+        if due < _COMPACT_AFTER_BATCHES:
+            return False
+        compact_bm25_index(spark, self.index_path,
+                           exclude_batch=int(batch_id))
+        return True
 
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):

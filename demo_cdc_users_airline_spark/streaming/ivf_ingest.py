@@ -39,8 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.kmeans_ivf import (
+    _COMPACT_AFTER_BATCHES,
     append_to_ivf_index,
     assign_cells,
+    compact_ivf_index,
     ivf_cells_path,
     ivf_codebook_path,
     load_codebook,
@@ -74,9 +76,11 @@ class StreamingIvfIngest:
     report_table: AppendTable
     rebuild_check_every: int = 0          # 0 = hook disabled
     rebuild_qerr_ratio_ppm: int = 2_000_000  # batch avg > 2× live avg
+    compact_check_every: int = 0          # 0 = compaction hook disabled
 
     def __post_init__(self) -> None:
         self._batches_since_check = 0
+        self._batches_since_compact = 0
         # (sum q_err, n rows) of the live index under its current
         # codebook — the drift reference point; recomputed lazily after
         # each rebuild (one bounded column aggregate per rebuild cycle,
@@ -130,6 +134,29 @@ class StreamingIvfIngest:
             if self._batches_since_check >= self.rebuild_check_every:
                 self._batches_since_check = 0
                 self._maybe_rebuild(spark, int(batch_id))
+        if self.compact_check_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_check_every:
+                self._batches_since_compact = 0
+                self._maybe_compact(spark, int(batch_id))
+
+    def _maybe_compact(self, spark, batch_id: int) -> bool:
+        """The compaction policy census acted on in-loop (the decision
+        similarity_ivf_compaction_policy gates): when any cell holds
+        >= {_COMPACT_AFTER_BATCHES} batches' file sets, fold them —
+        EXCLUDING the batch being committed, which foreachBatch may
+        still retry (compact_ivf_index's exclude_batch contract).
+        Partition-column-only census: footer/listing IO."""
+        due = (spark.read.parquet(ivf_cells_path(self.index_path))
+               .groupBy("cell")
+               .agg(F.countDistinct("ingest_batch").alias("nb"))
+               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
+        if due < _COMPACT_AFTER_BATCHES:
+            return False
+        compact_ivf_index(spark, self.index_path,
+                          exclude_batch=int(batch_id))
+        self._live_stats = None  # base row set changed shape, re-anchor
+        return True
 
     # -- auto-rebuild hook --------------------------------------------------
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _COMPACT_AFTER_BATCHES,
     _INC_MIN_MATCH,
     _N_PERMS,
     _band_frame,
@@ -46,6 +47,7 @@ from ..operators.dedup import (
     _pfx_width_for,
     _signatures_from,
     append_to_lsh_index,
+    compact_lsh_index,
     lsh_pfx_width,
     probe_lsh_index,
     rebuild_lsh_index,
@@ -75,9 +77,11 @@ class StreamingLshIngest:
     out_table: AppendTable
     min_match: int = _INC_MIN_MATCH  # signature components (of 16)
     rebuild_check_every: int = 0     # 0 = width hook disabled
+    compact_check_every: int = 0     # 0 = compaction hook disabled
 
     def __post_init__(self) -> None:
         self._batches_since_check = 0
+        self._batches_since_compact = 0
 
     def _maybe_rebuild_width(self, spark) -> bool:
         # parquet row count = footer metadata only, never data pages
@@ -86,6 +90,22 @@ class StreamingLshIngest:
         if want <= lsh_pfx_width(self.index_path):
             return False
         rebuild_lsh_index(spark, self.index_path, pfx_width=want)
+        return True
+
+    def _maybe_compact(self, spark, batch_id: int) -> bool:
+        """The compaction policy census acted on in-loop (the decision
+        dedup_lsh_compaction_policy gates): when any band slice holds
+        >= {_COMPACT_AFTER_BATCHES} batches' file sets, fold them —
+        EXCLUDING the batch being committed, which foreachBatch may
+        still retry (compact_lsh_index's exclude_batch contract)."""
+        due = (spark.read.parquet(self.index_path + "/bands")
+               .groupBy("pfx")
+               .agg(F.countDistinct("ingest_batch").alias("nb"))
+               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
+        if due < _COMPACT_AFTER_BATCHES:
+            return False
+        compact_lsh_index(spark, self.index_path,
+                          exclude_batch=int(batch_id))
         return True
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -142,6 +162,11 @@ class StreamingLshIngest:
             if self._batches_since_check >= self.rebuild_check_every:
                 self._batches_since_check = 0
                 self._maybe_rebuild_width(spark)
+        if self.compact_check_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_check_every:
+                self._batches_since_compact = 0
+                self._maybe_compact(spark, int(batch_id))
 
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):
