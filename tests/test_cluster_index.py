@@ -15,6 +15,8 @@ probed offline with the oracle's own SQL):
 import os
 import shutil
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -143,3 +145,44 @@ def test_update_never_scans_base_text(spark, tmp_path):
     update_cluster_index(spark, path, _batch_df(spark, BATCH0), 0)
     update_cluster_index(spark, path, _batch_df(spark, BATCH1), 1)
     assert _resolved(spark, path) == EXPECTED
+
+
+def test_crash_mid_update_heals_on_retry(spark, tmp_path, monkeypatch):
+    """update_cluster_index writes four sinks (edges, labels, overlay,
+    LSH append) non-atomically; foreachBatch's contract is that the
+    batch RETRIES until the checkpoint commits. Crash in the two
+    nastiest windows and prove the retry converges to the exact
+    ground truth:
+      A) after labels, BEFORE the merges overlay (reads would briefly
+         show the batch labeled against unmerged corpus labels);
+      B) after the overlay, BEFORE the LSH append (the next batch's
+         probe would miss this batch — unless it retries first)."""
+    import demo_cdc_users_airline_spark.operators.dedup as dd
+
+    sf = _write_corpus(tmp_path / "corpus", BASE)
+    path = build_cluster_index(spark, sf, str(tmp_path / "clu"))
+    update_cluster_index(spark, path, _batch_df(spark, BATCH0), 0)
+
+    # window A: kill before the overlay write
+    def kill_merges(spark_, p, mapping):
+        raise RuntimeError("killed before overlay")
+    with monkeypatch.context() as m:
+        m.setattr(dd, "_write_merges", kill_merges)
+        with pytest.raises(RuntimeError, match="killed before overlay"):
+            update_cluster_index(spark, path, _batch_df(spark, BATCH1), 1)
+    # retry heals: same batch id, full update
+    update_cluster_index(spark, path, _batch_df(spark, BATCH1), 1)
+    assert _resolved(spark, path) == EXPECTED
+
+    # window B: kill before the LSH append (fresh artifact)
+    sf2 = _write_corpus(tmp_path / "corpus2", BASE)
+    path2 = build_cluster_index(spark, sf2, str(tmp_path / "clu2"))
+    update_cluster_index(spark, path2, _batch_df(spark, BATCH0), 0)
+    def kill_append(spark_, p, docs, batch_id=None):
+        raise RuntimeError("killed before lsh append")
+    with monkeypatch.context() as m:
+        m.setattr(dd, "append_to_lsh_index", kill_append)
+        with pytest.raises(RuntimeError, match="killed before lsh append"):
+            update_cluster_index(spark, path2, _batch_df(spark, BATCH1), 1)
+    update_cluster_index(spark, path2, _batch_df(spark, BATCH1), 1)
+    assert _resolved(spark, path2) == EXPECTED
