@@ -193,10 +193,90 @@ def deep_main(mults: list[int]) -> int:
     return 0
 
 
+CLUSTER_HEADER = "## Cluster-update scaling (O(increment) maintenance)"
+CLUSTER_BATCH = 64  # fixed increment size across corpus multipliers
+
+
+def cluster_main(mults: list[int]) -> int:
+    """--cluster: the r10 headline claim measured — a FIXED-size
+    increment batch through ``update_cluster_index`` while the indexed
+    corpus grows {mults}×. Near-flat seconds = the maintenance cost is
+    a function of the INCREMENT, not the corpus: only batch text is
+    shingled, the probe reads matching slices of the signature-sized
+    band table (never corpus text), and the union-find is bounded by
+    the batch's edges."""
+    mults = mults or [1, 4, 16]
+    from pyspark.sql import functions as F
+
+    from demo_cdc_users_airline_spark.core.session import get_spark
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        build_cluster_index,
+        update_cluster_index,
+    )
+    from demo_cdc_users_airline_spark.sources.loader import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark("scaling_probe", cpus=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    rows = []
+    for mult in mults:
+        out_dir = os.path.join(SCRATCH, f"cluster-x{mult}")
+        os.makedirs(out_dir, exist_ok=True)
+        n = build_scaled_documents(spark, base, mult, out_dir)
+        idx = os.path.join(SCRATCH, f"cluster-idx-x{mult}")
+        build_cluster_index(spark, out_dir, idx)  # untimed: the build
+        batch_rows = (load_table(spark, out_dir, "documents")
+                      .filter(F.col("doc_id") % 8 == 0)
+                      .select("doc_id", "text")
+                      .orderBy("doc_id").limit(CLUSTER_BATCH).collect())
+        batch = spark.createDataFrame(
+            [(int(r["doc_id"]), r["text"]) for r in batch_rows],
+            "doc_id long, text string")
+        # two timed runs (the second is the idempotent retry — same
+        # work by construction); min damps first-run codegen noise
+        dt = min(_timed(lambda: update_cluster_index(
+            spark, idx, batch, 0)) for _ in range(2))
+        rows.append((mult, n, dt))
+        print(f"x{mult:<4} corpus {n:>10,} docs  "
+              f"update({CLUSTER_BATCH}-doc batch) {dt:7.2f}s", flush=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+    with open("/root/repo/SCALING.md") as f:
+        existing = f.read()
+    if CLUSTER_HEADER in existing:
+        existing = existing[: existing.index(CLUSTER_HEADER)].rstrip() \
+            + "\n"
+    lines = ["", CLUSTER_HEADER, "",
+             f"A FIXED {CLUSTER_BATCH}-doc increment through"
+             " `update_cluster_index` while the",
+             f"indexed corpus grows {mults}× (disjoint token spaces —"
+             " constant",
+             "near-dup structure). Near-flat seconds at growing corpus"
+             " = the",
+             "maintenance cost tracks the INCREMENT: batch-only"
+             " shingling, a",
+             "signature-table slice probe (no corpus text), a"
+             " batch-bounded",
+             "union-find, a k-row overlay rewrite. Idle box, min of 2"
+             " runs.", "",
+             "| corpus mult | corpus docs | update sec |",
+             "|---|---|---|"]
+    for mult, n, dt in rows:
+        lines.append(f"| {mult}× | {n:,} | {dt:.2f} |")
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write(existing + "\n".join(lines) + "\n")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     args = []
     only: set[str] = set()
-    it = iter(a for a in sys.argv[1:] if a != "--deep")
+    it = iter(a for a in sys.argv[1:]
+              if a not in ("--deep", "--cluster"))
     for a in it:
         if a == "--only":
             only = set(next(it).split(","))
@@ -205,6 +285,8 @@ def main() -> int:
         else:
             args.append(a)
     mults = [int(m) for m in args]
+    if "--cluster" in sys.argv[1:]:
+        return cluster_main(mults)
     if "--deep" in sys.argv[1:]:
         return deep_main(mults)
     mults = mults or [1, 4, 16, 64]
