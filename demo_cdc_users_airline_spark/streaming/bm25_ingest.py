@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.retrieval import (
-    _COMPACT_AFTER_BATCHES,
     append_to_bm25_index,
     compact_bm25_index,
 )
@@ -70,11 +69,14 @@ class StreamingBm25Ingest:
                 self._maybe_compact(spark, int(batch_id))
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
-        due = (spark.read.parquet(self.index_path + "/postings")
-               .groupBy("pfx")
-               .agg(F.countDistinct("ingest_batch").alias("nb"))
-               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
-        if due < _COMPACT_AFTER_BATCHES:
+        # fold only when a FOLDABLE batch exists (neither base -1 nor
+        # the in-flight batch) — the {-1, in-flight} census is the
+        # steady state and folding it is a zero-benefit full rewrite
+        foldable = (spark.read.parquet(self.index_path + "/postings")
+                    .select("ingest_batch").distinct()
+                    .filter(~F.col("ingest_batch").isin(
+                        -1, int(batch_id))).limit(1).count())
+        if not foldable:
             return False
         compact_bm25_index(spark, self.index_path,
                            exclude_batch=int(batch_id))

@@ -39,7 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.kmeans_ivf import (
-    _COMPACT_AFTER_BATCHES,
     append_to_ivf_index,
     assign_cells,
     compact_ivf_index,
@@ -142,16 +141,18 @@ class StreamingIvfIngest:
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
         """The compaction policy census acted on in-loop (the decision
-        similarity_ivf_compaction_policy gates): when any cell holds
-        >= {_COMPACT_AFTER_BATCHES} batches' file sets, fold them —
-        EXCLUDING the batch being committed, which foreachBatch may
-        still retry (compact_ivf_index's exclude_batch contract).
-        Partition-column-only census: footer/listing IO."""
-        due = (spark.read.parquet(ivf_cells_path(self.index_path))
-               .groupBy("cell")
-               .agg(F.countDistinct("ingest_batch").alias("nb"))
-               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
-        if due < _COMPACT_AFTER_BATCHES:
+        similarity_ivf_compaction_policy gates, >= {_COMPACT_AFTER_BATCHES}
+        file sets per cell): fold when a FOLDABLE batch exists — one
+        that is neither the base (-1, already folded) nor the batch
+        being committed (kept replaceable for foreachBatch retries,
+        compact_ivf_index's exclude_batch contract). Without that
+        residue check every batch would trigger a zero-benefit full
+        rewrite. Partition-column-only census: footer/listing IO."""
+        foldable = (spark.read.parquet(ivf_cells_path(self.index_path))
+                    .select("ingest_batch").distinct()
+                    .filter(~F.col("ingest_batch").isin(
+                        -1, int(batch_id))).limit(1).count())
+        if not foldable:
             return False
         compact_ivf_index(spark, self.index_path,
                           exclude_batch=int(batch_id))

@@ -39,7 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _COMPACT_AFTER_BATCHES,
     _INC_MIN_MATCH,
     _N_PERMS,
     _band_frame,
@@ -94,15 +93,18 @@ class StreamingLshIngest:
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
         """The compaction policy census acted on in-loop (the decision
-        dedup_lsh_compaction_policy gates): when any band slice holds
-        >= {_COMPACT_AFTER_BATCHES} batches' file sets, fold them —
-        EXCLUDING the batch being committed, which foreachBatch may
-        still retry (compact_lsh_index's exclude_batch contract)."""
-        due = (spark.read.parquet(self.index_path + "/bands")
-               .groupBy("pfx")
-               .agg(F.countDistinct("ingest_batch").alias("nb"))
-               .agg(F.max("nb").alias("m")).collect()[0]["m"]) or 0
-        if due < _COMPACT_AFTER_BATCHES:
+        dedup_lsh_compaction_policy gates, >= {_COMPACT_AFTER_BATCHES}
+        file sets per slice): fold when a FOLDABLE batch exists — one
+        that is neither the base (-1, already folded) nor the batch
+        being committed (kept replaceable for foreachBatch retries,
+        compact_lsh_index's exclude_batch contract). Without that
+        residue check, every batch would trigger a zero-benefit full
+        rewrite (census {-1, in-flight} always counts 2)."""
+        foldable = (spark.read.parquet(self.index_path + "/bands")
+                    .select("ingest_batch").distinct()
+                    .filter(~F.col("ingest_batch").isin(
+                        -1, int(batch_id))).limit(1).count())
+        if not foldable:
             return False
         compact_lsh_index(spark, self.index_path,
                           exclude_batch=int(batch_id))
