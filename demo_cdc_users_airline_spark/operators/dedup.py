@@ -268,17 +268,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from(_hashed_shingles(spark, sf_dir))
 
 
-def _band_frame(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — the LSH band table of a signature
-    frame (md5 of each band's {_BAND_ROWS} signature components)."""
+def _band_frame(sig: DataFrame, extra: list[str] | tuple = ()) -> DataFrame:
+    """(doc_id, band_id, band_key[, *extra]) — the LSH band table of a
+    signature frame (md5 of each band's {_BAND_ROWS} signature
+    components). ``extra`` carries named columns through (e.g. the
+    provenance-preserving rebuild keeps ingest_batch)."""
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.md5(F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}").cast("string")
                                           for r in range(_BAND_ROWS)])).alias("band_key"))
         for b in range(_N_BANDS)])
-    return (sig.select("doc_id", F.explode(band_structs).alias("bd"))
+    return (sig.select("doc_id", *extra, F.explode(band_structs).alias("bd"))
             .select("doc_id", F.col("bd.band_id").alias("band_id"),
-                    F.col("bd.band_key").alias("band_key")))
+                    F.col("bd.band_key").alias("band_key"), *extra))
 
 
 def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
@@ -1558,6 +1560,29 @@ def append_to_lsh_index(spark: SparkSession, path: str,
      .partitionBy("pfx", "ingest_batch").parquet(path + "/bands"))
 
 
+def _sig_match_count(cand: DataFrame, left_sig: DataFrame,
+                     right_sig: DataFrame, left_key: str,
+                     right_key: str) -> DataFrame:
+    """(left_key, right_key, n_match): the per-pair count of agreeing
+    signature components — THE edge-verification rule, in one place
+    (candidates from band collisions, verification over the
+    {_N_PERMS}-component signatures; >= _INC_MIN_MATCH makes an edge).
+    Every consumer — index probe, base edge build, within-batch
+    dedup, cluster-update new<->new — must verify through this helper
+    so the rule can never drift between them."""
+    a = left_sig.select(F.col("doc_id").alias(left_key),
+                        *[F.col(f"h{i}").alias(f"a{i}")
+                          for i in range(_N_PERMS)])
+    b = right_sig.select(F.col("doc_id").alias(right_key),
+                         *[F.col(f"h{i}").alias(f"b{i}")
+                           for i in range(_N_PERMS)])
+    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(_N_PERMS))
+    return (cand.join(a, left_key).join(b, right_key)
+            .select(left_key, right_key,
+                    n_match.cast("long").alias("n_match")))
+
+
 def _verified_matches(spark: SparkSession, inc_sig: DataFrame, path: str,
                       exclude_batch: int | None = None) -> DataFrame:
     """(new_id, corpus_id, n_match) for every band-key collision of the
@@ -1591,17 +1616,7 @@ def _verified_matches(spark: SparkSession, inc_sig: DataFrame, path: str,
     if exclude_batch is not None:
         idx_sig = idx_sig.filter(
             F.col("ingest_batch") != int(exclude_batch))
-    a = inc_sig.select(F.col("doc_id").alias("new_id"),
-                       *[F.col(f"h{i}").alias(f"a{i}")
-                         for i in range(_N_PERMS)])
-    b = idx_sig.select(F.col("doc_id").alias("corpus_id"),
-                       *[F.col(f"h{i}").alias(f"b{i}")
-                         for i in range(_N_PERMS)])
-    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                  for i in range(_N_PERMS))
-    return (cand.join(a, "new_id").join(b, "corpus_id")
-            .select("new_id", "corpus_id",
-                    n_match.cast("long").alias("n_match")))
+    return _sig_match_count(cand, inc_sig, idx_sig, "new_id", "corpus_id")
 
 
 def probe_lsh_index(spark: SparkSession, docs: DataFrame,
@@ -1785,7 +1800,8 @@ def compact_lsh_index(spark: SparkSession, path: str,
 
 
 def rebuild_lsh_index(spark: SparkSession, path: str,
-                      pfx_width: int | None = None) -> None:
+                      pfx_width: int | None = None,
+                      keep_provenance: bool = False) -> None:
     """REBUILD the band layout from the artifact's own signature table
     — the width-migration action the _pfx_width_for policy implies:
     when appends grow the corpus past a width threshold (1M docs → 2
@@ -1793,9 +1809,21 @@ def rebuild_lsh_index(spark: SparkSession, path: str,
     prune well, and the bands must be re-laid-out at the new width.
     Signatures never recompute (they are width-independent and corpus
     text is NOT needed); the bands re-derive from the sig table with a
-    freshly chosen (or given) width, batch provenance folds into the
-    new base — the LSH twin of rebuild_ivf_index, completing the same
-    lifecycle state machine for this artifact.
+    freshly chosen (or given) width — the LSH twin of
+    rebuild_ivf_index, completing the same lifecycle state machine.
+
+    By default batch provenance folds into the new base (maintenance-
+    window semantics, like compaction). ``keep_provenance=True``
+    carries every row's ingest_batch through instead — the STREAMING
+    width hook needs it: folding the in-flight batch would strand its
+    rows in base, where a foreachBatch retry's self-exclusion
+    (exclude_batch) can no longer hide them, so every doc the retry
+    re-probes would collide with its own pre-crash copy and be
+    rejected as a duplicate of itself (the same retry contract
+    rebuild_ivf_index's keep_provenance protects). Retries stay exact
+    either way the bands are laid out: band keys are a deterministic
+    function of the signatures, so a re-append overwrites exactly the
+    (new-width pfx, batch) partitions the rebuild gave those rows.
 
     Atomicity: the new width's meta rides INSIDE the rebuilt bands
     directory, so the single rename swaps layout and width together —
@@ -1805,14 +1833,19 @@ def rebuild_lsh_index(spark: SparkSession, path: str,
     import os
     import shutil
 
-    sig = spark.read.parquet(path + "/sig").drop("ingest_batch")
+    keep = ["ingest_batch"] if keep_provenance else []
+    sig = spark.read.parquet(path + "/sig")
     if pfx_width is None:
         pfx_width = _pfx_width_for(sig.count())
     live = path + "/bands"
     tmp, old = live + ".rebuild.tmp", live + ".rebuild.old"
-    (_band_frame(sig)
+    bands = _band_frame(sig.drop("ingest_batch") if not keep else sig,
+                        extra=keep)
+    provenance = (F.col("ingest_batch").cast("int") if keep_provenance
+                  else F.lit(-1))
+    (bands
      .withColumn("pfx", F.substring("band_key", 1, int(pfx_width)))
-     .withColumn("ingest_batch", F.lit(-1))
+     .withColumn("ingest_batch", provenance)
      .repartition("pfx")
      .write.mode("overwrite").option("partitionOverwriteMode", "static")
      .partitionBy("pfx", "ingest_batch").parquet(tmp))
@@ -1828,6 +1861,8 @@ def rebuild_lsh_index(spark: SparkSession, path: str,
     legacy = os.path.join(path, "meta.json")
     if os.path.exists(legacy):
         os.remove(legacy)
+    if keep_provenance:
+        return  # the sig table is untouched — nothing to fold
     # fold the sig table's batch provenance into the new base, like
     # every rebuild/compaction does (probes read sig without slicing,
     # so this is pure hygiene and file-count reduction)
@@ -1896,14 +1931,29 @@ _MERGES_SCHEMA = "old_label long, new_label long"
 
 def _write_merges(spark: SparkSession, path: str,
                   mapping: dict[int, int]) -> None:
-    """Overwrite the flattened merges overlay (STATIC: it is a whole
-    tiny table, not a partition append). coalesce(1): bounded by the
-    number of ever-merged components — a k-row scheduler table, not
-    data."""
+    """Publish the flattened merges overlay via write-to-tmp +
+    rename-aside — the overlay is rewritten on every batch and holds
+    ALL prior batches' relabel history, so a bare Spark overwrite's
+    delete-then-write window would, on a crash, silently erase merges
+    a retry cannot recompute (it only re-derives its OWN batch's
+    entries). With the swap, a crash leaves either the old or the new
+    overlay at a recoverable location and resolved reads never see a
+    half-written table. coalesce(1): bounded by the number of
+    ever-merged components — a k-row scheduler table, not data."""
+    import os
+    import shutil
     rows = sorted((int(o), int(n)) for o, n in mapping.items())
+    live = path + "/merges"
+    tmp, old = live + ".swap.tmp", live + ".swap.old"
     (spark.createDataFrame(rows, _MERGES_SCHEMA) if rows
      else spark.createDataFrame([], _MERGES_SCHEMA)) \
-        .coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _read_merges(spark: SparkSession, path: str) -> dict[int, int]:
@@ -1933,19 +1983,9 @@ def _base_verified_edges(spark: SparkSession, path: str) -> DataFrame:
     sig = spark.read.parquet(path + "/lsh/sig").drop("ingest_batch") \
         .localCheckpoint(eager=True)
     cand = _minhash_band_candidates(sig)
-    a = sig.select(F.col("doc_id").alias("doc1"),
-                   *[F.col(f"h{i}").alias(f"a{i}")
-                     for i in range(_N_PERMS)])
-    b = sig.select(F.col("doc_id").alias("doc2"),
-                   *[F.col(f"h{i}").alias(f"b{i}")
-                     for i in range(_N_PERMS)])
-    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                  for i in range(_N_PERMS))
-    return (cand.join(a, "doc1").join(b, "doc2")
-            .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"),
-                    n_match.cast("long").alias("n_match"))
+    return (_sig_match_count(cand, sig, sig, "doc1", "doc2")
             .filter(F.col("n_match") >= _INC_MIN_MATCH)
-            .select("u", "v"))
+            .select(F.col("doc1").alias("u"), F.col("doc2").alias("v")))
 
 
 def build_cluster_index(spark: SparkSession, sf_dir: str,
@@ -2017,17 +2057,9 @@ def update_cluster_index(spark: SparkSession, path: str,
                             exclude_batch=int(batch_id))
           .filter(F.col("n_match") >= _INC_MIN_MATCH)
           .select("new_id", "corpus_id"))
-    cand_nn = _minhash_band_candidates(inc_sig)
-    a = inc_sig.select(F.col("doc_id").alias("doc1"),
-                       *[F.col(f"h{i}").alias(f"a{i}")
-                         for i in range(_N_PERMS)])
-    b = inc_sig.select(F.col("doc_id").alias("doc2"),
-                       *[F.col(f"h{i}").alias(f"b{i}")
-                         for i in range(_N_PERMS)])
-    n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                  for i in range(_N_PERMS))
-    nn = (cand_nn.join(a, "doc1").join(b, "doc2")
-          .filter(n_match >= _INC_MIN_MATCH)
+    nn = (_sig_match_count(_minhash_band_candidates(inc_sig),
+                           inc_sig, inc_sig, "doc1", "doc2")
+          .filter(F.col("n_match") >= _INC_MIN_MATCH)
           .select("doc1", "doc2"))
 
     # bounded collects: near-dup edges INCIDENT TO THE BATCH only — the
@@ -2099,7 +2131,9 @@ def update_cluster_index(spark: SparkSession, path: str,
         # mapping stays flat (one-join reads); new winners are either
         # new doc ids or still-live labels, never old_label keys
         merges = {o: merges.get(n, n) for o, n in merges.items()}
-    _write_merges(spark, path, merges)
+        _write_merges(spark, path, merges)  # atomic swap; unchanged
+        # overlays skip the rewrite entirely (most batches merge
+        # nothing — no reason to cycle the table)
     # keep the probe index current: the batch's signatures/bands join
     # the corpus so the NEXT batch's probe sees them (idempotent by
     # batch id, same as every maintainer append)

@@ -540,12 +540,14 @@ def _unigram_words(spark: SparkSession, sf_dir: str,
 def learn_unigram_vocab(spark: SparkSession,
                         sf_dir: str) -> list[tuple[str, int]]:
     """The trained piece table [(piece, weight)] — memoized like every
-    training artifact. TWO bounded Spark jobs: the top-{U_TOP_PIECES}
-    substring-weight TakeOrdered over the capped word table, and the
-    alphabet collect (distinct single chars — bounded by the character
-    set at any corpus size); everything else is driver-trivial."""
+    training artifact. Corpus text is scanned ONCE (the cached word
+    frame feeds both the capped word-frequency table and the alphabet
+    collect); the collects are bounded: top-{U_TOP_PIECES} pieces via
+    TakeOrdered, ≤ |character set| alphabet rows at any corpus size;
+    everything else is driver-trivial."""
     def fit():
-        wf = (_unigram_words(spark, sf_dir, with_doc=False)
+        words = _unigram_words(spark, sf_dir, with_doc=False).cache()
+        wf = (words
               .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
         subs = (wf.select(F.explode(F.expr(
@@ -563,11 +565,11 @@ def learn_unigram_vocab(spark: SparkSession,
         char_w = {r["piece"]: int(r["weight"]) for r in
                   subs.filter(F.length("piece") == 1).collect()}
         alphabet = sorted(r["piece"] for r in
-                          _unigram_words(spark, sf_dir, with_doc=False)
-                          .select(F.explode(F.expr(
+                          words.select(F.explode(F.expr(
                               "transform(sequence(1, length(w)),"
                               " p -> substring(w, p, 1))")).alias("piece"))
                           .distinct().collect())
+        words.unpersist()
         return pieces + [(c, char_w.get(c, 0)) for c in alphabet]
 
     return cached_scalar(spark, sf_dir, "unigram_vocab", fit)

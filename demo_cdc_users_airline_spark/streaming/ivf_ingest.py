@@ -161,9 +161,14 @@ class StreamingIvfIngest:
 
     # -- auto-rebuild hook --------------------------------------------------
 
-    def _live_index_stats(self, spark) -> tuple[int, int]:
+    def _live_index_stats(self, spark, batch_id: int) -> tuple[int, int]:
         if self._live_stats is None:
+            # the anchor must NOT include the batch under test: the
+            # append already landed, and folding a large drifted batch
+            # into its own reference mean dilutes the ratio toward 1 —
+            # a big-enough batch could then never fire its own rebuild
             row = (spark.read.parquet(ivf_cells_path(self.index_path))
+                   .filter(F.col("ingest_batch") != int(batch_id))
                    .agg(F.sum(F.col("q_err").cast("decimal(38,0)"))
                         .alias("s"),
                         F.count(F.lit(1)).alias("n")).collect()[0])
@@ -183,7 +188,7 @@ class StreamingIvfIngest:
         b_sum, b_n = int(rep["s"] or 0), int(rep["n"] or 0)
         if b_n == 0:
             return False  # empty micro-batch: nothing to measure
-        live_sum, live_n = self._live_index_stats(spark)
+        live_sum, live_n = self._live_index_stats(spark, batch_id)
         if live_n == 0:
             return False
         # batch_avg > (ratio_ppm / 1e6) × live_avg, cross-multiplied —

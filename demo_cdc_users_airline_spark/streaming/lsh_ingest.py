@@ -40,10 +40,10 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _INC_MIN_MATCH,
-    _N_PERMS,
     _band_frame,
     _hashed_shingles_of,
     _pfx_width_for,
+    _sig_match_count,
     _signatures_from,
     append_to_lsh_index,
     compact_lsh_index,
@@ -66,11 +66,13 @@ class StreamingLshIngest:
     for the CURRENT corpus size (a footer-only count of the sig
     table) against the width the artifact was built with; when
     appends have grown the corpus past a threshold, it fires
-    ``rebuild_lsh_index`` — bands re-lay-out from the artifact's own
-    signatures at the new width — inside the quiesced foreachBatch
+    ``rebuild_lsh_index(keep_provenance=True)`` — bands re-lay-out
+    from the artifact's own signatures at the new width, batch
+    partition tags carried through — inside the quiesced foreachBatch
     window. Probe verdicts are width-invariant (proven in
-    tests/test_incremental_lsh.py), so a batch retried across the
-    swap is unaffected."""
+    tests/test_incremental_lsh.py) and provenance survives the swap,
+    so a batch retried across it still self-excludes and replaces its
+    own rows."""
 
     index_path: str
     out_table: AppendTable
@@ -88,7 +90,15 @@ class StreamingLshIngest:
         want = _pfx_width_for(n)
         if want <= lsh_pfx_width(self.index_path):
             return False
-        rebuild_lsh_index(spark, self.index_path, pfx_width=want)
+        # keep_provenance: the in-loop rebuild must NOT fold the
+        # in-flight batch's partitions into base — a foreachBatch
+        # retry self-excludes by ingest_batch, and rows folded into
+        # base would collide with their own re-probe (every admitted
+        # doc rejected as a duplicate of itself, the batch's admitted
+        # output emptied). Same contract as the IVF drift hook's
+        # rebuild_ivf_index(keep_provenance=True).
+        rebuild_lsh_index(spark, self.index_path, pfx_width=want,
+                          keep_provenance=True)
         return True
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
@@ -134,16 +144,8 @@ class StreamingLshIngest:
                       ["band_id", "band_key"])
                 .filter(F.col("lo") < F.col("hi"))
                 .select("lo", "hi").distinct())
-        a = sig.select(F.col("doc_id").alias("lo"),
-                       *[F.col(f"h{i}").alias(f"a{i}")
-                         for i in range(_N_PERMS)])
-        b = sig.select(F.col("doc_id").alias("hi"),
-                       *[F.col(f"h{i}").alias(f"b{i}")
-                         for i in range(_N_PERMS)])
-        n_match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1)
-                      .otherwise(0) for i in range(_N_PERMS))
-        in_batch_rejected = (cand.join(a, "lo").join(b, "hi")
-                             .filter(n_match >= self.min_match)
+        in_batch_rejected = (_sig_match_count(cand, sig, sig, "lo", "hi")
+                             .filter(F.col("n_match") >= self.min_match)
                              .select(F.col("hi").alias("doc_id")))
 
         rejected = vs_index_rejected.unionByName(in_batch_rejected)

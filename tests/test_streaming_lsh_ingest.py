@@ -164,11 +164,25 @@ def test_width_auto_rebuild_fires_on_corpus_growth(spark, tmp_path,
     pipe.process_batch(batch, 0)
 
     # growth crossed the threshold: the hook re-laid-out the bands at
-    # width 2 (provenance folded by the rebuild)
+    # width 2 — with batch PROVENANCE PRESERVED (keep_provenance: the
+    # in-flight batch must stay replaceable for foreachBatch retries)
     assert dd.lsh_pfx_width(path) == 2
     pfxs = {r["pfx"] for r in spark.read.parquet(path + "/bands")
             .select("pfx").distinct().collect()}
     assert pfxs and all(len(p) == 2 for p in pfxs)
+    assert {r[0] for r in spark.read.parquet(path + "/bands")
+            .select("ingest_batch").distinct().collect()} == {-1, 0}
+
+    # the retry contract ACROSS the width swap: re-running the batch
+    # must re-admit the same docs (its pre-crash rows self-excluded by
+    # ingest_batch — a provenance-folding rebuild would make every doc
+    # collide with its own copy in base and reject itself, emptying
+    # the batch's admitted output)
+    n_sig = spark.read.parquet(path + "/sig").count()
+    pipe.process_batch(batch, 0)
+    assert {r["doc_id"] for r in pipe.out_table.read()
+            .select("doc_id").collect()} == {2_000_001, 2_000_002}
+    assert spark.read.parquet(path + "/sig").count() == n_sig
     # verdicts are width-invariant: a verbatim base copy is still
     # rejected, a novel doc admitted, through the swapped layout
     batch2 = spark.createDataFrame(

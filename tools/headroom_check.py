@@ -86,16 +86,27 @@ def build_corpus(mult: int) -> str:
     return out
 
 
+def _splice_section(text: str, header: str, body: str) -> str:
+    """Replace ONLY the section from ``header`` to the next '## '
+    heading (or EOF), leaving later sections intact — truncating at
+    the header and appending at EOF would silently delete whatever
+    section happens to live after this one."""
+    if header not in text:
+        return text.rstrip() + "\n" + body
+    start = text.index(header)
+    nxt = text.find("\n## ", start + len(header))
+    tail = "" if nxt == -1 else text[nxt + 1:]
+    return text[:start].rstrip() + "\n" + body + "\n" + tail
+
+
 def record(mult: int, n_docs: int, n_vecs: int, ok: bool,
            detail: str) -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
     with open(path) as f:
         text = f.read()
-    if HEADER in text:
-        text = text[:text.index(HEADER)].rstrip() + "\n"
     verdict = "PASS (hash-exact)" if ok else "FAIL (loud — see below)"
-    text += f"""
+    body = f"""
 {HEADER}
 
 {mult}× the sf0.1 corpus ({n_docs:,} documents / {n_vecs:,} embeddings,
@@ -106,7 +117,7 @@ parquet (tools/headroom_check.py): **{verdict}**.
 {detail}
 """
     with open(path, "w") as f:
-        f.write(text)
+        f.write(_splice_section(text, HEADER, body))
 
 
 def main() -> int:

@@ -129,6 +129,20 @@ def _patch_llm_rows(new_rows) -> None:
         f.write("\n".join(out) + "\n")
 
 
+
+def _splice_section(text: str, header: str, body: str) -> str:
+    """Replace ONLY the section from ``header`` to the next '## '
+    heading (or EOF) — truncating at the header and appending at EOF
+    deletes whatever section lives after this one (the r10 Headroom /
+    Cluster-update sections follow the deep probe, in that order)."""
+    if header not in text:
+        return text.rstrip() + "\n" + body
+    start = text.index(header)
+    nxt = text.find("\n## ", start + len(header))
+    tail = "" if nxt == -1 else text[nxt + 1:]
+    return text[:start].rstrip() + "\n" + body + "\n" + tail
+
+
 def deep_main(mults: list[int]) -> int:
     """--deep: probe ONLY the two heaviest dedup operators at large
     multipliers (default 64×, 256× — VERDICT r7 item 5: one more
@@ -169,8 +183,6 @@ def deep_main(mults: list[int]) -> int:
 
     with open("/root/repo/SCALING.md") as f:
         existing = f.read()
-    if DEEP_HEADER in existing:
-        existing = existing[: existing.index(DEEP_HEADER)].rstrip() + "\n"
     lines = ["", DEEP_HEADER, "",
              f"The two heaviest dedup plans re-probed at {mults} (the",
              "full matrix above stops at 64×): near-linear wall-time in",
@@ -187,7 +199,8 @@ def deep_main(mults: list[int]) -> int:
         lines.append(
             f"| {name} | {mult}× | {n:,} | {dt:.2f} | {rps / 1e3:.1f} |")
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write(existing + "\n".join(lines) + "\n")
+        f.write(_splice_section(existing, DEEP_HEADER,
+                                "\n".join(lines) + "\n"))
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
     return 0
@@ -245,9 +258,6 @@ def cluster_main(mults: list[int]) -> int:
 
     with open("/root/repo/SCALING.md") as f:
         existing = f.read()
-    if CLUSTER_HEADER in existing:
-        existing = existing[: existing.index(CLUSTER_HEADER)].rstrip() \
-            + "\n"
     lines = ["", CLUSTER_HEADER, "",
              f"A FIXED {CLUSTER_BATCH}-doc increment through"
              " `update_cluster_index` while the",
@@ -266,7 +276,8 @@ def cluster_main(mults: list[int]) -> int:
     for mult, n, dt in rows:
         lines.append(f"| {mult}× | {n:,} | {dt:.2f} |")
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write(existing + "\n".join(lines) + "\n")
+        f.write(_splice_section(existing, CLUSTER_HEADER,
+                                "\n".join(lines) + "\n"))
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
     return 0
