@@ -2141,18 +2141,29 @@ def update_cluster_index(spark: SparkSession, path: str,
                         batch_id=int(batch_id))
 
 
-def compact_cluster_index(spark: SparkSession, path: str) -> None:
+def compact_cluster_index(spark: SparkSession, path: str,
+                          exclude_batch: int | None = None) -> None:
     """Background-fold the artifact: resolve the merges overlay INTO
     labels/ (one pass, rewritten rename-aside), fold edge/label batch
     provenance into the base partition, and empty the overlay. Resolved
     reads are invariant (cluster_labels_of composes the same mapping);
-    the overlay returns to zero join-side rows. Same maintenance-window
-    caveat as every swap recipe here."""
+    the overlay returns to zero join-side rows. ``exclude_batch`` keeps
+    the in-flight batch's partition tags (the auto-compaction retry
+    contract — its rows still fold through the merge RESOLUTION, which
+    is value-idempotent: a retry recomputes the same final labels
+    against the now-resolved corpus). Same maintenance-window caveat as
+    every swap recipe here."""
     import os
     import shutil
-    resolved = (cluster_labels_of(spark, path)
-                .select("doc_id", F.col("cluster_id").alias("label"))
-                .withColumn("ingest_batch", F.lit(-1)))
+    merges = spark.read.parquet(path + "/merges") \
+        .withColumnRenamed("old_label", "label")
+    resolved = (spark.read.parquet(path + "/labels")
+                .join(F.broadcast(merges), "label", "left")
+                .select("doc_id",
+                        F.coalesce("new_label", "label").cast("long")
+                        .alias("label"),
+                        folded_batch_tag("ingest_batch", exclude_batch)
+                        .alias("ingest_batch")))
     live = path + "/labels"
     tmp, old = live + ".compact.tmp", live + ".compact.old"
     (resolved.write.mode("overwrite").partitionBy("ingest_batch")
@@ -2165,10 +2176,15 @@ def compact_cluster_index(spark: SparkSession, path: str) -> None:
     _write_merges(spark, path, {})
     e_live = path + "/edges"
     e_tmp, e_old = e_live + ".compact.tmp", e_live + ".compact.old"
-    (spark.read.parquet(e_live)
-     .drop("ingest_batch").dropDuplicates(["u", "v"])
-     .withColumn("ingest_batch", F.lit(-1))
-     .write.mode("overwrite").partitionBy("ingest_batch").parquet(e_tmp))
+    e = spark.read.parquet(e_live)
+    if exclude_batch is not None:
+        e = (e.withColumn("ingest_batch",
+                          folded_batch_tag("ingest_batch", exclude_batch))
+             .dropDuplicates(["u", "v", "ingest_batch"]))
+    else:
+        e = (e.drop("ingest_batch").dropDuplicates(["u", "v"])
+             .withColumn("ingest_batch", F.lit(-1)))
+    (e.write.mode("overwrite").partitionBy("ingest_batch").parquet(e_tmp))
     if os.path.exists(e_old):
         shutil.rmtree(e_old)
     os.rename(e_live, e_old)
@@ -2263,13 +2279,10 @@ def _build_inc_cluster_index(spark: SparkSession, sf_dir: str) -> str:
     return p
 
 
-def _cluster_merges_oracle_sql() -> str:
-    """The overlay's EXACT expected content, derived from first
-    principles: after one increment, the merges mapping must equal
-    {(L, full(L)) : L a BASE-split component label whose FULL-corpus
-    label differs} — i.e. exactly the base components the increment's
-    edges merged downward. Two recursive reachability chains (base
-    subgraph, full graph) under the same verified-edge rule."""
+def _cluster_cc_ctes() -> str:
+    """Shared oracle CTE body for the cluster-artifact gates: verified
+    edges over the full corpus, full-graph and base-subgraph recursive
+    reachability, and the distinct base-component labels."""
     mins = _minhash_select_sql()
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {_band_key_sql(b)} AS band_key"
@@ -2277,7 +2290,7 @@ def _cluster_merges_oracle_sql() -> str:
     match_sum = " + ".join(
         f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END"
         for i in range(_N_PERMS))
-    return f"""WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    return f"""sh AS ({_SHINGLE_SQL}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
@@ -2314,7 +2327,17 @@ reachb AS (
 ),
 baselab AS MATERIALIZED (
   SELECT doc_id, min(r) AS lab FROM reachb GROUP BY doc_id),
-baselabels AS (SELECT DISTINCT lab FROM baselab)
+baselabels AS (SELECT DISTINCT lab FROM baselab)"""
+
+
+def _cluster_merges_oracle_sql() -> str:
+    """The overlay's EXACT expected content, derived from first
+    principles: after one increment, the merges mapping must equal
+    {(L, full(L)) : L a BASE-split component label whose FULL-corpus
+    label differs} — i.e. exactly the base components the increment's
+    edges merged downward. Two recursive reachability chains (base
+    subgraph, full graph) under the same verified-edge rule."""
+    return f"""WITH RECURSIVE {_cluster_cc_ctes()}
 SELECT CAST(b.lab AS BIGINT) AS old_label,
        CAST(f.lab AS BIGINT) AS new_label
 FROM baselabels b
@@ -2344,3 +2367,89 @@ def dedup_cluster_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("old_label").cast("long").alias("old_label"),
                     F.col("new_label").cast("long").alias("new_label"))
             .orderBy("old_label"))
+
+
+def _cluster_policy_oracle_sql() -> str:
+    return f"""WITH RECURSIVE {_cluster_cc_ctes()},
+bedges AS (SELECT * FROM edges
+           WHERE src % {_INC_MOD} <> 0 AND dst % {_INC_MOD} <> 0),
+delta AS (SELECT count(*) AS n FROM baselabels b
+          JOIN fullab f ON f.doc_id = b.lab WHERE f.lab <> b.lab)
+SELECT 'edges' AS tbl,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_rows,
+       CAST((CASE WHEN (SELECT count(*) FROM bedges) > 0
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN (SELECT count(*) FROM edges)
+                     > (SELECT count(*) FROM bedges)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_batches,
+       CAST(CASE WHEN (CASE WHEN (SELECT count(*) FROM bedges) > 0
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN (SELECT count(*) FROM edges)
+                               > (SELECT count(*) FROM bedges)
+                            THEN 1 ELSE 0 END) >= {_COMPACT_AFTER_BATCHES}
+                 THEN 1 ELSE 0 END AS BIGINT) AS compact_due
+UNION ALL
+SELECT 'labels' AS tbl,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+       CAST((CASE WHEN (SELECT count(*) FROM documents
+                        WHERE doc_id % {_INC_MOD} <> 0) > 0
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN (SELECT count(*) FROM documents
+                        WHERE doc_id % {_INC_MOD} = 0) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_batches,
+       CAST(CASE WHEN (CASE WHEN (SELECT count(*) FROM documents
+                                  WHERE doc_id % {_INC_MOD} <> 0) > 0
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN (SELECT count(*) FROM documents
+                                  WHERE doc_id % {_INC_MOD} = 0) > 0
+                            THEN 1 ELSE 0 END) >= {_COMPACT_AFTER_BATCHES}
+                 THEN 1 ELSE 0 END AS BIGINT) AS compact_due
+UNION ALL
+SELECT 'merges' AS tbl,
+       CAST((SELECT n FROM delta) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_batches,
+       CAST(CASE WHEN (SELECT n FROM delta) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS compact_due
+ORDER BY tbl"""
+
+
+@q("dedup_cluster_compaction_policy", _cluster_policy_oracle_sql())
+def dedup_cluster_compaction_policy(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Compaction SCHEDULER report for the maintained cluster artifact
+    — the fourth member of the policy family (LSH / IVF / BM25 /
+    CLUSTERS): per table, the row count, how many ingest batches' file
+    sets it holds (edges/labels fold like every batch-partitioned
+    artifact) and, for the merges overlay, whether it has entries to
+    fold into labels/ (every overlay row is one broadcast-join-side
+    row every resolved read pays until ``compact_cluster_index`` bakes
+    it in). ``compact_due`` is the decision the maintenance window —
+    or the streaming hook — acts on.
+
+    Scale path: two partition-column censuses (footer/listing IO) plus
+    the k-row overlay count. Exactness: the oracle re-derives every
+    number from the corpus under the artifact's own edge rule — edge
+    counts from the verified-pair CTE (base and full splits), label
+    rows = the document universe, overlay size = the base-vs-full
+    label delta (the dedup_cluster_merges identity); int64 counts,
+    total order on tbl."""
+    path = cached_scalar(spark, sf_dir, "cluster_index_path",
+                         lambda: _build_inc_cluster_index(spark, sf_dir))
+
+    def census(tbl: str) -> tuple[int, int]:
+        r = (spark.read.parquet(f"{path}/{tbl}")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("ingest_batch").alias("b"))
+             .collect()[0])
+        return int(r["n"]), int(r["b"])
+    e_n, e_b = census("edges")
+    l_n, l_b = census("labels")
+    m_n = spark.read.parquet(path + "/merges").count()
+    rows = [("edges", e_n, e_b,
+             1 if e_b >= _COMPACT_AFTER_BATCHES else 0),
+            ("labels", l_n, l_b,
+             1 if l_b >= _COMPACT_AFTER_BATCHES else 0),
+            ("merges", m_n, 0, 1 if m_n > 0 else 0)]
+    return (spark.createDataFrame(
+        rows, "tbl string, n_rows long, n_batches long, compact_due long")
+        .orderBy("tbl"))

@@ -33,16 +33,30 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.dedup import update_cluster_index
+from ..operators.dedup import compact_cluster_index, update_cluster_index
 
 
 @dataclass
 class StreamingClusterIngest:
     """documents stream (doc_id, text) → the persisted cluster-label
-    artifact (build_cluster_index layout) kept current batch-by-batch."""
+    artifact (build_cluster_index layout) kept current batch-by-batch.
+
+    Auto-compaction (the fourth member of the in-loop hook family):
+    with ``compact_check_every=N`` > 0, every Nth batch the maintainer
+    folds when the dedup_cluster_compaction_policy census says so — a
+    non-empty merges overlay (every entry is a broadcast-join-side row
+    each resolved read pays) or a foldable edge/label batch (neither
+    base nor the batch being committed) — via
+    ``compact_cluster_index(exclude_batch=…)``, so the in-flight
+    batch's partitions stay replaceable for foreachBatch retries."""
 
     index_path: str
+    compact_check_every: int = 0  # 0 = compaction hook disabled
+
+    def __post_init__(self) -> None:
+        self._batches_since_compact = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -50,6 +64,24 @@ class StreamingClusterIngest:
         if docs.isEmpty():
             return  # empty micro-batch: index, labels, overlay untouched
         update_cluster_index(spark, self.index_path, docs, int(batch_id))
+        if self.compact_check_every > 0:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_check_every:
+                self._batches_since_compact = 0
+                self._maybe_compact(spark, int(batch_id))
+
+    def _maybe_compact(self, spark, batch_id: int) -> bool:
+        overlay = spark.read.parquet(
+            self.index_path + "/merges").limit(1).count()
+        foldable = (spark.read.parquet(self.index_path + "/labels")
+                    .select("ingest_batch").distinct()
+                    .filter(~F.col("ingest_batch").isin(
+                        -1, int(batch_id))).limit(1).count())
+        if not overlay and not foldable:
+            return False
+        compact_cluster_index(spark, self.index_path,
+                              exclude_batch=int(batch_id))
+        return True
 
     def start(self, docs: DataFrame, checkpoint_dir: str,
               trigger_once: bool = False):

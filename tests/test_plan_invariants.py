@@ -53,6 +53,8 @@ MAX_SHUFFLES = {
     "retrieval_bm25_compaction_policy": 3,  # footer-only census:
     # groupBy(pfx) w/ countDistinct (two-phase) + ordered output
     "dedup_cluster_merges": 1,    # k-row overlay read + ordered output
+    "dedup_cluster_compaction_policy": 1,  # driver-assembled 3-row
+    # report (bounded footer censuses), one output sort
     "text_unigram_vocab": 1,      # driver-built piece table, one sort
     "text_unigram_encode": 4,     # distinct-word DP + occurrence
     # join-back on w + per-doc aggregate + doc-universe left join

@@ -76,3 +76,38 @@ def test_stream_extends_labels_to_ground_truth(spark, tmp_path):
     pipe.process_batch(spark.createDataFrame([], SCHEMA), 99)
     assert spark.read.parquet(path + "/edges").count() == n_edges
     assert _resolved(spark, path) == EXPECTED
+
+
+def test_autocompact_folds_overlay_and_batches_in_loop(spark, tmp_path):
+    sf = _write_corpus(tmp_path / "corpus", BASE)
+    path = build_cluster_index(spark, sf, str(tmp_path / "clu"))
+    pipe = StreamingClusterIngest(index_path=path, compact_check_every=1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_docs(src / "b0.json", BATCH0)
+    write_docs(src / "b1.json", BATCH1)
+    q = pipe.start(source(spark, src), str(tmp_path / "ckpt"),
+                   trigger_once=True)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # resolution unchanged by in-loop folding, overlay baked into
+    # labels, older batch provenance folded (the in-flight batch kept)
+    assert _resolved(spark, path) == EXPECTED
+    assert spark.read.parquet(path + "/merges").count() == 0
+    batches = {r[0] for r in spark.read.parquet(path + "/labels")
+               .select("ingest_batch").distinct().collect()}
+    assert -1 in batches and len(batches) <= 2
+
+    # retry of the LAST batch across the fold stays idempotent
+    last = max(batches)
+    last_docs = {int(r["doc_id"]): None for r in
+                 spark.read.parquet(path + "/labels")
+                 .filter(F.col("ingest_batch") == last).collect()}
+    batch = {i: t for i, t in {**BATCH0, **BATCH1}.items()
+             if i in last_docs}
+    pipe.process_batch(
+        spark.createDataFrame(sorted(batch.items()), SCHEMA), int(last))
+    assert _resolved(spark, path) == EXPECTED
+    assert spark.read.parquet(path + "/labels").count() == len(EXPECTED)
