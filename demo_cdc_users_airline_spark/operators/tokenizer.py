@@ -662,3 +662,160 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
                  .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
                  .cast("long").alias("chars_per_token_micro")))
+
+
+# -- unigram round 2: usage-counting prune (the EM-flavored pass) ----------
+# Real SentencePiece alternates E (Viterbi-segment the corpus) and M
+# (re-fit piece probabilities, prune the lowest-loss pieces). The
+# deterministic integer analog: segment the CAPPED word table with the
+# seed vocabulary (the same (tokens, -score) Viterbi as the encoder,
+# with the CHOSEN PIECE LENGTH as the final tiebreak so the optimal
+# segmentation is UNIQUE), count corpus-weighted piece usage from the
+# backtraced segmentations, and keep the pieces that earned any usage
+# (single chars always survive — coverage). The oracle replays the DP
+# *and the backtrace* position-by-position, so the usage table is
+# hash-exact — a cross-engine-verified EM step.
+
+
+def _unigram_usage_ctes() -> str:
+    """dp chain WITH the chosen piece length j (struct min over
+    (t, ns, j) — lexicographic on both engines, so j breaks exact
+    (t, ns) ties deterministically), flattened into one (w, i, j)
+    table, then the backtrace unrolled: back_k hops from position
+    back_{k-1} to back_{k-1} - j, emitting the covered piece."""
+    parts = [r""",
+dpj0 AS MATERIALIZED (
+  SELECT w, n, struct_pack(t := CAST(0 AS BIGINT),
+                           ns := CAST(0 AS BIGINT),
+                           j := 0) AS c
+  FROM wfu
+)"""]
+    for i in range(1, U_MAX_WORD + 1):
+        branches = []
+        for j in range(1, min(i, U_MAX_PIECE) + 1):
+            branches.append(f"""
+    SELECT d.w, d.n, struct_pack(t := d.c.t + CAST(1 AS BIGINT),
+                                 ns := d.c.ns - v.weight,
+                                 j := {j}) AS c
+    FROM dpj{i - j} d
+    JOIN uvocab v ON v.piece = substr(d.w, {i - j + 1}, {j})
+    WHERE length(d.w) >= {i} AND length(v.piece) = {j}""")
+        parts.append(f""",
+dpj{i} AS MATERIALIZED (
+  SELECT w, n, min(c) AS c FROM ({" UNION ALL ".join(branches)}
+  ) GROUP BY w, n
+)""")
+    dpall = " UNION ALL ".join(
+        f"SELECT w, {i} AS i, c.j AS j FROM dpj{i}"
+        for i in range(1, U_MAX_WORD + 1))
+    parts.append(f""",
+dpall AS MATERIALIZED ({dpall}),
+back0 AS MATERIALIZED (SELECT w, n, length(w) AS pos FROM wfu)""")
+    for k in range(1, U_MAX_WORD + 1):
+        parts.append(f""",
+back{k} AS MATERIALIZED (
+  SELECT b.w, b.n, b.pos - d.j AS pos,
+         substr(b.w, b.pos - d.j + 1, d.j) AS piece
+  FROM back{k - 1} b
+  JOIN dpall d ON d.w = b.w AND d.i = b.pos
+  WHERE b.pos > 0
+)""")
+    emitted = " UNION ALL ".join(
+        f"SELECT piece, n FROM back{k}" for k in range(1, U_MAX_WORD + 1))
+    parts.append(f""",
+uusage AS MATERIALIZED (
+  SELECT piece, sum(n) AS usage FROM ({emitted}) GROUP BY piece
+)""")
+    return "".join(parts)
+
+
+def _unigram_prune_oracle_sql() -> str:
+    return f"""WITH {_unigram_seed_sql()}{_unigram_usage_ctes()}
+SELECT v.piece,
+       CAST(v.weight AS BIGINT) AS score,
+       CAST(coalesce(u.usage, 0) AS BIGINT) AS usage,
+       CAST(CASE WHEN length(v.piece) = 1
+                   OR coalesce(u.usage, 0) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM uvocab v LEFT JOIN uusage u ON u.piece = v.piece
+ORDER BY usage DESC, v.piece"""
+
+
+_U_DPJ_EXPR = f"""
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('t', CAST(0 AS BIGINT), 'ns', CAST(0 AS BIGINT),
+                     'j', 0)),
+  (acc, i) -> array_append(acc,
+    array_min(filter(
+      transform(sequence(1, least(i, {U_MAX_PIECE})),
+        j -> CASE WHEN try_element_at(__vmap,
+                                      substring(w, i - j + 1, j))
+                       IS NOT NULL
+             THEN named_struct(
+                    't',  element_at(acc, i - j + 1).t
+                          + CAST(1 AS BIGINT),
+                    'ns', element_at(acc, i - j + 1).ns
+                          - try_element_at(__vmap,
+                                           substring(w, i - j + 1, j)),
+                    'j',  j)
+             ELSE NULL END),
+      x -> x IS NOT NULL))),
+  acc -> acc)
+"""
+
+_U_BACKTRACE_EXPR = f"""
+aggregate(
+  sequence(1, {U_MAX_WORD}),
+  named_struct('pos', length(w),
+               'ps', CAST(array() AS ARRAY<STRING>)),
+  (st, k) -> CASE WHEN st.pos > 0 THEN named_struct(
+      'pos', st.pos - element_at(__dp, st.pos + 1).j,
+      'ps', array_append(st.ps,
+          substring(w, st.pos - element_at(__dp, st.pos + 1).j + 1,
+                    element_at(__dp, st.pos + 1).j)))
+    ELSE st END,
+  st -> st.ps)
+"""
+
+
+@q("text_unigram_prune", _unigram_prune_oracle_sql())
+def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram round 2 — the PRUNE pass (SentencePiece's EM step as a
+    deterministic integer computation): Viterbi-segment the capped
+    word table with the seed vocabulary — the chosen piece length is
+    the final tiebreak, so the optimal segmentation is UNIQUE — then
+    backtrace every word's segmentation and count corpus-weighted
+    piece USAGE. Pieces that earn no usage are pruned (kept = 0);
+    single chars always survive (coverage guarantee). The output is
+    the full seed table with (score, usage, kept), the artifact a
+    second encode round would ship.
+
+    Scale path: the DP+backtrace runs once per DISTINCT capped word as
+    two higher-order folds (the dp prefix array, then the ≤{U_MAX_WORD}
+    backward hops) with the scores in ONE broadcast map row; usage is
+    one piece-keyed aggregate over ≤{U_MAX_WORD} emitted pieces per
+    word. Exactness: the oracle replays the SAME dp (struct min over
+    (t, ns, j) — lexicographic on both engines) and the SAME hop
+    chain, unrolled by position; int64 weights."""
+    vocab = dict(learn_unigram_vocab(spark, sf_dir))
+    vmap = spark.createDataFrame([(vocab,)], "__vmap map<string,bigint>")
+    wf = (_unigram_words(spark, sf_dir, with_doc=False)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+          .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
+    segs = (wf.crossJoin(F.broadcast(vmap))
+            .withColumn("__dp", F.expr(_U_DPJ_EXPR))
+            .select("n", F.explode(F.expr(_U_BACKTRACE_EXPR))
+                    .alias("piece")))
+    usage = (segs.groupBy("piece").agg(F.sum("n").alias("usage")))
+    seed = spark.createDataFrame(
+        [(p, wgt) for p, wgt in vocab.items()],
+        "piece string, score long")
+    return (seed.join(usage, "piece", "left")
+            .select("piece", F.col("score").cast("long").alias("score"),
+                    F.coalesce("usage", F.lit(0)).cast("long")
+                    .alias("usage"),
+                    F.when((F.length("piece") == 1)
+                           | (F.coalesce("usage", F.lit(0)) > 0), 1)
+                    .otherwise(0).cast("long").alias("kept"))
+            .orderBy(F.col("usage").desc(), "piece"))

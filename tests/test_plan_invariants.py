@@ -58,6 +58,8 @@ MAX_SHUFFLES = {
     "text_unigram_vocab": 1,      # driver-built piece table, one sort
     "text_unigram_encode": 4,     # distinct-word DP + occurrence
     # join-back on w + per-doc aggregate + doc-universe left join
+    "text_unigram_prune": 4,      # capped word TakeOrdered +
+    # DP/backtrace map + piece usage agg + seed left join + sort
     "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
     # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,

@@ -120,3 +120,55 @@ def test_dp_is_optimal_not_greedy(spark, sf_dir):
     # the 16-char truncated run segments into 4 × 'abab' (the DP finds
     # the 4-token cover; greedy-by-frequency orderings can do worse)
     assert enc["ab" * 8][0] == 4
+
+
+def test_prune_matches_oracle_and_brute_backtrace(spark, duck, sf_dir):
+    from demo_cdc_users_airline_spark.operators.tokenizer import (
+        _unigram_prune_oracle_sql,
+        text_unigram_prune,
+    )
+    got = _norm(text_unigram_prune(spark, sf_dir).collect())
+    want = _norm(duck.execute(_unigram_prune_oracle_sql()).fetchall())
+    assert got == want
+
+    # the prune is REAL on this corpus: some multi-char seed piece
+    # earns zero usage (kept = 0) while chars always survive
+    by_piece = {r[0]: r for r in got}
+    assert any(r[3] == 0 for r in got if len(r[0]) > 1)
+    assert all(by_piece[p][3] == 1 for p in by_piece if len(p) == 1)
+
+    # usage equals a brute-force Python replay of the SAME unique-
+    # segmentation rule (min (tokens, -score, piece_len) Viterbi +
+    # backtrace) over the capped word table
+    vocab = dict(learn_unigram_vocab(spark, sf_dir))
+    words = {}
+    for t in DOCS.values():
+        for w in t.lower().split():
+            if w:
+                w = w[:U_MAX_WORD]
+                words[w] = words.get(w, 0) + 1
+
+    def segment(w):
+        best = {0: (0, 0, 0)}  # pos -> (t, ns, j of the chosen step)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(1, min(i, 4) + 1):
+                p = w[i - j:i]
+                if p in vocab and (i - j) in best:
+                    t, ns, _ = best[i - j]
+                    cands.append((t + 1, ns - vocab[p], j))
+            if cands:
+                best[i] = min(cands)
+        pieces, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][2]
+            pieces.append(w[pos - j:pos])
+            pos -= j
+        return pieces
+
+    usage = {}
+    for w, n in words.items():
+        for p in segment(w):
+            usage[p] = usage.get(p, 0) + n
+    for piece, _score, u, _kept in got:
+        assert u == usage.get(piece, 0), piece
