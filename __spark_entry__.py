@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_vocab",                # NEW r10 (unigram trainer)
     "text_unigram_encode",               # NEW r10 (Viterbi encode)
     "text_unigram_prune",                # NEW r10 (usage-prune pass)
+    "text_unigram_encode_pruned",        # NEW r10 (EM-loop close)
     # Round 10 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "dedup_incremental_lsh",             # r10: _verified_matches refactor
@@ -90,11 +91,10 @@ _DRIVER_PRIORITY = [
     "events_agg_state_rollup",
     "events_limit3_by_user",
     "events_user_anomaly_days",
-    "regional_supplier_revenue",
     # r11 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r11
     # queries first, then the remaining r07-vintage rows —
-    # orders_per_customer_histogram, text_token_stats,
+    # regional_supplier_revenue, orders_per_customer_histogram, text_token_stats,
     # text_quality_score, text_lang_id, text_fingerprint,
     # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
     # dedup_minhash_signatures, dedup_minhash_lsh_pairs, dedup_simhash,

@@ -470,14 +470,17 @@ SELECT piece,
 FROM uvocab ORDER BY score DESC, piece"""
 
 
-def _unigram_encode_oracle_sql() -> str:
+def _unigram_encode_oracle_sql(vocab_cte: str = "uvocab",
+                               extra_ctes: str = "") -> str:
     """Vocab CTEs + the Viterbi DP unrolled by character position:
     dp{{i}} holds, per distinct (truncated) word of length >= i, the
     minimal (tokens, -score) struct over all segmentations of the
     first i chars; transitions come from the <= {U_MAX_PIECE} prior
     levels joined on exact piece match. min over structs is
-    lexicographic on both engines — the ordered-struct-min rule."""
-    parts = [_unigram_seed_sql(), r""",
+    lexicographic on both engines — the ordered-struct-min rule.
+    ``vocab_cte``/``extra_ctes`` let the pruned-encode gate run the
+    SAME dp chain over the post-prune piece table."""
+    parts = [_unigram_seed_sql(), extra_ctes, r""",
 docwu AS MATERIALIZED (
   SELECT doc_id, substr(w, 1, %d) AS w
   FROM (SELECT doc_id,
@@ -498,7 +501,7 @@ dp0 AS MATERIALIZED (
     SELECT d.w, struct_pack(t := d.c.t + CAST(1 AS BIGINT),
                             ns := d.c.ns - v.weight) AS c
     FROM dp{i - j} d
-    JOIN uvocab v ON v.piece = substr(d.w, {i - j + 1}, {j})
+    JOIN {vocab_cte} v ON v.piece = substr(d.w, {i - j + 1}, {j})
     WHERE length(d.w) >= {i} AND length(v.piece) = {j}""")
         parts.append(f""",
 dp{i} AS MATERIALIZED (
@@ -635,7 +638,14 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokens, -score) structs; min is lexicographic struct order on
     both engines; score sums are bounded by word_len × corpus weight
     per word (≪ 2^63 even at 100 TB weights ~1e12)."""
-    vocab = dict(learn_unigram_vocab(spark, sf_dir))
+    return _unigram_encode_with(
+        spark, sf_dir, dict(learn_unigram_vocab(spark, sf_dir)))
+
+
+def _unigram_encode_with(spark: SparkSession, sf_dir: str,
+                         vocab: dict[str, int]) -> DataFrame:
+    """The shared encode core: per-distinct-word Viterbi over the
+    given piece table, occurrences joined back, per-doc aggregate."""
     vmap = spark.createDataFrame([(vocab,)], "__vmap map<string,bigint>")
     words = _unigram_words(spark, sf_dir, with_doc=True)
     dw = (words.select("w").distinct()
@@ -819,3 +829,49 @@ def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                            | (F.coalesce("usage", F.lit(0)) > 0), 1)
                     .otherwise(0).cast("long").alias("kept"))
             .orderBy(F.col("usage").desc(), "piece"))
+
+
+def pruned_unigram_vocab(spark: SparkSession,
+                         sf_dir: str) -> list[tuple[str, int]]:
+    """The post-prune piece table (kept = 1 rows of text_unigram_prune)
+    — the artifact the second encode round ships; memoized like every
+    trained vocabulary (bounded collect: seed size + alphabet)."""
+    def fit():
+        return [(r["piece"], int(r["score"])) for r in
+                text_unigram_prune(spark, sf_dir).collect()
+                if int(r["kept"]) == 1]
+    return cached_scalar(spark, sf_dir, "unigram_pruned_vocab", fit)
+
+
+def _unigram_pruned_encode_oracle_sql() -> str:
+    extra = _unigram_usage_ctes() + """,
+pvocab AS MATERIALIZED (
+  SELECT v.piece, v.weight
+  FROM uvocab v LEFT JOIN uusage u ON u.piece = v.piece
+  WHERE length(v.piece) = 1 OR coalesce(u.usage, 0) > 0
+)"""
+    return _unigram_encode_oracle_sql(vocab_cte="pvocab",
+                                      extra_ctes=extra)
+
+
+@q("text_unigram_encode_pruned", _unigram_pruned_encode_oracle_sql())
+def text_unigram_encode_pruned(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Unigram ENCODE with the PRUNED vocabulary — closing the EM
+    loop: seed (text_unigram_vocab) → segment + usage-prune
+    (text_unigram_prune) → re-encode the corpus with what survived.
+    Dropping zero-usage pieces cannot change any optimal segmentation
+    (a piece the unique-Viterbi never chose on the training table can
+    still in principle win on an UNSEEN word — the gate corpus' encode
+    universe and training table coincide only at the word level, so
+    this query genuinely re-runs the DP rather than assuming
+    invariance); the oracle re-derives seed, usage, prune, and the
+    full encode chain over the surviving pieces, all position-unrolled
+    — one green row certifies the complete two-round training
+    pipeline end to end.
+
+    Scale path: identical to text_unigram_encode (the core is shared —
+    only the broadcast piece map differs: the memoized post-prune
+    artifact)."""
+    return _unigram_encode_with(
+        spark, sf_dir, dict(pruned_unigram_vocab(spark, sf_dir)))

@@ -60,6 +60,8 @@ MAX_SHUFFLES = {
     # join-back on w + per-doc aggregate + doc-universe left join
     "text_unigram_prune": 4,      # capped word TakeOrdered +
     # DP/backtrace map + piece usage agg + seed left join + sort
+    "text_unigram_encode_pruned": 4,  # the encode core over the
+    # memoized post-prune map — same shape as text_unigram_encode
     "dedup_duplicate_spans": 6,   # gram-hash df agg + df probe join + doc
     # window + run/doc rollups; every shuffle carries ≤ 24-byte rows
     "pricing_summary": 1,

@@ -172,3 +172,19 @@ def test_prune_matches_oracle_and_brute_backtrace(spark, duck, sf_dir):
             usage[p] = usage.get(p, 0) + n
     for piece, _score, u, _kept in got:
         assert u == usage.get(piece, 0), piece
+
+
+def test_pruned_encode_matches_oracle_and_unpruned_on_train_set(
+        spark, duck, sf_dir):
+    from demo_cdc_users_airline_spark.operators.tokenizer import (
+        _unigram_pruned_encode_oracle_sql,
+        text_unigram_encode_pruned,
+    )
+    got = _norm(text_unigram_encode_pruned(spark, sf_dir).collect())
+    want = _norm(duck.execute(
+        _unigram_pruned_encode_oracle_sql()).fetchall())
+    assert got == want
+    # when the encode universe and the training table coincide (as
+    # here), dropping zero-usage pieces cannot change any optimal
+    # segmentation: the pruned encode must equal the full encode
+    assert got == _norm(text_unigram_encode(spark, sf_dir).collect())
