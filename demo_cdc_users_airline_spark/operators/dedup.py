@@ -2028,15 +2028,21 @@ def update_cluster_index(spark: SparkSession, path: str,
        saved index (partition-pruned bands + persisted-signature
        verify — the dedup_incremental_lsh machinery, ALL matches, not
        best-only) plus new<->new edges within the batch;
-    2. contract: every touched corpus doc is replaced by its RESOLVED
-       component label (labels/ + merges overlay, a bounded lookup
-       join) — valid because a base component's label IS its min id,
-       so contracting preserves the global min;
-    3. union-find (driver-side, bounded by the batch's edge count —
-       the _local_union_find recipe) over {new ids} ∪ {touched
-       labels}: each new doc's final label and each merged component's
-       winner fall out; components only grow, so untouched labels are
-       untouched rows;
+    2. contract BOTH sides IN SPARK before anything reaches the
+       driver (VERDICT/ADVICE r10 hardening): within-batch components
+       come from ``connected_components`` (whose local-finish bound +
+       distributed fallback already price a pathological all-dup
+       batch), and new<->corpus edges reduce to DISTINCT (batch
+       component, resolved corpus label) pairs — one new doc
+       near-dupping a large duplicate cluster contracts to ONE row,
+       never O(cluster), and an all-one-template batch contracts to
+       one component before the driver sees it. Contraction preserves
+       the global min because a component's label IS its min id;
+    3. union-find (driver-side, bounded by the DISTINCT contracted
+       pair count — components, not edges or docs) computes each
+       batch component's final label and each merged corpus
+       component's winner; components only grow, so untouched labels
+       are untouched rows;
     4. write: the batch's edges and labels land in their own
        ingest_batch partitions (idempotent re-runs — a retry replaces
        its own rows; its probe self-excludes via exclude_batch); the
@@ -2056,28 +2062,32 @@ def update_cluster_index(spark: SparkSession, path: str,
     nc = (_verified_matches(spark, inc_sig, path + "/lsh",
                             exclude_batch=int(batch_id))
           .filter(F.col("n_match") >= _INC_MIN_MATCH)
-          .select("new_id", "corpus_id"))
+          .select("new_id", "corpus_id").localCheckpoint(eager=True))
     nn = (_sig_match_count(_minhash_band_candidates(inc_sig),
                            inc_sig, inc_sig, "doc1", "doc2")
           .filter(F.col("n_match") >= _INC_MIN_MATCH)
-          .select("doc1", "doc2"))
+          .select("doc1", "doc2").localCheckpoint(eager=True))
 
-    # bounded collects: near-dup edges INCIDENT TO THE BATCH only — the
-    # same driver-trivial scale class as connected_components' local
-    # finish (daily-increment edges, never corpus edges)
-    nc_rows = [(int(r["new_id"]), int(r["corpus_id"]))
-               for r in nc.collect()]
-    nn_rows = [(int(r["doc1"]), int(r["doc2"])) for r in nn.collect()]
-
-    # -- 2. contract touched corpus docs to their resolved labels -----------
-    touched = sorted({c for _, c in nc_rows})
-    lab_of: dict[int, int] = {}
-    if touched:
-        tdf = spark.createDataFrame([(t,) for t in touched],
-                                    "doc_id long")
-        lab_of = {int(r["doc_id"]): int(r["cluster_id"]) for r in
-                  (cluster_labels_of(spark, path)
-                   .join(F.broadcast(tdf), "doc_id").collect())}
+    # -- 2. contract both sides distributedly -------------------------------
+    # within-batch components (doc_id -> blabel = min id of its batch
+    # component); CC's local finish keeps normal batches driver-trivial
+    # and its distributed star rounds absorb the quadratic all-dup case
+    bl = connected_components(
+        nn.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+        docs.select("doc_id")) \
+        .withColumnRenamed("label", "blabel").localCheckpoint(eager=True)
+    # new<->corpus edges → DISTINCT (blabel, clabel): the only rows the
+    # driver ever pulls, bounded by incident COMPONENT pairs
+    contracted = (nc
+                  .join(cluster_labels_of(spark, path)
+                        .withColumnRenamed("doc_id", "corpus_id"),
+                        "corpus_id")
+                  .join(bl.withColumnRenamed("doc_id", "new_id"),
+                        "new_id")
+                  .select("blabel", F.col("cluster_id").alias("clabel"))
+                  .distinct())
+    pairs = sorted((int(r["blabel"]), int(r["clabel"]))
+                   for r in contracted.collect())
 
     # -- 3. union-find over the contracted graph ----------------------------
     parent: dict[int, int] = {}
@@ -2098,31 +2108,34 @@ def update_cluster_index(spark: SparkSession, path: str,
             else:
                 parent[rx] = ry
 
-    for n, c in nc_rows:
-        union(n, lab_of[c])
-    for d1, d2 in nn_rows:
-        union(d1, d2)
-
-    new_ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
-    new_labels = [(i, find(i) if i in parent else i) for i in new_ids]
+    for b, c in pairs:
+        union(b, c)
+    # winner map for every participating label — bounded like `pairs`
+    winner_rows = sorted((x, find(x)) for x in set(parent))
 
     # -- 4. publish ----------------------------------------------------------
-    edge_rows = sorted({(min(x, y), max(x, y))
-                        for x, y in nc_rows + nn_rows})
-    (spark.createDataFrame(edge_rows, "u long, v long") if edge_rows
-     else spark.createDataFrame([], "u long, v long")) \
-        .withColumn("ingest_batch", F.lit(int(batch_id))) \
-        .write.mode("overwrite") \
-        .option("partitionOverwriteMode", "dynamic") \
-        .partitionBy("ingest_batch").parquet(path + "/edges")
-    (spark.createDataFrame(new_labels, "doc_id long, label long")
+    edges = (nc.select(F.least("new_id", "corpus_id").alias("u"),
+                       F.greatest("new_id", "corpus_id").alias("v"))
+             .unionByName(nn.select(F.col("doc1").alias("u"),
+                                    F.col("doc2").alias("v")))
+             .dropDuplicates(["u", "v"]))
+    (edges.withColumn("ingest_batch", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_batch").parquet(path + "/edges"))
+    wdf = (spark.createDataFrame(winner_rows, "blabel long, w long")
+           if winner_rows
+           else spark.createDataFrame([], "blabel long, w long"))
+    (bl.join(F.broadcast(wdf), "blabel", "left")
+     .select("doc_id",
+             F.coalesce("w", "blabel").cast("long").alias("label"))
      .withColumn("ingest_batch", F.lit(int(batch_id)))
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("ingest_batch").parquet(path + "/labels"))
     merges = _read_merges(spark, path)
     changed = False
-    for lab in {v for v in lab_of.values()}:
-        w = find(lab) if lab in parent else lab
+    for lab in {c for _, c in pairs}:
+        w = find(lab)
         if w != lab:
             merges[lab] = w
             changed = True
@@ -2145,16 +2158,22 @@ def compact_cluster_index(spark: SparkSession, path: str,
                           exclude_batch: int | None = None) -> None:
     """Background-fold the artifact: resolve the merges overlay INTO
     labels/ (one pass, rewritten rename-aside), fold edge/label batch
-    provenance into the base partition, and empty the overlay. Resolved
-    reads are invariant (cluster_labels_of composes the same mapping);
-    the overlay returns to zero join-side rows. ``exclude_batch`` keeps
-    the in-flight batch's partition tags (the auto-compaction retry
-    contract — its rows still fold through the merge RESOLUTION, which
-    is value-idempotent: a retry recomputes the same final labels
-    against the now-resolved corpus). Same maintenance-window caveat as
-    every swap recipe here."""
+    provenance into the base partition, empty the overlay, and fold
+    the EMBEDDED LSH probe index's batch partitions too (ADVICE r10:
+    update_cluster_index appends sig/bands per batch, so a
+    never-LSH-folded artifact would reopen one file set per
+    ever-ingested batch at every probe — the exact growth this
+    compaction family bounds). Resolved reads are invariant
+    (cluster_labels_of composes the same mapping); the overlay returns
+    to zero join-side rows. ``exclude_batch`` keeps the in-flight
+    batch's partition tags (the auto-compaction retry contract — its
+    rows still fold through the merge RESOLUTION, which is
+    value-idempotent: a retry recomputes the same final labels against
+    the now-resolved corpus). Same maintenance-window caveat as every
+    swap recipe here."""
     import os
     import shutil
+    compact_lsh_index(spark, path + "/lsh", exclude_batch=exclude_batch)
     merges = spark.read.parquet(path + "/merges") \
         .withColumnRenamed("old_label", "label")
     resolved = (spark.read.parquet(path + "/labels")

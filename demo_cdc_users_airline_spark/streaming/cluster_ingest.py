@@ -45,15 +45,25 @@ class StreamingClusterIngest:
 
     Auto-compaction (the fourth member of the in-loop hook family):
     with ``compact_check_every=N`` > 0, every Nth batch the maintainer
-    folds when the dedup_cluster_compaction_policy census says so — a
-    non-empty merges overlay (every entry is a broadcast-join-side row
-    each resolved read pays) or a foldable edge/label batch (neither
-    base nor the batch being committed) — via
+    folds when the dedup_cluster_compaction_policy census says so — an
+    accumulated merges overlay (every entry is a broadcast-join-side
+    row each resolved read pays) or a foldable edge/label batch
+    (neither base nor the batch being committed) — via
     ``compact_cluster_index(exclude_batch=…)``, so the in-flight
-    batch's partitions stay replaceable for foreachBatch retries."""
+    batch's partitions stay replaceable for foreachBatch retries.
+
+    The overlay-driven fold is gated on ``overlay_fold_min`` entries
+    (ADVICE r10): the fold rewrites the FULL labels/edges tables, so
+    firing it on ANY non-empty overlay would make every
+    merge-producing batch pay an O(corpus) rewrite — resolved reads
+    are one broadcast join regardless of overlay size, so a small
+    overlay costs effectively nothing until it accumulates. A foldable
+    BATCH still triggers as before (that is the file-set growth the
+    fold exists to bound, amortized by the check cadence)."""
 
     index_path: str
     compact_check_every: int = 0  # 0 = compaction hook disabled
+    overlay_fold_min: int = 4     # fold on overlay size >= this
 
     def __post_init__(self) -> None:
         self._batches_since_compact = 0
@@ -71,13 +81,13 @@ class StreamingClusterIngest:
                 self._maybe_compact(spark, int(batch_id))
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
-        overlay = spark.read.parquet(
-            self.index_path + "/merges").limit(1).count()
+        overlay = (spark.read.parquet(self.index_path + "/merges")
+                   .limit(self.overlay_fold_min).count())
         foldable = (spark.read.parquet(self.index_path + "/labels")
                     .select("ingest_batch").distinct()
                     .filter(~F.col("ingest_batch").isin(
                         -1, int(batch_id))).limit(1).count())
-        if not overlay and not foldable:
+        if overlay < self.overlay_fold_min and not foldable:
             return False
         compact_cluster_index(spark, self.index_path,
                               exclude_batch=int(batch_id))

@@ -186,3 +186,57 @@ def test_crash_mid_update_heals_on_retry(spark, tmp_path, monkeypatch):
             update_cluster_index(spark, path2, _batch_df(spark, BATCH1), 1)
     update_cluster_index(spark, path2, _batch_df(spark, BATCH1), 1)
     assert _resolved(spark, path2) == EXPECTED
+
+
+def test_all_dup_batch_contracts_before_the_driver(spark, tmp_path,
+                                                   monkeypatch):
+    """The crawl-dump pathology (VERDICT r10 hardening): every batch
+    doc is the same template, so the within-batch candidate set is
+    all-pairs (n²/2 raw edges). The update must contract the batch to
+    its COMPONENTS before anything reaches the driver — force the
+    in-batch CC onto its distributed star rounds (local finish capped
+    at 2 edges) and prove the labels still come out exact."""
+    import demo_cdc_users_airline_spark.operators.dedup as dd
+
+    sf = _write_corpus(tmp_path / "corpus", BASE)
+    path = build_cluster_index(spark, sf, str(tmp_path / "clu"))
+
+    real_cc = dd.connected_components
+
+    def capped_cc(edges, nodes, local_finish_max_edges=None, **kw):
+        return real_cc(edges, nodes, local_finish_max_edges=2, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(dd, "connected_components", capped_cc)
+        batch = {16 * i: B for i in range(1, 9)}  # 8 dups, one template
+        update_cluster_index(spark, path, _batch_df(spark, batch), 0)
+
+    got = _resolved(spark, path)
+    # every batch doc joined the B cluster (corpus min id 2 wins)
+    assert all(got[16 * i] == 2 for i in range(1, 9))
+    # and the whole artifact equals the exact CC fixpoint over its own
+    # persisted edge set (the first test's independent check)
+    edges = (spark.read.parquet(path + "/edges")
+             .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    nodes = spark.createDataFrame(
+        [(i,) for i in sorted({**BASE, **batch})], "doc_id long")
+    want = {int(r["doc_id"]): int(r["label"]) for r in
+            connected_components(edges, nodes).collect()}
+    assert got == want
+
+
+def test_compaction_folds_embedded_lsh(spark, tmp_path):
+    """compact_cluster_index also folds the artifact's own LSH probe
+    index (ADVICE r10): without it, long-running streaming opens one
+    sig/bands file set per ever-ingested batch at every probe."""
+    path = _grown(spark, tmp_path)
+    before = _resolved(spark, path)
+    compact_cluster_index(spark, path)
+    for sub in ("sig", "bands"):
+        assert {r[0] for r in spark.read.parquet(f"{path}/lsh/{sub}")
+                .select("ingest_batch").distinct().collect()} == {-1}
+    # probes against the folded index still land the next increment
+    update_cluster_index(spark, path, _batch_df(spark, {48: A}), 2)
+    after = _resolved(spark, path)
+    assert after[48] == 0
+    assert {k: v for k, v in after.items() if k != 48} == before

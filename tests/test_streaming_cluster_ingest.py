@@ -111,3 +111,30 @@ def test_autocompact_folds_overlay_and_batches_in_loop(spark, tmp_path):
         spark.createDataFrame(sorted(batch.items()), SCHEMA), int(last))
     assert _resolved(spark, path) == EXPECTED
     assert spark.read.parquet(path + "/labels").count() == len(EXPECTED)
+
+
+def test_overlay_fold_is_gated_on_size(spark, tmp_path):
+    """ADVICE r10: a small merges overlay alone must NOT trigger the
+    O(corpus) labels/edges rewrite — resolved reads pay one broadcast
+    join regardless — until it accumulates past overlay_fold_min."""
+    sf = _write_corpus(tmp_path / "corpus", BASE)
+    path = build_cluster_index(spark, sf, str(tmp_path / "clu"))
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        update_cluster_index,
+    )
+    b0 = spark.createDataFrame(sorted(BATCH0.items()), SCHEMA)
+    update_cluster_index(spark, path, b0, 0)  # produces merges {2: 0}
+    assert spark.read.parquet(path + "/merges").count() == 1
+
+    # overlay of 1 < overlay_fold_min and no foldable batch (only the
+    # base and the in-flight batch 0) -> no fold
+    pipe = StreamingClusterIngest(index_path=path, compact_check_every=1)
+    assert pipe._maybe_compact(spark, 0) is False
+    assert spark.read.parquet(path + "/merges").count() == 1
+
+    # lowering the gate makes the same overlay fold
+    eager = StreamingClusterIngest(index_path=path,
+                                   compact_check_every=1,
+                                   overlay_fold_min=1)
+    assert eager._maybe_compact(spark, 0) is True
+    assert spark.read.parquet(path + "/merges").count() == 0
