@@ -69,22 +69,48 @@ class StreamingIvfIngest:
     swap itself is the one-pointer-replace publish. The rebuild keeps
     batch provenance so a batch retried ACROSS the swap still replaces
     its own partitions (append_to_ivf_index purges them under the new
-    codebook's assignment)."""
+    codebook's assignment).
+
+    Trend trigger (VERDICT r10 item 3): ``trend_window_batches=W`` > 0
+    adds a second, HISTORY-derived gate at the same check cadence —
+    the mean q_err of the last W report batches vs the mean of
+    everything older than the window, at ``trend_qerr_ratio_ppm``.
+    A drift arriving as many mild batches (each under the per-batch
+    threshold) accumulates in the window and fires there; report rows
+    older than the last rebuild never enter a window (they were
+    measured under the retired codebook)."""
 
     index_path: str
     report_table: AppendTable
     rebuild_check_every: int = 0          # 0 = hook disabled
     rebuild_qerr_ratio_ppm: int = 2_000_000  # batch avg > 2× live avg
     compact_check_every: int = 0          # 0 = compaction hook disabled
+    # trend trigger (VERDICT r10 item 3): a slow drift where every
+    # single batch stays under rebuild_qerr_ratio_ppm never fires the
+    # per-batch check — the trend check compares the mean q_err of the
+    # last `trend_window_batches` batches (from the accumulated report
+    # HISTORY) against the mean of everything OLDER than the window,
+    # at a lower threshold. 0 = disabled.
+    trend_window_batches: int = 0
+    trend_qerr_ratio_ppm: int = 1_500_000  # window avg > 1.5× older avg
 
     def __post_init__(self) -> None:
         self._batches_since_check = 0
         self._batches_since_compact = 0
         # (sum q_err, n rows) of the live index under its current
-        # codebook — the drift reference point; recomputed lazily after
-        # each rebuild (one bounded column aggregate per rebuild cycle,
-        # NOT per batch)
+        # codebook, MAINTAINED per batch (ADVICE r10: a once-cached
+        # anchor aged as appends accumulated — "exclude the batch
+        # under test" only held for the first check after a reset).
+        # Recomputed from the cells table after a rebuild (new
+        # codebook), then each committed batch's report stats fold in
+        # incrementally, so at every check the anchor is exactly
+        # "everything except the batch under test".
         self._live_stats: tuple[int, int] | None = None
+        self._folded: set[int] = set()  # batch ids folded into the anchor
+        # report rows with ingest_batch_id <= this predate the last
+        # rebuild (measured under the RETIRED codebook) and must never
+        # enter a trend window against the new one
+        self._trend_floor: int | None = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -128,16 +154,28 @@ class StreamingIvfIngest:
                   .drop("sum_q_err_dec"))
         self.report_table.append_idempotent(report, batch_id)
 
+        fired = False
         if self.rebuild_check_every > 0:
             self._batches_since_check += 1
             if self._batches_since_check >= self.rebuild_check_every:
                 self._batches_since_check = 0
-                self._maybe_rebuild(spark, int(batch_id))
+                fired = self._maybe_rebuild(spark, int(batch_id))
         if self.compact_check_every > 0:
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_check_every:
                 self._batches_since_compact = 0
                 self._maybe_compact(spark, int(batch_id))
+        # fold the committed batch into the live anchor so the NEXT
+        # check's reference excludes only ITS batch under test; a
+        # rebuild resets the cache instead (the new codebook re-anchors
+        # from the cells table), and a same-process retry never folds
+        # its identical stats twice
+        if (not fired and self._live_stats is not None
+                and int(batch_id) not in self._folded):
+            b_sum, b_n = self._batch_report_stats(spark, int(batch_id))
+            self._live_stats = (self._live_stats[0] + b_sum,
+                                self._live_stats[1] + b_n)
+            self._folded.add(int(batch_id))
 
     def _maybe_compact(self, spark, batch_id: int) -> bool:
         """The compaction policy census acted on in-loop (the decision
@@ -156,12 +194,29 @@ class StreamingIvfIngest:
             return False
         compact_ivf_index(spark, self.index_path,
                           exclude_batch=int(batch_id))
-        self._live_stats = None  # base row set changed shape, re-anchor
+        # NO anchor reset: compaction folds partitions but changes no
+        # row's q_err (same rows, same codebook) — the maintained
+        # anchor stays exact across the fold
         return True
 
     # -- auto-rebuild hook --------------------------------------------------
 
+    def _batch_report_stats(self, spark, batch_id: int) -> tuple[int, int]:
+        """(sum q_err, n rows) of one batch, from its own report slice
+        (footer-pruned by ingest_batch_id — a k-row read)."""
+        rep = (spark.read.parquet(self.report_table.path)
+               .filter(F.col("ingest_batch_id") == int(batch_id))
+               .agg(F.sum(F.col("sum_q_err").cast("decimal(38,0)"))
+                    .alias("s"),
+                    F.sum("n_added").alias("n")).collect()[0])
+        return int(rep["s"] or 0), int(rep["n"] or 0)
+
     def _live_index_stats(self, spark, batch_id: int) -> tuple[int, int]:
+        """The drift reference: (sum q_err, n) of everything in the
+        index EXCEPT the batch under test — recomputed from the cells
+        table only after a rebuild (new codebook), then maintained
+        incrementally from each committed batch's report (ADVICE r10:
+        the once-per-cycle cache aged as appends accumulated)."""
         if self._live_stats is None:
             # the anchor must NOT include the batch under test: the
             # append already landed, and folding a large drifted batch
@@ -173,19 +228,47 @@ class StreamingIvfIngest:
                         .alias("s"),
                         F.count(F.lit(1)).alias("n")).collect()[0])
             self._live_stats = (int(row["s"] or 0), int(row["n"] or 0))
-        return self._live_stats
+            self._folded = set()
+        live_sum, live_n = self._live_stats
+        if int(batch_id) in self._folded:
+            # a same-process retry re-checks a batch already folded in:
+            # subtract its (deterministic, hence identical) stats so
+            # the anchor never includes the batch under test
+            b_sum, b_n = self._batch_report_stats(spark, int(batch_id))
+            live_sum, live_n = live_sum - b_sum, live_n - b_n
+        return live_sum, live_n
 
-    def _maybe_rebuild(self, spark, batch_id: int) -> bool:
-        """The check-every-N-batches drift gate: reread THIS batch's
-        k-row report slice (footer-pruned by ingest_batch_id), compare
-        its mean q_err against the live index's mean, rebuild on
-        breach. Returns whether the rebuild fired (for tests/ops)."""
+    def _window_report_stats(self, spark,
+                             batch_id: int) -> tuple[int, int, int]:
+        """(sum q_err, n rows, n batches) of the trend window: the last
+        ``trend_window_batches`` distinct report batches up to and
+        including the batch under test, never reaching below the last
+        rebuild (those rows were measured under the retired codebook).
+        Driver work is one distinct-id collect bounded by the batches
+        appended this rebuild cycle."""
         rep = (spark.read.parquet(self.report_table.path)
-               .filter(F.col("ingest_batch_id") == batch_id)
+               .filter(F.col("ingest_batch_id") <= int(batch_id)))
+        if self._trend_floor is not None:
+            rep = rep.filter(F.col("ingest_batch_id") > self._trend_floor)
+        ids = sorted(r[0] for r in rep.select("ingest_batch_id")
+                     .distinct().collect())[-self.trend_window_batches:]
+        if not ids:
+            return 0, 0, 0
+        row = (rep.filter(F.col("ingest_batch_id").isin(ids))
                .agg(F.sum(F.col("sum_q_err").cast("decimal(38,0)"))
                     .alias("s"),
                     F.sum("n_added").alias("n")).collect()[0])
-        b_sum, b_n = int(rep["s"] or 0), int(rep["n"] or 0)
+        return int(row["s"] or 0), int(row["n"] or 0), len(ids)
+
+    def _maybe_rebuild(self, spark, batch_id: int) -> bool:
+        """The check-every-N-batches drift gate: reread THIS batch's
+        k-row report slice, compare its mean q_err against the live
+        index's mean, rebuild on breach. With the trend trigger
+        enabled, additionally compare the last-W-batches window mean
+        against the mean of everything OLDER than the window (windowed
+        history catches the slow drift no single batch breaches).
+        Returns whether the rebuild fired (for tests/ops)."""
+        b_sum, b_n = self._batch_report_stats(spark, batch_id)
         if b_n == 0:
             return False  # empty micro-batch: nothing to measure
         live_sum, live_n = self._live_index_stats(spark, batch_id)
@@ -194,11 +277,27 @@ class StreamingIvfIngest:
         # batch_avg > (ratio_ppm / 1e6) × live_avg, cross-multiplied —
         # exact integer arithmetic, no float fraction (the threshold
         # rule from CLAUDE.md), driver-side Python ints can't overflow
-        if (b_sum * live_n * 1_000_000
-                <= self.rebuild_qerr_ratio_ppm * live_sum * b_n):
+        fire = (b_sum * live_n * 1_000_000
+                > self.rebuild_qerr_ratio_ppm * live_sum * b_n)
+        if not fire and self.trend_window_batches > 0:
+            w_sum, w_n, w_k = self._window_report_stats(spark, batch_id)
+            # a trend needs persistence: only a FULL window fires
+            if w_k >= self.trend_window_batches and w_n > 0:
+                # older = (anchor ∪ batch) − window, all exact integers
+                # (the anchor excludes the batch under test; the window
+                # includes it) — so the reference can never be diluted
+                # by the very drift being measured
+                o_sum = live_sum + b_sum - w_sum
+                o_n = live_n + b_n - w_n
+                fire = (o_n > 0
+                        and w_sum * o_n * 1_000_000
+                        > self.trend_qerr_ratio_ppm * o_sum * w_n)
+        if not fire:
             return False
         rebuild_ivf_index(spark, self.index_path, keep_provenance=True)
         self._live_stats = None  # re-anchor on the NEW codebook
+        self._folded = set()
+        self._trend_floor = int(batch_id)
         return True
 
     def start(self, vectors: DataFrame, checkpoint_dir: str,

@@ -218,3 +218,105 @@ def test_auto_rebuild_does_not_fire_in_distribution(spark, tmp_path):
     pipe.process_batch(b0, 0)
     # no drift → no rebuild: the index stays on the flat (build) layout
     assert not (tmp_path / "idx" / "_ivf_live.json").exists()
+
+
+# -- trend trigger (VERDICT r10): gradual drift each single batch is too
+#    mild to breach the per-batch ratio, but the accumulated report
+#    window catches ---------------------------------------------------------
+
+
+def _mild_drift_batches(spark, path, n_batches, target_ratio_num,
+                        target_ratio_den):
+    """Batches of centroid copies shifted by an INTEGER micro-unit m
+    per coordinate, chosen so each batch's mean q_err ≈ (num/den) ×
+    the base mean — exactly quantized (64·m² per row), so the ratio is
+    analytic, not luck."""
+    import math
+    cells = spark.read.parquet(ivf_cells_path(path))
+    row = cells.agg(F.sum(F.col("q_err").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    base_mean = int(row["s"]) / int(row["n"])
+    m = round(math.sqrt(base_mean * target_ratio_num
+                        / (target_ratio_den * 64)))
+    batches = []
+    for b in range(n_batches):
+        rows = [(30_000_000 + 100 * b + i,
+                 [(x + m) / 1e6 for x in vec])
+                for i, (_, vec) in enumerate(
+                    load_codebook(spark, ivf_codebook_path(path))[:6])]
+        batches.append(rows)
+    ratio = 64 * m * m / base_mean
+    return batches, ratio
+
+
+def test_trend_trigger_catches_slow_drift_per_batch_misses(
+        spark, tmp_path):
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    batches, ratio = _mild_drift_batches(spark, path, 3, 17, 10)
+    # the scenario is only meaningful strictly between the thresholds
+    assert 1.55 < ratio < 1.95, ratio
+
+    # control: per-batch threshold alone (2x) provably misses — every
+    # batch lands, no rebuild ever fires
+    report = AppendTable(spark, str(tmp_path / "report"))
+    pipe = StreamingIvfIngest(index_path=path, report_table=report,
+                              rebuild_check_every=1)
+    for b, rows in enumerate(batches):
+        pipe.process_batch(spark.createDataFrame(rows, SCHEMA), b)
+    assert not (tmp_path / "idx" / "_ivf_live.json").exists()
+
+    # trend window (1.5x over the last 2 batches vs everything older):
+    # batch 0 leaves the window incomplete, batch 1 fires the rebuild
+    path2 = build_ivf_index(spark, SF, str(tmp_path / "idx2"))
+    batches2, ratio2 = _mild_drift_batches(spark, path2, 3, 17, 10)
+    assert 1.55 < ratio2 < 1.95, ratio2
+    report2 = AppendTable(spark, str(tmp_path / "report2"))
+    pipe2 = StreamingIvfIngest(index_path=path2, report_table=report2,
+                               rebuild_check_every=1,
+                               trend_window_batches=2)
+    pipe2.process_batch(spark.createDataFrame(batches2[0], SCHEMA), 0)
+    assert not (tmp_path / "idx2" / "_ivf_live.json").exists()
+    pipe2.process_batch(spark.createDataFrame(batches2[1], SCHEMA), 1)
+    assert (tmp_path / "idx2" / "_ivf_live.json").exists()
+
+    # the rebuild retrained on everything indexed: codebook == fresh
+    # Lloyd over the index's own vectors, batch provenance preserved
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        kmeans_fit,
+    )
+    cells = spark.read.parquet(ivf_cells_path(path2))
+    assert {r[0] for r in cells.select("ingest_batch").distinct()
+            .collect()} == {-1, 0, 1}
+    vecs = cells.select(F.col("vec_id").alias("id"), "vec")
+    assert load_codebook(spark, ivf_codebook_path(path2)) == \
+        kmeans_fit(vecs)
+
+    # post-rebuild, pre-rebuild report rows are fenced off the window
+    # (retired codebook): the next mild batch re-arms a FRESH window
+    # of 1 < W, so nothing fires on it
+    pipe2.process_batch(spark.createDataFrame(batches2[2], SCHEMA), 2)
+    assert ivf_cells_path(str(tmp_path / "idx2")).endswith("/v1/cells")
+
+
+def test_anchor_tracks_committed_batches(spark, tmp_path):
+    """ADVICE r10: the drift anchor must not age — after mild batches
+    commit, the reference at the next check includes them (exactly
+    everything except the batch under test)."""
+    path = build_ivf_index(spark, SF, str(tmp_path / "idx"))
+    report = AppendTable(spark, str(tmp_path / "report"))
+    pipe = StreamingIvfIngest(index_path=path, report_table=report,
+                              rebuild_check_every=1)
+    b0 = spark.createDataFrame(_dequantized_centroids(spark, path, 6),
+                               SCHEMA)
+    pipe.process_batch(b0, 0)
+    # the committed batch folded into the maintained anchor...
+    want = (spark.read.parquet(ivf_cells_path(path))
+            .agg(F.sum(F.col("q_err").cast("decimal(38,0)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")).collect()[0])
+    assert pipe._live_stats == (int(want["s"] or 0), int(want["n"]))
+    # ...and a retry of the same batch sees it SUBTRACTED back out
+    # (the anchor never includes the batch under test)
+    live = pipe._live_index_stats(spark, 0)
+    b_stats = pipe._batch_report_stats(spark, 0)
+    assert live == (pipe._live_stats[0] - b_stats[0],
+                    pipe._live_stats[1] - b_stats[1])
