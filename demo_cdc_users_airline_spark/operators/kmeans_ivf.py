@@ -215,21 +215,38 @@ SELECT cell, count(*) AS n_vectors,
 FROM asgfin GROUP BY cell ORDER BY cell""")
 
 
+# Quantized-cosine oracle fragments (VERDICT r10 #7: the top-k probes
+# now share the module-wide int64 fixed-point convention — exact
+# order-independent integer dots surfaced as doubles, then ONE
+# engine-identical IEEE tree ``dot / sqrt(nn_a * nn_b)`` — instead of
+# the probe family's former double sequential fold, the last
+# engine-DEPENDENT float path in the catalog).
+_QNN_CTES = f"""qn AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qnn AS (SELECT vec_id, qv,
+               list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+        FROM qn)"""
+_QCOS = ("list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])"
+         " / sqrt(a.nn * b.nn)")
+
+
 def _learned_probe_oracle_sql(k: int = 8, iters: int = 3, topk: int = 3) -> str:
     """Learned-IVF probe: the kmeans CTEs assign every vector a cell,
-    then each query probes only its own cell with exact cosine top-k
-    (double sequential dot — the empirically engine-identical fold)."""
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    then each query probes only its own cell with quantized-int64
+    cosine top-k (the module convention — see _QNN_CTES)."""
     return ("WITH " + _kmeans_ctes(k, iters) + f""",
+{_QNN_CTES},
 pairs AS (
   SELECT qa.vec_id AS query_id, qa.cell AS cell,
-         ba.vec_id AS neighbor_id, {cos} AS cosine
+         ba.vec_id AS neighbor_id, {_QCOS} AS cosine
   FROM asgfin qa
   JOIN asgfin ba ON ba.cell = qa.cell AND ba.vec_id <> qa.vec_id
-  JOIN embeddings a ON a.vec_id = qa.vec_id
-  JOIN embeddings b ON b.vec_id = ba.vec_id
+  JOIN qnn a ON a.vec_id = qa.vec_id
+  JOIN qnn b ON b.vec_id = ba.vec_id
   WHERE qa.vec_id < 8
 )
 SELECT query_id, cell, neighbor_id, cosine FROM pairs
@@ -261,21 +278,19 @@ def probe_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]],
 
 def _nprobe_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
                        topk: int = 3) -> str:
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
     return ("WITH " + _kmeans_ctes(k, iters) + f""",
+{_QNN_CTES},
 probe AS (
   SELECT vec_id AS query_id, cid AS probe_cell
   FROM dfin WHERE vec_id < 8
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
 ),
 pairs AS (
-  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  SELECT p.query_id, c.vec_id AS neighbor_id, {_QCOS} AS cosine
   FROM probe p
   JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
-  JOIN embeddings a ON a.vec_id = p.query_id
-  JOIN embeddings b ON b.vec_id = c.vec_id
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
 )
 SELECT query_id, neighbor_id, cosine FROM pairs
 QUALIFY row_number() OVER (PARTITION BY query_id
@@ -327,36 +342,38 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end learned ANN: fit the k-means codebook, assign every
     vector its learned cell (replacing similarity_topk_ivf's given
-    ``label`` stand-in), then probe each query's own cell with exact
-    cosine top-3 — the full IVF index lifecycle (train → assign →
-    probe), hash-exact against the unrolled oracle.
+    ``label`` stand-in), then probe each query's own cell with
+    quantized-int64 cosine top-3 (the module convention, VERDICT r10
+    #7 — exact integer dots, one engine-identical IEEE tree) — the
+    full IVF index lifecycle (train → assign → probe), hash-exact
+    against the unrolled oracle.
 
     Scale path: assignment is the map-only broadcast-codebook pass; at
     100 TB the assigned table is written partitioned by cell, so a probe
-    reads 1/k of the files; the query set broadcasts (bounded)."""
+    reads 1/k of the files; the query set broadcasts (bounded). The
+    quantized vectors ride the assignment pass — no join back to the
+    embeddings table."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from .similarity import qdot
+
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     assigned = (assign_cells(_quantized_vectors(spark, sf_dir), centroids)
-                .select(F.col("id").alias("vec_id"), "cell"))
-    with_emb = assigned.join(emb, "vec_id")
-    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    queries = (with_emb.filter(F.col("vec_id") < 8)
+                .select(F.col("id").alias("vec_id"), "cell", "vec"))
+    queries = (assigned.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("cell").alias("q_cell"),
-                       F.col("emb").alias("q_emb")))
-    cand = (with_emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("vec").alias("q_vec"))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
+    cand = (assigned.select(F.col("vec_id").alias("neighbor_id"),
                             F.col("cell").alias("c_cell"),
-                            F.col("emb").alias("c_emb"))
-            .withColumn("c_norm", F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
+                            F.col("vec").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
     joined = cand.join(F.broadcast(queries),
                        (F.col("c_cell") == F.col("q_cell"))
                        & (F.col("neighbor_id") != F.col("query_id")))
-    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
-              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb"))) * F.col("c_norm")))
+    cosine = (qdot("q_vec", "c_vec")
+              / F.sqrt(F.col("q_nn") * F.col("c_nn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (joined.select("query_id",
@@ -373,32 +390,34 @@ def _ivf_nprobe_topk(spark: SparkSession, sf_dir: str,
                      ) -> DataFrame:
     """Learned-IVF nprobe search, parameterized — the shared engine
     behind similarity_topk_ivf_nprobe, the recall curve, and the
-    staleness check (which passes its own — stale — codebook)."""
+    staleness check (which passes its own — stale — codebook).
+    Quantized-int64 cosine (the module convention, VERDICT r10 #7);
+    the quantized vectors ride the assignment/probe passes — no join
+    back to the embeddings table."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from .similarity import qdot
+
     if centroids is None:
         centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     vq = _quantized_vectors(spark, sf_dir)
     assigned = (assign_cells(vq, centroids)
-                .select(F.col("id").alias("vec_id"), "cell"))
-    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+                .select(F.col("id").alias("vec_id"), "cell", "vec"))
     queries = (probe_cells(vq.filter(F.col("id") < 8), centroids,
                            nprobe=nprobe)
-               .select(F.col("id").alias("query_id"), "probe_cell")
-               .join(emb.select(F.col("vec_id").alias("query_id"),
-                                F.col("emb").alias("q_emb")), "query_id"))
-    cand = (assigned.join(emb, "vec_id")
+               .select(F.col("id").alias("query_id"), "probe_cell",
+                       F.col("vec").alias("q_vec"))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
+    cand = (assigned
             .select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("cell").alias("c_cell"), F.col("emb").alias("c_emb"))
-            .withColumn("c_norm", F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
+                    F.col("cell").alias("c_cell"),
+                    F.col("vec").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
     joined = cand.join(F.broadcast(queries),
                        (F.col("c_cell") == F.col("probe_cell"))
                        & (F.col("neighbor_id") != F.col("query_id")))
-    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
-              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb"))) * F.col("c_norm")))
+    cosine = (qdot("q_vec", "c_vec")
+              / F.sqrt(F.col("q_nn") * F.col("c_nn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
@@ -428,27 +447,25 @@ RECALL_K = 3
 
 def _ann_recall_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
                            topk: int = RECALL_K) -> str:
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
     return ("WITH " + _kmeans_ctes(k, iters) + f""",
+{_QNN_CTES},
 probe AS (
   SELECT vec_id AS query_id, cid AS probe_cell
   FROM dfin WHERE vec_id < 8
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
 ),
 approx AS (
-  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  SELECT p.query_id, c.vec_id AS neighbor_id, {_QCOS} AS cosine
   FROM probe p
   JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
-  JOIN embeddings a ON a.vec_id = p.query_id
-  JOIN embeddings b ON b.vec_id = c.vec_id
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
   QUALIFY row_number() OVER (PARTITION BY p.query_id
                              ORDER BY cosine DESC, neighbor_id) <= {topk}
 ),
 brute AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cosine
+  FROM qnn a JOIN qnn b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY cosine DESC, b.vec_id) <= {topk}
@@ -476,8 +493,8 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog search operators verbatim, so both keep their own oracles.
 
     The comparison is on neighbor-ID SETS (both sides totally ordered
-    by (cosine DESC, neighbor_id), exact doubles → identical sets on
-    both engines); n_hits is an integer and recall divides it once.
+    by (cosine DESC, neighbor_id), quantized-int64 cosines → identical
+    sets on both engines); n_hits is an integer, recall divides once.
     Scale path: inherits each side's documented layout — brute scans
     candidates once against the broadcast bounded query set, IVF
     probes nprobe/nlist of the data; the hit join is queries×k rows."""
@@ -510,13 +527,11 @@ CURVE_NPROBES = (1, 2, 4)
 
 def _ann_recall_curve_oracle_sql(k: int = 8, iters: int = 3,
                                  topk: int = RECALL_K) -> str:
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
     parts = ["WITH " + _kmeans_ctes(k, iters) + f""",
+{_QNN_CTES},
 brute AS MATERIALIZED (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cosine
+  FROM qnn a JOIN qnn b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY cosine DESC, b.vec_id) <= {topk}
@@ -530,11 +545,11 @@ probe{n} AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {n}
 ),
 approx{n} AS (
-  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  SELECT p.query_id, c.vec_id AS neighbor_id, {_QCOS} AS cosine
   FROM probe{n} p
   JOIN asgfin c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
-  JOIN embeddings a ON a.vec_id = p.query_id
-  JOIN embeddings b ON b.vec_id = c.vec_id
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
   QUALIFY row_number() OVER (PARTITION BY p.query_id
                              ORDER BY cosine DESC, neighbor_id) <= {topk}
 ),
@@ -590,9 +605,11 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operating point is exactly the probe_rank < n prefix, so every
     # point shares this single scored-pair frame instead of re-running
     # the scan per point (the slice order makes prefixes point-exact).
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("emb"))
+    # Quantized-int64 cosine (the module convention, VERDICT r10 #7);
+    # the quantized vectors ride the probe/assignment passes — no join
+    # back to the embeddings table.
+    from .similarity import qdot
+
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     vq = _quantized_vectors(spark, sf_dir)
     max_np = max(CURVE_NPROBES)
@@ -607,23 +624,18 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (vq.filter(F.col("id") < 8)
                .crossJoin(F.broadcast(cb))
                .select(F.col("id").alias("query_id"),
+                       F.col("vec").alias("q_vec"),
                        F.posexplode(top).alias("probe_rank", "__probe"))
-               .select("query_id", "probe_rank",
+               .select("query_id", "probe_rank", "q_vec",
                        F.col("__probe.cid").alias("probe_cell"))
-               .join(emb.select(F.col("vec_id").alias("query_id"),
-                                F.col("emb").alias("q_emb")), "query_id"))
-    assigned = (assign_cells(vq, centroids)
-                .select(F.col("id").alias("vec_id"), "cell"))
-    dotf = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    cand = (assigned.join(emb, "vec_id")
-            .select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("cell").alias("c_cell"), F.col("emb").alias("c_emb"))
-            .withColumn("c_norm",
-                        F.sqrt(F.expr(dotf.format(a="c_emb", b="c_emb")))))
-    cosine = (F.expr(dotf.format(a="q_emb", b="c_emb"))
-              / (F.sqrt(F.expr(dotf.format(a="q_emb", b="q_emb")))
-                 * F.col("c_norm")))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
+    cand = (assign_cells(vq, centroids)
+            .select(F.col("id").alias("neighbor_id"),
+                    F.col("cell").alias("c_cell"),
+                    F.col("vec").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
+    cosine = (qdot("q_vec", "c_vec")
+              / F.sqrt(F.col("q_nn") * F.col("c_nn")))
     pairs = (cand.join(F.broadcast(queries),
                        (F.col("c_cell") == F.col("probe_cell"))
                        & (F.col("neighbor_id") != F.col("query_id")))
@@ -1186,9 +1198,7 @@ def _prefixed_kmeans_ctes(prefix: str, k: int = 8, iters: int = 3,
 
 def _staleness_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 2,
                           topk: int = RECALL_K) -> str:
-    cos = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-           " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    cos = _QCOS
     old = f"vec_id % {_DRIFT_MOD} <> 0"
     stale_dims = f"""SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0) AS BIGINT) AS val
@@ -1209,8 +1219,8 @@ approx_{tag} AS (
   SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
   FROM probe_{tag} p
   JOIN {asgfin} c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
-  JOIN embeddings a ON a.vec_id = p.query_id
-  JOIN embeddings b ON b.vec_id = c.vec_id
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
   QUALIFY row_number() OVER (PARTITION BY p.query_id
                              ORDER BY cosine DESC, neighbor_id) <= {topk}
 ),
@@ -1240,9 +1250,10 @@ stfull_asg AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
 )"""
     return f"""WITH {chains},
+{_QNN_CTES},
 brute AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  FROM qnn a JOIN qnn b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY cosine DESC, b.vec_id) <= {topk}
@@ -1252,8 +1263,8 @@ approx_stale AS (
   SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
   FROM stfull_probe p
   JOIN stfull_asg c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
-  JOIN embeddings a ON a.vec_id = p.query_id
-  JOIN embeddings b ON b.vec_id = c.vec_id
+  JOIN qnn a ON a.vec_id = p.query_id
+  JOIN qnn b ON b.vec_id = c.vec_id
   QUALIFY row_number() OVER (PARTITION BY p.query_id
                              ORDER BY cosine DESC, neighbor_id) <= {topk}
 ),
@@ -1360,25 +1371,80 @@ def _ivf_index_path(sf_dir: str) -> str:
     return os.path.join(root, "ivf_index", key)
 
 
-def _ivf_live_root(path: str) -> str:
-    """Resolve the LIVE root of the IVF index at ``path``. Two layouts:
+def _live_root(path: str, meta_name: str) -> str:
+    """Resolve the LIVE root of a versioned-pointer artifact at
+    ``path`` — the layout every rebuildable index family shares
+    (IVF here, PQ in pq.py). Two layouts:
 
-    - flat (what ``build_ivf_index`` writes): codebook/ + cells/
-      directly under ``path`` — the root is ``path`` itself;
-    - versioned (what ``rebuild_ivf_index`` publishes): each
-      generation's codebook/ + cells/ live together under one
-      ``v<N>/`` directory and a tiny ``_ivf_live.json`` pointer names
-      the live one. Publishing a rebuild is then ONE atomic
-      ``os.replace`` of the pointer — there is no window where a new
-      codebook serves against old cell assignments (the two-rename
-      swap's mixed-artifact crash window, VERDICT r9)."""
+    - flat (what a fresh build writes): the artifact tables directly
+      under ``path`` — the root is ``path`` itself;
+    - versioned (what a rebuild publishes): each generation's tables
+      live together under one ``v<N>/`` directory and a tiny
+      ``<meta_name>`` pointer names the live one. Publishing a
+      rebuild is then ONE atomic ``os.replace`` of the pointer —
+      there is no window where a new codebook serves against old
+      assignments (the two-rename swap's mixed-artifact crash
+      window, VERDICT r9)."""
     import json
     import os
-    meta = os.path.join(path, "_ivf_live.json")
+    meta = os.path.join(path, meta_name)
     if os.path.exists(meta):
         with open(meta) as f:
             return os.path.join(path, json.load(f)["live"])
     return path
+
+
+def publish_generation(path: str, meta_name: str, new_name: str) -> None:
+    """Publish a staged ``v<N>/`` generation as live — the ONE atomic
+    step of every rebuild swap: fsync'd temp write + ``os.replace`` of
+    the pointer file. A crash strictly before the replace leaves the
+    old generation live; strictly after, the new one. Never both."""
+    import json
+    import os
+    ptr = os.path.join(path, meta_name)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"live": new_name}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
+def stale_generation_dirs(path: str, meta_name: str,
+                          flat_tables: tuple[str, ...]) -> list[str]:
+    """GC census for a versioned-pointer artifact (VERDICT r10 #4):
+    every top-level directory the live pointer does NOT reference —
+    retired ``v<N>`` generations (a crash between publish and retire
+    strands one forever otherwise) and the flat-layout tables shadowed
+    by the first versioned publish. Empty while the index is still
+    flat: without a pointer, the flat tables ARE the live artifact.
+    Reaped (``_retire_dirs``) from rebuild and compaction, so one
+    successful maintenance pass after any crash leaves zero debris."""
+    import json
+    import os
+    import re
+    meta = os.path.join(path, meta_name)
+    if not os.path.exists(meta):
+        return []
+    with open(meta) as f:
+        live = json.load(f)["live"]
+    out = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry == live or not os.path.isdir(full):
+            continue
+        if re.fullmatch(r"v\d+", entry) or entry in flat_tables:
+            out.append(full)
+    return out
+
+
+_IVF_META = "_ivf_live.json"
+_IVF_FLAT_TABLES = ("codebook", "cells")
+
+
+def _ivf_live_root(path: str) -> str:
+    """IVF instance of the versioned-pointer resolver (see _live_root)."""
+    return _live_root(path, _IVF_META)
 
 
 def ivf_codebook_path(path: str) -> str:
@@ -1737,21 +1803,19 @@ def ivf_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
             .drop("__rn"))
 
 
-def compact_ivf_index(spark: SparkSession, path: str,
-                      exclude_batch: int | None = None) -> None:
-    """Background-merge the cells table to one file set per cell —
-    every append_to_ivf_index adds a file per touched cell, so after K
-    ingest batches an nprobe search opens K files per probed cell for
-    rows that could be one run. ``exclude_batch`` keeps the in-flight
-    batch's partitions unfolded (the auto-compaction hook's retry
-    contract — see dedup.compact_lsh_index). Same rename-aside safety
-    and same no-concurrent-append caveat."""
+def _fold_batch_partitions(spark: SparkSession, live: str,
+                           exclude_batch: int | None = None) -> None:
+    """Rename-aside fold of a (cell, ingest_batch)-partitioned table's
+    batch partitions into the base (-1) — the compaction core shared
+    by the IVF cells table and the PQ codes table (pq.py).
+    ``exclude_batch`` keeps the in-flight batch's partitions unfolded
+    (the auto-compaction hook's retry contract — see
+    dedup.compact_lsh_index)."""
     import os
     import shutil
 
     from ..sources.tables import folded_batch_tag
 
-    live = ivf_cells_path(path)
     df = (spark.read.parquet(live)
           .withColumn("ingest_batch",
                       folded_batch_tag("ingest_batch", exclude_batch))
@@ -1764,6 +1828,20 @@ def compact_ivf_index(spark: SparkSession, path: str,
     os.rename(live, old)
     os.rename(tmp, live)
     shutil.rmtree(old)
+
+
+def compact_ivf_index(spark: SparkSession, path: str,
+                      exclude_batch: int | None = None) -> None:
+    """Background-merge the cells table to one file set per cell —
+    every append_to_ivf_index adds a file per touched cell, so after K
+    ingest batches an nprobe search opens K files per probed cell for
+    rows that could be one run. ``exclude_batch`` keeps the in-flight
+    batch's partitions unfolded (the auto-compaction hook's retry
+    contract — see dedup.compact_lsh_index). Same rename-aside safety
+    and same no-concurrent-append caveat. Also reaps stranded
+    generation debris (the rebuild-crash GC — VERDICT r10 #4)."""
+    _fold_batch_partitions(spark, ivf_cells_path(path), exclude_batch)
+    _retire_dirs(stale_generation_dirs(path, _IVF_META, _IVF_FLAT_TABLES))
 
 
 def _ivf_inc_serve_oracle_sql(k: int = 8, iters: int = 3,
@@ -2000,7 +2078,6 @@ def rebuild_ivf_index(spark: SparkSession, path: str,
     retried ACROSS the swap (foreachBatch at-least-once) can still
     replace its own partitions idempotently (see
     streaming/ivf_ingest.py and append_to_ivf_index's purge)."""
-    import json
     import os
     import shutil
 
@@ -2030,14 +2107,12 @@ def rebuild_ivf_index(spark: SparkSession, path: str,
      .partitionBy("cell", "ingest_batch").parquet(new_root + "/cells"))
     vecs.unpersist()
     # PUBLISH — the one atomic step
-    ptr = os.path.join(path, "_ivf_live.json")
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"live": new_name}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, ptr)
-    _retire_dirs(retired)
+    publish_generation(path, _IVF_META, new_name)
+    # retire the displaced generation PLUS any stranded debris of past
+    # crashed swaps (the reaper: post-publish, everything the pointer
+    # doesn't reference is garbage — VERDICT r10 #4)
+    _retire_dirs(sorted(set(retired) | set(
+        stale_generation_dirs(path, _IVF_META, _IVF_FLAT_TABLES))))
 
 
 def _retire_dirs(dirs: list[str]) -> None:

@@ -10,10 +10,11 @@ Three tiers, from exactness to scale:
 - random-hyperplane LSH bucketing — signature via fixed hyperplanes
   (sign patterns), bucket-join for near-dup pairs.
 
-Dot products use ``zip_with``/``aggregate`` on doubles — JVM-side
-sequential folds, bit-identical with the DuckDB oracle's
-``list_dot_product`` (verified empirically), so results hash-match
-exactly.
+Every probe scores with the module's quantized-int64 cosine (see the
+fixed-point comment below): exact order-independent integer dots, one
+engine-identical IEEE tree — hash-exact by arithmetic, not by
+empirical fold-order agreement (the probes' former double sequential
+fold was retired in r11, VERDICT r10 #7).
 """
 
 from __future__ import annotations
@@ -37,17 +38,13 @@ def q(name: str, sql: str | None):
 
 
 def dot(a: str, b: str) -> Column:
-    """Sequential double dot product (whole-stage codegen, no UDF)."""
+    """Sequential double dot product (whole-stage codegen, no UDF).
+    Remaining user: retrieval's hybrid-RRF internal ranking, whose
+    oracle mirrors the same fold — the similarity probes themselves
+    score with qdot (quantized int64, below)."""
     return F.expr(
         f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
         f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-
-_COS_SQL = """
-  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +181,25 @@ def int_pair_cosines(qn: DataFrame, tau: float) -> DataFrame:
         gemm, "vec1 long, vec2 long, cell long, cosine double")
 
 
+# Quantized-cosine oracle pieces for the top-k probes (VERDICT r10 #7:
+# the probe family joined the module's int64 fixed-point convention —
+# exact order-independent integer dots, ONE engine-identical IEEE tree
+# ``dot / sqrt(nn_a * nn_b)``; the former double sequential fold was
+# the catalog's last engine-DEPENDENT float path).
+_QNN_SQL = f"""
+  SELECT vec_id, label, qv,
+         list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
+  FROM ({QUANT_SQL})
+"""
+_QCOS_SQL = ("list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])"
+             " / sqrt(a.nn * b.nn)")
+
+
 @q("similarity_topk_brute", f"""
-WITH pairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WITH qnn AS ({_QNN_SQL}),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS_SQL} AS cosine
+  FROM qnn a JOIN qnn b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
 )
 SELECT query_id, neighbor_id, cosine
@@ -197,7 +209,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """)
 def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
-    the full candidate scan; per-query top-k via window.
+    the full candidate scan; per-query top-k via window. Quantized-int64
+    cosine (the module convention — see the fixed-point comment above),
+    so the ranking is bit-identical on every engine by integer
+    exactness, not by empirical fold-order agreement.
 
     Scale path: candidates are scanned exactly once (no shuffle of the
     big side — the query set broadcasts); top-k per query is a
@@ -205,14 +220,15 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = (e.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb")))
+                       quantize_expr("embedding").alias("q_vec"))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
     cand = (parallel_scan(spark, e, "vec_id")
             .select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("c_emb"))
-            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
+                    quantize_expr("embedding").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
     joined = cand.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    cosine = dot("q_emb", "c_emb") / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm"))
+    cosine = qdot("q_vec", "c_vec") / F.sqrt(F.col("q_nn") * F.col("c_nn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
@@ -221,11 +237,12 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("similarity_topk_ivf", f"""
-WITH pairs AS (
+WITH qnn AS ({_QNN_SQL}),
+pairs AS (
   SELECT a.vec_id AS query_id, a.label AS cell, b.vec_id AS neighbor_id,
-         {_COS_SQL} AS cosine
-  FROM embeddings a
-  JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+         {_QCOS_SQL} AS cosine
+  FROM qnn a
+  JOIN qnn b ON b.label = a.label AND b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
 )
 SELECT query_id, cell, neighbor_id, cosine
@@ -236,7 +253,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: restrict candidates to the query's cell (the
     ``label`` column = coarse-quantizer assignment), then exact top-k
-    within the cell — the inverted-file probe pattern.
+    within the cell — the inverted-file probe pattern. Quantized-int64
+    cosine (the module convention, VERDICT r10 #7).
 
     Scale path: table bucketed/partitioned by cell id ⇒ a probe reads
     1/nlist of the data with partition pruning; the equi-join on cell
@@ -245,16 +263,17 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (e.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("label").alias("cell"),
-                       F.col("embedding").alias("q_emb")))
+                       quantize_expr("embedding").alias("q_vec"))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
     cand = (parallel_scan(spark, e, "vec_id")
             .select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("label").alias("c_cell"),
-                     F.col("embedding").alias("c_emb"))
-            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
+                    F.col("label").alias("c_cell"),
+                    quantize_expr("embedding").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
     joined = (cand.join(F.broadcast(queries),
                         (F.col("c_cell") == F.col("cell"))
                         & (F.col("neighbor_id") != F.col("query_id"))))
-    cosine = dot("q_emb", "c_emb") / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm"))
+    cosine = qdot("q_vec", "c_vec") / F.sqrt(F.col("q_nn") * F.col("c_nn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (joined.select("query_id", "cell", "neighbor_id", cosine.alias("cosine"))
             .withColumn("__rn", F.row_number().over(w))
@@ -672,9 +691,10 @@ RANGE_TAU = 0.3  # range-search radius (cosine); results stay bounded
 
 
 @q("similarity_range_search", f"""
-WITH pairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WITH qnn AS ({_QNN_SQL}),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS_SQL} AS cosine
+  FROM qnn a JOIN qnn b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 8
 )
 SELECT query_id, neighbor_id, cosine
@@ -690,22 +710,22 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set scans candidates once and the τ-filter is map-side, so
     there is NO window, NO shuffle, and the output size is the true
     neighbor count. At 100 TB pre-gate with the IVF cells
-    (kmeans_ivf) exactly as the top-k probes do. Exactness: the same
-    sequential-fold double cosine as similarity_topk_brute (verified
-    bit-identical vs list_dot_product), so the radius cut agrees on
-    every engine."""
+    (kmeans_ivf) exactly as the top-k probes do. Exactness:
+    quantized-int64 cosine (the module convention, VERDICT r10 #7 —
+    exact by integer arithmetic, not empirical fold agreement), so the
+    radius cut agrees on every engine."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = (e.filter(F.col("vec_id") < 8)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb")))
+                       quantize_expr("embedding").alias("q_vec"))
+               .withColumn("q_nn", qdot("q_vec", "q_vec")))
     cand = (parallel_scan(spark, e, "vec_id")
             .select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("c_emb"))
-            .withColumn("c_norm", F.sqrt(dot("c_emb", "c_emb"))))
+                    quantize_expr("embedding").alias("c_vec"))
+            .withColumn("c_nn", qdot("c_vec", "c_vec")))
     joined = cand.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    cosine = (dot("q_emb", "c_emb")
-              / (F.sqrt(dot("q_emb", "q_emb")) * F.col("c_norm")))
+    cosine = qdot("q_vec", "c_vec") / F.sqrt(F.col("q_nn") * F.col("c_nn"))
     return (joined.select("query_id", "neighbor_id",
                           cosine.alias("cosine"))
             .filter(F.col("cosine") >= RANGE_TAU))

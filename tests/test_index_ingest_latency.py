@@ -180,3 +180,42 @@ def test_cluster_ingest_to_read_latency(spark, tmp_path):
     print(f"\ncluster ingest -> readable: {total:.2f}s "
           f"(budget {BUDGET:.0f}s)")
     assert total < BUDGET
+
+
+def test_pq_ingest_to_serve_latency(spark, tmp_path):
+    from demo_cdc_users_airline_spark.operators.pq import (
+        M_SUB,
+        build_pq_index,
+        pq_codes_path,
+    )
+    from demo_cdc_users_airline_spark.streaming.pq_ingest import (
+        StreamingPqIngest,
+    )
+    path = build_pq_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingPqIngest(index_path=path)
+    vec = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") % _DRIFT_MOD == 0)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding"))
+           .orderBy("id").first())
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"id": 1_000_001,
+                    "embedding": list(vec["embedding"])}) + "\n")
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 1).load(str(src))
+              .select(F.from_json(F.col("value"), VEC_SCHEMA).alias("j"))
+              .select("j.id", "j.embedding"))
+    run_once(pipe, stream, tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: the vector's packed code row is an ADC
+    # candidate in its coarse cell
+    got = (spark.read.parquet(pq_codes_path(path))
+           .filter(F.col("vec_id") == 1_000_001).collect())
+    assert len(got) == 1 and len(got[0]["codes"]) == M_SUB
+    print(f"\npq ingest -> serveable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET

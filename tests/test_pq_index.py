@@ -1,0 +1,260 @@
+"""Persisted PQ index lifecycle (VERDICT r10 #1): the compression tier
+as a maintained artifact — build → append (idempotent, even across a
+codebook swap) → serve (partition-pruned, column-pruned) → compact
+(serve-invariant) → rebuild (≡ retrain, one atomic pointer publish) —
+plus the stranded-generation reaper (VERDICT r10 #4) for BOTH the PQ
+and IVF versioned-pointer artifacts."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_cdc_users_airline_spark.operators import kmeans_ivf as ki
+from demo_cdc_users_airline_spark.operators import pq as pqm
+from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+    _DRIFT_MOD,
+    _SERVE_QBOUND,
+    _quantized_vectors,
+    kmeans_fit,
+    load_codebook,
+)
+from demo_cdc_users_airline_spark.operators.pq import (
+    _subvectors_of,
+    append_to_pq_index,
+    build_pq_index,
+    compact_pq_index,
+    load_pq_codebook,
+    pq_codebook_path,
+    pq_codes_path,
+    pq_coarse_path,
+    pq_fit,
+    pq_serve,
+    rebuild_pq_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _inc(spark, sf_dir=SF):
+    return (_quantized_vectors(spark, sf_dir)
+            .filter((F.col("id") % _DRIFT_MOD == 0)
+                    & (F.col("id") >= _SERVE_QBOUND)))
+
+
+def _grown(spark, path, sf_dir=SF):
+    build_pq_index(spark, sf_dir, path)
+    append_to_pq_index(spark, path, _inc(spark, sf_dir), batch_id=0)
+    return path
+
+
+def _codes_rows(spark, path):
+    return sorted(
+        (r["vec_id"], r["cell"], r["ingest_batch"], tuple(r["codes"]))
+        for r in spark.read.parquet(pq_codes_path(path)).collect())
+
+
+def _serve_rows(spark, path, sf_dir=SF):
+    return sorted(tuple(r) for r in pq_serve(spark, sf_dir, path).collect())
+
+
+def test_build_layout_and_grown_serve(spark, tmp_path):
+    path = _grown(spark, str(tmp_path / "idx"))
+    # both codebooks persisted; codes partitioned (cell, ingest_batch)
+    assert load_codebook(spark, pq_coarse_path(path))
+    pq_cb = load_pq_codebook(spark, pq_codebook_path(path))
+    assert {s for s, _, _ in pq_cb} == set(range(pqm.M_SUB))
+    batches = {r[0] for r in spark.read.parquet(pq_codes_path(path))
+               .select("ingest_batch").distinct().collect()}
+    assert batches == {-1, 0}
+    rows = pq_serve(spark, SF, path).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        # queries are the fresh batch; the index holds base + appended
+        assert r["query_id"] % _DRIFT_MOD == 0 and \
+            r["query_id"] < _SERVE_QBOUND
+        assert not (r["neighbor_id"] % _DRIFT_MOD == 0
+                    and r["neighbor_id"] < _SERVE_QBOUND)
+        by_q.setdefault(r["query_id"], []).append(
+            (r["adc_d2"], r["neighbor_id"]))
+    for pairs in by_q.values():
+        assert 1 <= len(pairs) <= pqm.ADC_TOPK
+        assert pairs == sorted(pairs)
+    # the appended increment is actually reachable: with the increment
+    # encoded under the SAVED codebooks, at least the increment's own
+    # near-twin structure must surface SOME increment neighbor unless
+    # the base dominates everywhere — assert the weaker, structural
+    # fact instead: every appended vector is present in the code table
+    inc_ids = {r["id"] for r in _inc(spark).select("id").collect()}
+    idx_ids = {r["vec_id"] for r in spark.read.parquet(pq_codes_path(path))
+               .filter(F.col("ingest_batch") == 0).select("vec_id").collect()}
+    assert idx_ids == inc_ids
+
+
+def test_append_retry_is_idempotent(spark, tmp_path):
+    path = _grown(spark, str(tmp_path / "idx"))
+    before = _codes_rows(spark, path)
+    append_to_pq_index(spark, path, _inc(spark), batch_id=0)  # retry
+    assert _codes_rows(spark, path) == before
+
+
+def test_append_retry_across_rebuild_swap(spark, tmp_path):
+    """A batch retried AFTER a rebuild swapped both codebooks must
+    still replace its own rows exactly (purge-first contract): the new
+    coarse quantizer assigns different cells, so dynamic overwrite
+    alone would strand the pre-swap copies."""
+    path = _grown(spark, str(tmp_path / "idx"))
+    rebuild_pq_index(spark, path, keep_provenance=True)
+    n_before = spark.read.parquet(pq_codes_path(path)).count()
+    append_to_pq_index(spark, path, _inc(spark), batch_id=0)  # retry
+    codes = spark.read.parquet(pq_codes_path(path))
+    assert codes.count() == n_before
+    # exactly one copy of every appended vector
+    dup = (codes.filter(F.col("ingest_batch") == 0)
+           .groupBy("vec_id").count().filter("count > 1").count())
+    assert dup == 0
+
+
+def test_compaction_folds_batches_and_serve_is_invariant(spark, tmp_path):
+    path = _grown(spark, str(tmp_path / "idx"))
+    before = _serve_rows(spark, path)
+    compact_pq_index(spark, path)
+    assert {r[0] for r in spark.read.parquet(pq_codes_path(path))
+            .select("ingest_batch").distinct().collect()} == {-1}
+    assert _serve_rows(spark, path) == before
+    # exclude_batch keeps the in-flight batch unfolded (retry contract)
+    append_to_pq_index(spark, path, _inc(spark), batch_id=7)
+    compact_pq_index(spark, path, exclude_batch=7)
+    assert {r[0] for r in spark.read.parquet(pq_codes_path(path))
+            .select("ingest_batch").distinct().collect()} == {-1, 7}
+
+
+def test_serve_prunes_partitions_and_never_reads_inline_vectors(spark,
+                                                                tmp_path):
+    path = _grown(spark, str(tmp_path / "idx"))
+    plan = pq_serve(spark, SF, path) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    # the ADC scan projects (vec_id, codes) — the inline full-precision
+    # vec column must be pruned out of the codes-table read schema
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "codes" in ln and "ReadSchema" in ln]
+    assert scan_lines and all("vec:" not in ln for ln in scan_lines), plan
+
+
+def test_rebuild_equals_retrain_and_never_scans_source(spark, tmp_path):
+    src = tmp_path / "data"
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF, "embeddings.parquet"),
+                src / "embeddings.parquet")
+    path = _grown(spark, str(tmp_path / "idx"), sf_dir=str(src))
+    n = spark.read.parquet(pq_codes_path(path)).count()
+    spark.catalog.clearCache()  # drop memoized _quantized_vectors
+    shutil.rmtree(src)  # the source corpus is GONE
+
+    rebuild_pq_index(spark, path)  # must train on inline vectors only
+
+    assert os.path.exists(str(tmp_path / "idx" / "_pq_live.json"))
+    codes = spark.read.parquet(pq_codes_path(path))
+    assert codes.count() == n
+    assert {r[0] for r in codes.select("ingest_batch").distinct()
+            .collect()} == {-1}
+    # rebuild ≡ retrain-from-scratch on the artifact's own rows, for
+    # BOTH codebooks
+    vecs = codes.select(F.col("vec_id").alias("id"), "vec").cache()
+    assert load_codebook(spark, pq_coarse_path(path)) == kmeans_fit(vecs)
+    assert load_pq_codebook(spark, pq_codebook_path(path)) == \
+        pq_fit(_subvectors_of(vecs).cache())
+    # publish retired the flat generation completely
+    assert sorted(os.listdir(str(tmp_path / "idx"))) == \
+        ["_pq_live.json", "v1"]
+
+
+def test_crash_before_publish_serves_old_and_retry_completes(
+        spark, tmp_path, monkeypatch):
+    path = _grown(spark, str(tmp_path / "idx"))
+    before = _serve_rows(spark, path)
+    cb_before = load_pq_codebook(spark, pq_codebook_path(path))
+
+    def killed(p, meta, name):
+        raise RuntimeError("killed before publish")
+
+    with monkeypatch.context() as m:
+        m.setattr(pqm, "publish_generation", killed)
+        with pytest.raises(RuntimeError, match="killed before publish"):
+            rebuild_pq_index(spark, path)
+
+    # staged v1 is invisible debris; the flat layout still serves
+    assert os.path.exists(str(tmp_path / "idx" / "v1"))
+    assert not os.path.exists(str(tmp_path / "idx" / "_pq_live.json"))
+    assert load_pq_codebook(spark, pq_codebook_path(path)) == cb_before
+    assert _serve_rows(spark, path) == before
+
+    rebuild_pq_index(spark, path)  # retry overwrites debris + publishes
+    assert sorted(os.listdir(str(tmp_path / "idx"))) == \
+        ["_pq_live.json", "v1"]
+
+
+def test_crash_after_publish_then_next_rebuild_reaps_debris(
+        spark, tmp_path, monkeypatch):
+    """Kill window B + the VERDICT r10 #4 reaper: pointer replaced but
+    the retired generation NOT removed — the stranded flat tables must
+    be inert (pointer wins), and the NEXT successful rebuild must leave
+    zero stale generations behind."""
+    path = _grown(spark, str(tmp_path / "idx"))
+
+    with monkeypatch.context() as m:
+        m.setattr(pqm, "_retire_dirs", lambda dirs: None)  # crash here
+        rebuild_pq_index(spark, path)
+
+    # stranded flat generation beside the published v1; pointer wins
+    assert os.path.exists(str(tmp_path / "idx" / "codes"))
+    assert pq_codes_path(path).endswith("/v1/codes")
+    served_with_debris = _serve_rows(spark, path)
+
+    # next successful rebuild reaps EVERYTHING the pointer doesn't name
+    rebuild_pq_index(spark, path)
+    assert sorted(os.listdir(str(tmp_path / "idx"))) == \
+        ["_pq_live.json", "v2"]
+    assert _serve_rows(spark, path) == served_with_debris
+
+
+def test_compaction_also_reaps_stranded_generations(spark, tmp_path,
+                                                    monkeypatch):
+    path = _grown(spark, str(tmp_path / "idx"))
+    with monkeypatch.context() as m:
+        m.setattr(pqm, "_retire_dirs", lambda dirs: None)
+        rebuild_pq_index(spark, path, keep_provenance=True)
+    assert os.path.exists(str(tmp_path / "idx" / "codes"))  # stranded
+
+    compact_pq_index(spark, path)
+    assert sorted(os.listdir(str(tmp_path / "idx"))) == \
+        ["_pq_live.json", "v1"]
+
+
+def test_ivf_rebuild_reaps_stranded_generation(spark, tmp_path,
+                                               monkeypatch):
+    """The same reaper on the IVF artifact: a crash between publish and
+    retire strands the old generation; the next successful rebuild (or
+    compaction) removes it — the VERDICT r10 #4 crash-injection gate."""
+    path = str(tmp_path / "ivf")
+    ki.build_ivf_index(spark, SF, path)
+    ki.append_to_ivf_index(spark, path, _inc(spark), batch_id=0)
+
+    with monkeypatch.context() as m:
+        m.setattr(ki, "_retire_dirs", lambda dirs: None)  # crash
+        ki.rebuild_ivf_index(spark, path)
+    assert os.path.exists(os.path.join(path, "cells"))  # stranded
+
+    ki.rebuild_ivf_index(spark, path)
+    assert sorted(os.listdir(path)) == ["_ivf_live.json", "v2"]
+
+    # and compaction alone also reaps (second crash, then compact)
+    with monkeypatch.context() as m:
+        m.setattr(ki, "_retire_dirs", lambda dirs: None)
+        ki.rebuild_ivf_index(spark, path)
+    assert os.path.exists(os.path.join(path, "v2"))  # stranded old gen
+    ki.compact_ivf_index(spark, path)
+    assert sorted(os.listdir(path)) == ["_ivf_live.json", "v3"]
