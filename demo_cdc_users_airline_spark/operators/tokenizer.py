@@ -875,3 +875,134 @@ def text_unigram_encode_pruned(spark: SparkSession,
     artifact)."""
     return _unigram_encode_with(
         spark, sf_dir, dict(pruned_unigram_vocab(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Persisted tokenizer artifact: the trained merge/piece tables on disk
+# ---------------------------------------------------------------------------
+#
+# VERDICT r10 #8: the tokenizer was the one trained model still
+# re-learned per session — the memoized learn_* calls hide the cost at
+# gate SF, but the production form is a persisted artifact other
+# sessions/jobs load (what a HF tokenizer ships as merges.txt +
+# vocab.json, here as two tiny parquet tables — the save_codebook
+# recipe). Layout under <path>:
+#   bpe_merges/      (merge_rank, left_sym, right_sym, pair_count)
+#   unigram_pieces/  (ord, piece, score) — ord preserves the trainer's
+#                    emission order so a load round-trips exactly
+# Both tables are bounded (N_MERGES rows / seed+alphabet rows), so the
+# writes are single-file and loads are driver-trivial at any corpus SF.
+
+
+def _tokenizer_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark-graft-warehouse")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, "tokenizer", key)
+
+
+def save_tokenizer(spark: SparkSession, sf_dir: str,
+                   path: str | None = None) -> str:
+    """Train (memoized) and PERSIST both tokenizers' artifacts — the
+    BPE merge table and the unigram seed piece table. A save is a full
+    rewrite (the artifact is tiny; no append lifecycle — retraining IS
+    the rebuild). Symbols round-trip binary-safe through parquet, so
+    pieces containing quotes/backslashes survive save→load→bind-as-
+    literal (the repo's Spark-literal invariant)."""
+    path = path or _tokenizer_path(sf_dir)
+    merges = learn_bpe_merges(spark, sf_dir)
+    (spark.createDataFrame(
+        [(int(k), a, b, int(c)) for k, a, b, c in merges],
+        "merge_rank int, left_sym string, right_sym string,"
+        " pair_count long")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/bpe_merges"))
+    pieces = learn_unigram_vocab(spark, sf_dir)
+    (spark.createDataFrame(
+        [(i, p, int(s)) for i, (p, s) in enumerate(pieces)],
+        "ord int, piece string, score long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(path + "/unigram_pieces"))
+    return path
+
+
+def load_bpe_merges(spark: SparkSession,
+                    path: str) -> list[tuple[int, str, str, int]]:
+    """Inverse of the save: rank order restored, so the encode replay
+    applies merges in exactly the learned sequence."""
+    rows = spark.read.parquet(path + "/bpe_merges") \
+        .orderBy("merge_rank").collect()
+    return [(int(r["merge_rank"]), r["left_sym"], r["right_sym"],
+             int(r["pair_count"])) for r in rows]
+
+
+def load_unigram_pieces(spark: SparkSession,
+                        path: str) -> list[tuple[str, int]]:
+    """Inverse of the save: emission order restored via ``ord``."""
+    rows = spark.read.parquet(path + "/unigram_pieces") \
+        .orderBy("ord").collect()
+    return [(r["piece"], int(r["score"])) for r in rows]
+
+
+def _saved_tokenizer_path(spark: SparkSession, sf_dir: str) -> str:
+    return cached_scalar(spark, sf_dir, "tokenizer_artifact_path",
+                         lambda: save_tokenizer(spark, sf_dir))
+
+
+@q("text_bpe_encode_served", _encode_oracle_sql())
+def text_bpe_encode_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode SERVED from the persisted tokenizer artifact — the
+    lifecycle gate for save_tokenizer/load_bpe_merges (VERDICT r10 #8):
+    the merge table is written once (train → save) and the encoder
+    loads it back instead of holding trainer state — the oracle
+    re-derives training from the corpus, so a green row proves
+    save → load → encode ≡ train → encode bit-for-bit. This is the
+    production serving form: a 100 TB encode job ships the tiny merge
+    table to every executor as bound literals; training never reruns.
+
+    Scale path: identical to text_bpe_encode (the artifact load is
+    {N_MERGES} driver rows; the encode sweep is unchanged)."""
+    merges = load_bpe_merges(spark, _saved_tokenizer_path(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0))
+    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+               " i -> substring(w, i, 1)))")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    enc = words.select("doc_id", F.length("w").alias("nc"),
+                       F.size(F.split(F.trim(s), " ")).alias("nt"))
+    agg = (enc.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("nc").alias("n_chars"),
+                F.sum("nt").alias("n_tokens")))
+    return (d.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
+                 .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
+                 .cast("long").alias("chars_per_token_micro")))
+
+
+@q("text_unigram_encode_served", _unigram_encode_oracle_sql())
+def text_unigram_encode_served(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Unigram encode SERVED from the persisted piece table — the
+    unigram half of the tokenizer-artifact gate: pieces load from the
+    artifact (never retrained) into the shared Viterbi core; the
+    oracle re-derives the seed vocabulary from the corpus, so a green
+    row proves the save→load round-trip preserves every piece and
+    score exactly (scores feed the DP tiebreak — a single corrupted
+    score would change some word's segmentation and break the hash).
+
+    Scale path: identical to text_unigram_encode (the piece map is ONE
+    broadcast row either way)."""
+    pieces = load_unigram_pieces(spark,
+                                 _saved_tokenizer_path(spark, sf_dir))
+    return _unigram_encode_with(spark, sf_dir, dict(pieces))
