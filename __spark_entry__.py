@@ -36,81 +36,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 10 NEW operators (never driver-certified).
-    "dedup_incremental_clusters",        # NEW r10 (persisted cluster labels)
-    "retrieval_bm25_compaction_policy",  # NEW r10 (merge-due census)
-    "dedup_cluster_merges",              # NEW r10 (overlay audit)
-    "dedup_cluster_compaction_policy",   # NEW r10 (4th policy census)
-    "text_unigram_vocab",                # NEW r10 (unigram trainer)
-    "text_unigram_encode",               # NEW r10 (Viterbi encode)
-    "text_unigram_prune",                # NEW r10 (usage-prune pass)
-    "text_unigram_encode_pruned",        # NEW r10 (EM-loop close)
-    # Round 10 CHANGED queries (code touched this round — a fresh
+    # Round 11 NEW operators (never driver-certified).
+    "similarity_pq_serve_topk",          # NEW r11 (persisted PQ artifact)
+    "similarity_pq_compaction_policy",   # NEW r11 (5th policy census)
+    "text_bpe_encode_served",            # NEW r11 (tokenizer artifact)
+    "text_unigram_encode_served",        # NEW r11 (tokenizer artifact)
+    # Round 11 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
-    "dedup_incremental_lsh",             # r10: _verified_matches refactor
-    "dedup_lsh_compaction_policy",       # r10: pinned pfx_width=1
-    "similarity_incremental_ivf",        # r10: versioned-root resolver
-    "similarity_ivf_serve_topk",         # r10: resolver
-    "similarity_ivf_incremental_serve",  # r10: resolver + append purge
-    "similarity_ivf_rebuild_serve",      # r10: one-pointer atomic swap
-    "similarity_ivf_compaction_policy",  # r10: resolver
-    "retrieval_bm25_incremental_serve",  # r10: shared make() refactor
-    # Oldest fresh rows next (r06 vintage first, then r07) so no row
-    # ages past ~3 rounds (tools/certification_report.py --suggest 50).
-    "text_lang_id_ngram",
-    "corpus_quality_percentile",
-    "text_rake_keywords",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_estimate",
-    "dedup_jaccard_containment",
-    "similarity_hard_negatives",
-    "similarity_matryoshka_recall",
-    "similarity_range_search",
-    "multimodal_png_roundtrip",
-    "multimodal_image_phash",
-    "multimodal_phash_neardup",
-    "multimodal_gif_frame_sample",
-    "multimodal_wav_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mulaw_roundtrip",
-    "multimodal_avi_frame_sample",
-    "corpus_token_spectrum",
-    "events_reservoir_sample",
-    "events_cumulative_users",
-    "corpus_chunk_overlap",
-    "retrieval_mmr_rerank",
-    "retrieval_tfidf_topk",
-    "corpus_temperature_sample",
-    "corpus_pmi_collocations",
-    "corpus_bigram_next_word",
-    "score_bigram_accuracy",
-    "orders_table_profile",
-    "events_key_skew_report",
-    "orders_zorder_layout",
-    "events_agg_state_rollup",
-    "events_limit3_by_user",
-    "events_user_anomaly_days",
-    # r11 rotation queue (reproducible via
-    # tools/certification_report.py --suggest 50): any new/changed r11
-    # queries first, then the remaining r07-vintage rows —
-    # regional_supplier_revenue, orders_per_customer_histogram, text_token_stats,
-    # text_quality_score, text_lang_id, text_fingerprint,
-    # text_repetition_stats, text_pii_redact, text_lang_id_confusion,
-    # dedup_minhash_signatures, dedup_minhash_lsh_pairs, dedup_simhash,
-    # dedup_simhash_pairs, dedup_cluster_labels, dedup_duplicate_spans,
-    # dedup_edit_distance, corpus_ngram_novelty,
-    # dedup_prefix_containment, similarity_topk_brute,
-    # similarity_topk_ivf, similarity_lsh_neardup, corpus_vocabulary,
-    # dataset_sample_split, corpus_decontaminate,
-    # corpus_decontaminate_bloom, corpus_pack_chunks,
-    # corpus_curation_pipeline, corpus_source_scorecard,
-    # dedup_cluster_keep_best, corpus_ngram_overlap,
-    # corpus_curation_funnel, similarity_pq_adc_topk,
-    # similarity_ivfpq_residual_topk, similarity_ivfpq_rerank_topk,
-    # retrieval_bm25_topk, retrieval_hybrid_rrf, score_dsir_importance,
+    "similarity_topk_brute",             # r11: quantized-int64 cosine
+    "similarity_topk_ivf",               # r11: quantized-int64 cosine
+    "similarity_range_search",           # r11: quantized-int64 cosine
+    "similarity_topk_ivf_learned",       # r11: quantized-int64 cosine
+    "similarity_topk_ivf_nprobe",        # r11: quantized-int64 cosine
+    "similarity_ann_recall",             # r11: consumes converted probes
+    "similarity_ann_recall_curve",       # r11: converted pair scoring
+    "similarity_index_staleness",        # r11: converted brute + nprobe
+    "similarity_ivf_rebuild_serve",      # r11: publish helper + reaper
+    "similarity_pq_codes",               # r11: shared _subvectors_of scan
+    "similarity_pq_adc_topk",            # r11: shared _subvectors_of scan
+    "similarity_ivfpq_topk",             # r11: shared _subvectors_of scan
+    "similarity_ivfpq_residual_topk",    # r11: shared _subvectors_of scan
+    "similarity_ivfpq_rerank_topk",      # r11: shared _subvectors_of scan
+    # Oldest fresh rows next (r07 vintage) so no row ages past ~3
+    # rounds (tools/certification_report.py --suggest 50).
+    "regional_supplier_revenue",
+    "orders_per_customer_histogram",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_pii_redact",
+    "text_lang_id_confusion",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_labels",
+    "dedup_duplicate_spans",
+    "dedup_edit_distance",
+    "corpus_ngram_novelty",
+    "dedup_prefix_containment",
+    "similarity_lsh_neardup",
+    "corpus_vocabulary",
+    "dataset_sample_split",
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "corpus_pack_chunks",
+    "corpus_curation_pipeline",
+    "corpus_source_scorecard",
+    "dedup_cluster_keep_best",
+    "corpus_ngram_overlap",
+    "corpus_curation_funnel",
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "score_dsir_importance",
+    # r12 rotation queue (reproducible via
+    # tools/certification_report.py --suggest 50): any new/changed r12
+    # queries first, then the remaining oldest rows —
     # corpus_mixture_weights, corpus_budget_selection,
-    # corpus_quality_classifier, score_unigram_logprob (if aged).
+    # corpus_quality_classifier, score_bigram_logprob, text_bpe_encode,
+    # text_bpe_merges, text_bpe_vocab, text_rolling_hash,
+    # text_token_entropy, similarity_neardup_cosine, events_type_markov,
+    # events_asof_last_purchase, events_sessionization,
+    # events_funnel_conversion, events_retention_cohorts,
+    # events_minute_anomalies, events_daily_moving_stats,
+    # multimodal_decode_pipeline, similarity_ivf_cell_balance,
+    # dedup_graph_pagerank, dedup_graph_triangles, and the r08 CDC/pipe
+    # family (cdc_*, airport_*, users_*, orders_rollup_summary,
+    # events_type_pivot, events_type_hour_cube) if aged.
 ]
 
 
