@@ -41,6 +41,8 @@ _DRIVER_PRIORITY = [
     "similarity_pq_compaction_policy",   # NEW r11 (5th policy census)
     "text_bpe_encode_served",            # NEW r11 (tokenizer artifact)
     "text_unigram_encode_served",        # NEW r11 (tokenizer artifact)
+    "similarity_pq_rebuild_serve",       # NEW r11 (PQ rebuild gate)
+    "similarity_pq_drift_report",        # NEW r11 (PQ-space drift signal)
     # Round 11 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_topk_brute",             # r11: quantized-int64 cosine
@@ -89,12 +91,11 @@ _DRIVER_PRIORITY = [
     "corpus_ngram_overlap",
     "corpus_curation_funnel",
     "retrieval_bm25_topk",
-    "retrieval_hybrid_rrf",
-    "score_dsir_importance",
     # r12 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r12
     # queries first, then the remaining oldest rows —
-    # corpus_mixture_weights, corpus_budget_selection,
+    # retrieval_hybrid_rrf,
+    # score_dsir_importance, corpus_mixture_weights, corpus_budget_selection,
     # corpus_quality_classifier, score_bigram_logprob, text_bpe_encode,
     # text_bpe_merges, text_bpe_vocab, text_rolling_hash,
     # text_token_entropy, similarity_neardup_cosine, events_type_markov,

@@ -796,15 +796,37 @@ def _base_pq_codebook(spark: SparkSession, sf_dir: str) -> Codebook:
 
 def _encode_index_rows(vectors: DataFrame, coarse, pq_cb: Codebook,
                        extra: tuple[str, ...] = ()) -> DataFrame:
-    """(id, vec) → (vec_id, q_err, vec, codes, cell[, extra]): coarse
-    cell assignment + packed PQ codes in ONE map pass over the two
-    broadcast codebooks — the encode stage every build/append/rebuild
-    shares. No shuffle; the writer's repartition("cell") is the only
-    exchange on the ingest path."""
-    enc = _encode_packed(assign_cells(vectors, coarse), "vec", pq_cb,
-                         ["id", "cell", "q_err", "vec", *extra])
-    return enc.select(F.col("id").alias("vec_id"), "q_err", "vec",
-                      "codes", "cell", *extra)
+    """(id, vec) → (vec_id, q_err, pq_err, vec, codes, cell[, extra]):
+    coarse cell assignment + packed PQ codes + the per-vector PQ
+    reconstruction error (``pq_err`` = Σ over subspaces of the chosen
+    codeword's squared distance — the COMPRESSION-space drift signal,
+    distinct from ``q_err``, the coarse-assignment error) in ONE map
+    pass over the two broadcast codebooks — the encode stage every
+    build/append/rebuild shares. The per-sub argmin is bound once
+    (``__best``), so codes and error are projections of one
+    evaluation. No shuffle; the writer's repartition("cell") is the
+    only exchange on the ingest path."""
+    cb = _by_sub_codebook_df(vectors.sparkSession, pq_cb)
+    subvecs = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}),"
+        f" s -> slice(vec, s * {SUB_DIM} + 1, {SUB_DIM}))")
+    best = F.expr(
+        "transform(__subvecs, (sv, s) -> array_min("
+        "transform(element_at(__cbs, s + 1), c -> struct("
+        "aggregate(zip_with(sv, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,"
+        " c.cid AS cid))))")
+    return (assign_cells(vectors, coarse)
+            .crossJoin(F.broadcast(cb))
+            .withColumn("__subvecs", subvecs)
+            .withColumn("__best", best)
+            .select(F.col("id").alias("vec_id"), "q_err",
+                    F.expr("aggregate(transform(__best, b -> b.d2),"
+                           " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+                    .alias("pq_err"),
+                    "vec",
+                    F.expr("transform(__best, b -> b.cid)").alias("codes"),
+                    "cell", *extra))
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str,
@@ -1124,4 +1146,250 @@ def similarity_pq_compaction_policy(spark: SparkSession,
                     F.when(F.col("n_batches") >= _COMPACT_AFTER_BATCHES,
                            1).otherwise(0).cast("long")
                     .alias("compact_due"))
+            .orderBy("cell"))
+
+
+def _pq_rebuild_serve_oracle_sql() -> str:
+    """Rebuild gate oracle: ONE coarse Lloyd chain + ONE PQ chain, both
+    trained on the GROWN corpus (base + the appended increment — i.e.
+    everything the rebuilt artifact holds), probed/ADC-scanned by the
+    fresh query batch. Mirrors _ivf_rebuild_serve_oracle_sql for the
+    two-codebook artifact."""
+    grown = (f"NOT (vec_id % {_DRIFT_MOD} = 0"
+             f" AND vec_id < {_SERVE_QBOUND})")
+    qpred = (f"vec_id % {_DRIFT_MOD} = 0"
+             f" AND vec_id < {_SERVE_QBOUND}")
+    dim_stream = (f"SELECT vec_id, generate_subscripts(embedding, 1) AS dim,\n"
+                  f"         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0)"
+                  f" AS BIGINT) AS val\n  FROM embeddings WHERE ")
+    sub_stream = (
+        f"SELECT vec_id,"
+        f" (generate_subscripts(embedding, 1) - 1) // {SUB_DIM} AS sub,\n"
+        f"         (generate_subscripts(embedding, 1) - 1) % {SUB_DIM} AS sdim,\n"
+        f"         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0)"
+        f" AS BIGINT) AS val\n  FROM embeddings WHERE ")
+    kchain = _prefixed_kmeans_ctes(
+        "g", 8, _KM_ITERS, dims_sql=dim_stream + grown,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {grown}")
+    pchain = _pq_ctes(
+        "gp", "\n  " + sub_stream + grown,
+        init_src=(f"SELECT DISTINCT vec_id FROM embeddings"
+                  f" WHERE vec_id < {K_SUB} AND {grown}"))
+    return f"""WITH {kchain},
+{pchain},
+qdims AS (
+  {dim_stream}{qpred}
+),
+qd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS dist2
+  FROM qdims v JOIN gcent{_KM_ITERS} c USING (dim)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM qd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+          <= {IVFPQ_NPROBE}
+),
+qsub AS (
+  {sub_stream}{qpred}
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         sum((q.val - c.val) * (q.val - c.val))::BIGINT AS d2
+  FROM qsub q JOIN gpcent{PQ_ITERS} c ON c.sub = q.sub AND c.sdim = q.sdim
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, k.sub, k.code
+  FROM probe p
+  JOIN gasgfin a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+  JOIN gpcodes k ON k.vec_id = a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
+  FROM cand c
+  JOIN lut l ON l.query_id = c.query_id AND l.sub = c.sub AND l.cid = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}"""
+
+
+@q("similarity_pq_rebuild_serve", _pq_rebuild_serve_oracle_sql())
+def similarity_pq_rebuild_serve(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ADC top-{ADC_TOPK} served from a REBUILT PQ index — the
+    lifecycle gate for the compression tier's rebuild action: the
+    index is built over the BASE split, grown by appending yesterday's
+    increment, then REBUILT (``rebuild_pq_index``: fresh coarse Lloyd
+    + fresh per-subspace PQ fits on the full corpus read back from the
+    artifact's own inline vectors, one-pointer atomic swap), and the
+    fresh query batch searches the swapped artifact. The oracle runs
+    ONE coarse chain and ONE PQ chain over the grown corpus and scans
+    their final assignment/codes — a green row proves rebuild ≡
+    retrain-from-scratch for BOTH codebooks AND the re-encoded code
+    table, bit-for-bit, on the exact serving path (the IVF family's
+    similarity_ivf_rebuild_serve, extended to the two-codebook
+    artifact).
+
+    Scale path: the rebuild's fits iterate over the artifact's inline
+    vectors (source corpus never re-scanned); serving is the shared
+    partition-pruned, column-pruned ``pq_serve`` core. Build + append
+    + rebuild run once per session (memoized) — the maintenance-window
+    lifecycle, not per-query cost."""
+    def make() -> str:
+        p = _pq_index_path(sf_dir) + "_rb"
+        build_pq_index(spark, sf_dir, p)
+        inc = (_quantized_vectors(spark, sf_dir)
+               .filter((F.col("id") % _DRIFT_MOD == 0)
+                       & (F.col("id") >= _SERVE_QBOUND)))
+        append_to_pq_index(spark, p, inc, batch_id=0)
+        rebuild_pq_index(spark, p)
+        return p
+
+    path = cached_scalar(spark, sf_dir, "pq_rebuilt_index_path", make)
+    return pq_serve(spark, sf_dir, path)
+
+
+def _pq_drift_oracle_sql() -> str:
+    """Base coarse chain + base PQ chain, the increment's codes under
+    the saved codebooks, and per-cell PQ reconstruction-error stats —
+    the compression-space twin of _inc_ivf_oracle_sql. ``pcodes``
+    already carries per-(vec, sub) chosen-codeword error; the
+    increment's comes from the same argmin that assigns its codes."""
+    base = f"vec_id % {_DRIFT_MOD} <> 0"
+    inc = (f"vec_id % {_DRIFT_MOD} = 0"
+           f" AND vec_id >= {_SERVE_QBOUND}")
+    dim_stream = (f"SELECT vec_id, generate_subscripts(embedding, 1) AS dim,\n"
+                  f"         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0)"
+                  f" AS BIGINT) AS val\n  FROM embeddings WHERE ")
+    sub_stream = (
+        f"SELECT vec_id,"
+        f" (generate_subscripts(embedding, 1) - 1) // {SUB_DIM} AS sub,\n"
+        f"         (generate_subscripts(embedding, 1) - 1) % {SUB_DIM} AS sdim,\n"
+        f"         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0)"
+        f" AS BIGINT) AS val\n  FROM embeddings WHERE ")
+    kchain = _prefixed_kmeans_ctes(
+        "b", 8, _KM_ITERS, dims_sql=dim_stream + base,
+        ids_sql=f"SELECT vec_id FROM embeddings WHERE {base}")
+    pchain = _pq_ctes(
+        "p", "\n  " + sub_stream + base,
+        init_src=(f"SELECT DISTINCT vec_id FROM embeddings"
+                  f" WHERE vec_id < {K_SUB} AND {base}"))
+    return f"""WITH {kchain},
+{pchain},
+incdims AS (
+  {dim_stream}{inc}
+),
+incd AS (
+  SELECT v.vec_id, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS d2
+  FROM incdims v JOIN bcent{_KM_ITERS} c USING (dim)
+  GROUP BY 1, 2
+),
+incasg AS (
+  SELECT vec_id, cid AS cell FROM incd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+incsub AS (
+  {sub_stream}{inc}
+),
+incpd AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum((v.val - c.val) * (v.val - c.val))::BIGINT AS d2
+  FROM incsub v JOIN pcent{PQ_ITERS} c ON c.sub = v.sub AND c.sdim = v.sdim
+  GROUP BY 1, 2, 3
+),
+inccode_err AS (
+  SELECT vec_id, sub, d2 FROM incpd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
+),
+bverr AS (
+  SELECT vec_id, sum(q_err)::BIGINT AS pq_err FROM pcodes GROUP BY 1
+),
+iverr AS (
+  SELECT vec_id, sum(d2)::BIGINT AS pq_err FROM inccode_err GROUP BY 1
+),
+pb AS (
+  SELECT a.cell, count(*) AS n_base,
+         sum(CAST(e.pq_err AS HUGEINT)) AS s_base
+  FROM basgfin a JOIN bverr e USING (vec_id) GROUP BY 1
+),
+pi AS (
+  SELECT a.cell, count(*) AS n_added,
+         sum(CAST(e.pq_err AS HUGEINT)) AS s_added
+  FROM incasg a JOIN iverr e USING (vec_id) GROUP BY 1
+),
+cells AS (SELECT DISTINCT cid AS cell FROM bcent{_KM_ITERS})
+SELECT CAST(c.cell AS BIGINT) AS cell,
+       CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(i.n_added, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(b.s_base // nullif(b.n_base, 0), 0) AS BIGINT)
+         AS avg_pq_err_base,
+       CAST(coalesce(i.s_added // nullif(i.n_added, 0), 0) AS BIGINT)
+         AS avg_pq_err_added,
+       CAST(coalesce(i.s_added * b.n_base * 1000000
+                     // nullif(b.s_base * i.n_added, 0), 0) AS BIGINT)
+         AS pq_drift_ppm
+FROM cells c
+LEFT JOIN pb b USING (cell)
+LEFT JOIN pi i USING (cell)
+ORDER BY cell"""
+
+
+@q("similarity_pq_drift_report", _pq_drift_oracle_sql())
+def similarity_pq_drift_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PQ-space DRIFT report from the maintained PQ index — the
+    compression tier's rebuild-trigger signal, completing the monitor
+    symmetry (the IVF family watches COARSE q_err;
+    similarity_index_staleness watches recall; this watches the
+    sub-codebook reconstruction error, which can rise on new data even
+    while coarse assignment stays healthy — the failure mode FAISS
+    retrains IVFPQ for): per coarse cell, base vs appended-increment
+    mean PQ reconstruction error (``pq_err`` inline in the artifact —
+    written at encode time by the same argmin that assigns the codes)
+    and their cross-multiplied integer ratio in ppm. The action the
+    report gates is ``rebuild_pq_index`` (auto-fired in-loop by
+    StreamingPqIngest's hook).
+
+    Scale path: a pure ARTIFACT census — the codes read projects
+    (cell, ingest_batch, pq_err): footer + one small column, never
+    codes or vectors; two k-row aggregates assembled with broadcast
+    joins. Exactness: int64 per-vector errors, DECIMAL(38,0)/HUGEINT
+    widened sums, cross-multiplied floor-division ratios (never a
+    float fraction), total order on cell."""
+    path = cached_scalar(spark, sf_dir, "pq_inc_index_path",
+                         lambda: _build_inc_pq_index(spark, sf_dir))
+    codes = spark.read.parquet(pq_codes_path(path))
+    pb = (codes.filter(F.col("ingest_batch") == -1)
+          .groupBy("cell")
+          .agg(F.count(F.lit(1)).alias("n_base"),
+               F.sum(F.col("pq_err").cast("decimal(38,0)"))
+               .alias("s_base")))
+    pi = (codes.filter(F.col("ingest_batch") != -1)
+          .groupBy("cell")
+          .agg(F.count(F.lit(1)).alias("n_added"),
+               F.sum(F.col("pq_err").cast("decimal(38,0)"))
+               .alias("s_added")))
+    coarse = load_codebook(spark, pq_coarse_path(path))
+    cells = spark.createDataFrame([(int(cid),) for cid, _ in coarse],
+                                  "cell int")
+    return (cells.join(F.broadcast(pb), "cell", "left")
+            .join(F.broadcast(pi), "cell", "left")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.coalesce("n_base", F.lit(0)).cast("long")
+                    .alias("n_base"),
+                    F.coalesce("n_added", F.lit(0)).cast("long")
+                    .alias("n_added"),
+                    F.expr("CAST(coalesce(s_base DIV nullif(n_base, 0),"
+                           " 0) AS BIGINT)").alias("avg_pq_err_base"),
+                    F.expr("CAST(coalesce(s_added DIV nullif(n_added,"
+                           " 0), 0) AS BIGINT)").alias("avg_pq_err_added"),
+                    F.expr("CAST(coalesce(s_added * n_base * 1000000"
+                           " DIV nullif(s_base * n_added, 0), 0)"
+                           " AS BIGINT)").alias("pq_drift_ppm"))
             .orderBy("cell"))

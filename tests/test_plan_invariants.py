@@ -249,6 +249,22 @@ MAX_SHUFFLES = {
     "dominant_part_suppliers": 3,  # TPC-H Q20 shape: the fact reduces
     # once onto (part, supplier) at checkpoint time; the per-part total
     # + compare join + dominant-set distinct ride small keyed exchanges
+    "similarity_pq_serve_topk": 1,  # persisted-PQ ADC serve: broadcast
+    # LUTs + in-row ADC fold over the partition-pruned code table —
+    # the ONLY exchange is the per-query top-k window
+    "similarity_pq_rebuild_serve": 1,  # same serve core after the
+    # rebuild swap (fits are memoized lifecycle cost, not plan cost)
+    "similarity_pq_compaction_policy": 3,  # partition-column census:
+    # cell groupBy + countDistinct's two-phase expand + the k-row sort
+    "similarity_pq_drift_report": 4,  # pq_err-column census: two
+    # cell aggregates (base/increment split) + broadcast k-row
+    # assembly + the k-row sort — ReadSchema is struct<pq_err:bigint>
+    # (partition columns come from footers; codes/vec pages unread)
+    "text_bpe_encode_served": 1,  # artifact-loaded merge chain in
+    # whole-stage codegen + ONE map-side-combinable groupBy(doc_id)
+    "text_unigram_encode_served": 3,  # distinct-word Viterbi (word
+    # distinct + occurrence join-back + doc aggregate — the
+    # text_unigram_encode shape, scores in one broadcast map row)
     "dedup_prefix_containment": 4,  # the id-only head-bucket agg (printed
     # once per broadcast consumer in the static tree; the cached pair
     # frame executes it once) + the pair-keyed join of the two bounded

@@ -258,3 +258,20 @@ def test_ivf_rebuild_reaps_stranded_generation(spark, tmp_path,
     assert os.path.exists(os.path.join(path, "v2"))  # stranded old gen
     ki.compact_ivf_index(spark, path)
     assert sorted(os.listdir(path)) == ["_ivf_live.json", "v3"]
+
+
+def test_drift_census_reads_only_pq_err_column(spark):
+    """The drift report's artifact scan must project pq_err alone —
+    codes and the inline re-rank vectors stay unread (column pruning;
+    partition columns come from footers)."""
+    from demo_cdc_users_airline_spark.operators.pq import (
+        similarity_pq_drift_report,
+    )
+
+    plan = similarity_pq_drift_report(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln.split("ReadSchema:", 1)[1]
+               for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas
+    for s in schemas:
+        assert "pq_err" in s and "codes" not in s and "vec" not in s, s

@@ -111,3 +111,61 @@ def test_real_stream_wiring(spark, tmp_path):
     batches = _batches(spark, path)
     assert -1 in batches and len(batches) == 2
     assert _serve(spark, path)
+
+
+def test_auto_rebuild_fires_on_pq_drift_and_not_in_distribution(
+        spark, tmp_path):
+    """The PQ-space drift gate: an in-distribution batch must NOT fire;
+    a drifted batch (scaled vectors — reconstruction error blows up
+    under the saved sub-codebooks) must fire, and the published
+    codebooks must equal a fresh fit on everything the index then
+    holds (rebuild ≡ retrain through the auto path)."""
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        kmeans_fit,
+        load_codebook,
+    )
+    from demo_cdc_users_airline_spark.operators.pq import (
+        _subvectors_of,
+        pq_coarse_path,
+        pq_fit,
+    )
+
+    path = build_pq_index(spark, SF, str(tmp_path / "idx"))
+    pipe = StreamingPqIngest(index_path=path, rebuild_check_every=1)
+
+    # batch 0: in-distribution increment → no fire (flat layout stays)
+    b0 = spark.createDataFrame(
+        _inc_rows(spark, _SERVE_QBOUND, 10 ** 9).collect(), VEC_SCHEMA)
+    pipe.process_batch(b0, 0)
+    assert not os.path.exists(str(tmp_path / "idx" / "_pq_live.json"))
+
+    # batch 1: the same vectors scaled 3x — PQ reconstruction error
+    # under the saved sub-codebooks explodes → the hook must fire
+    drifted = (spark.createDataFrame(b0.collect(), VEC_SCHEMA)
+               .select("id",
+                       F.expr("transform(embedding, x -> x * 3.0D)")
+                       .alias("embedding"))
+               .select((F.col("id") + 10_000).alias("id"), "embedding"))
+    b1 = spark.createDataFrame(drifted.collect(), VEC_SCHEMA)
+    pipe.process_batch(b1, 1)
+    assert os.path.exists(str(tmp_path / "idx" / "_pq_live.json"))
+
+    # rebuild ≡ retrain on everything the index now holds
+    vecs = (spark.read.parquet(pq_codes_path(path))
+            .select(F.col("vec_id").alias("id"), "vec").cache())
+    assert load_codebook(spark, pq_coarse_path(path)) == kmeans_fit(vecs)
+    from demo_cdc_users_airline_spark.operators.pq import (
+        load_pq_codebook,
+        pq_codebook_path,
+    )
+    assert load_pq_codebook(spark, pq_codebook_path(path)) == \
+        pq_fit(_subvectors_of(vecs).cache())
+
+    # provenance survived the auto-swap, and a retry of the firing
+    # batch is still idempotent under the NEW codebooks
+    n = spark.read.parquet(pq_codes_path(path)).count()
+    pipe.process_batch(b1, 1)
+    codes = spark.read.parquet(pq_codes_path(path))
+    assert codes.count() == n
+    assert (codes.groupBy("vec_id").count()
+            .filter("count > 1").count()) == 0

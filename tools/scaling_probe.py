@@ -455,6 +455,13 @@ def main() -> int:
         # + one broadcast overlay join — flat rows/s = the resolved
         # read is one pass at any corpus size
         ("dedup_incremental_clusters", build_scaled_documents),
+        # r11: ADC served from the persisted PQ index — same fixed
+        # 8-query-batch / growing-base regime as the IVF serve probe;
+        # serve reads nprobe/k of the CODE table via the probed-cell
+        # partition filter and never touches the inline re-rank
+        # vectors (column pruning) — flat base-rows/s = the pruned
+        # code scan carries the scale-up
+        ("similarity_pq_serve_topk", build_scaled_embeddings),
     ]
     # persisted-index probes leave their artifact under the warehouse
     # root keyed by scratch dir — free it with the scratch
@@ -467,9 +474,15 @@ def main() -> int:
     from demo_cdc_users_airline_spark.operators.retrieval import (
         _bm25_index_path,
     )
+    from demo_cdc_users_airline_spark.operators.pq import (
+        _pq_index_path,
+    )
     index_paths = {"dedup_incremental_lsh": _lsh_index_path,
                    "similarity_ivf_serve_topk": _ivf_index_path,
-                   "retrieval_bm25_serve": _bm25_index_path}
+                   "retrieval_bm25_serve": _bm25_index_path,
+                   # the serve gate's artifact lives at <path>_inc
+                   "similarity_pq_serve_topk":
+                   lambda d: _pq_index_path(d) + "_inc"}
     if only:
         llm_probes = [(n, b) for n, b in llm_probes if n in only]
         missing = only - {n for n, _ in llm_probes}
