@@ -45,6 +45,10 @@ QUERIES = (
     "similarity_ivfpq_topk",
     "score_dsir_importance",
     "corpus_source_divergence",
+    # r11: the persisted-PQ serving + drift paths (DECIMAL-widened
+    # pq_err sums, cross-multiplied ppm ratios, two Lloyd families)
+    "similarity_pq_serve_topk",
+    "similarity_pq_drift_report",
 )
 
 HEADER = "## Headroom: oracle exactness above the gate SF"
