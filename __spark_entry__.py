@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_encode_served",        # NEW r11 (tokenizer artifact)
     "similarity_pq_rebuild_serve",       # NEW r11 (PQ rebuild gate)
     "similarity_pq_drift_report",        # NEW r11 (PQ-space drift signal)
+    "similarity_pq_rerank_serve",        # NEW r11 (two-stage artifact serve)
     # Round 11 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_topk_brute",             # r11: quantized-int64 cosine
@@ -90,11 +91,10 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_keep_best",
     "corpus_ngram_overlap",
     "corpus_curation_funnel",
-    "retrieval_bm25_topk",
     # r12 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r12
     # queries first, then the remaining oldest rows —
-    # retrieval_hybrid_rrf,
+    # retrieval_bm25_topk, retrieval_hybrid_rrf,
     # score_dsir_importance, corpus_mixture_weights, corpus_budget_selection,
     # corpus_quality_classifier, score_bigram_logprob, text_bpe_encode,
     # text_bpe_merges, text_bpe_vocab, text_rolling_hash,

@@ -882,15 +882,15 @@ def append_to_pq_index(spark: SparkSession, path: str,
      .parquet(pq_codes_path(path)))
 
 
-def pq_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
-    """ADC top-k from the persisted PQ index — the explicit-path serve
-    core shared by the catalog gate and the lifecycle tests: the fresh
-    query batch probes its nprobe={IVFPQ_NPROBE} nearest coarse cells
-    under the SAVED coarse quantizer, builds its LUTs against the SAVED
+def _pq_serve_adc(spark: SparkSession, sf_dir: str, path: str):
+    """The persisted-PQ ADC scan, untruncated: the fresh query batch
+    probes its nprobe={IVFPQ_NPROBE} nearest coarse cells under the
+    SAVED coarse quantizer, builds its LUTs against the SAVED
     sub-codebooks driver-side (bounded: queries × M × K ints), and
-    ADC-scans ONLY the probed cells' code rows. The scan projects
-    (vec_id, codes) — parquet column pruning never touches the inline
-    full-precision vectors."""
+    ADC-scans ONLY the probed cells' code rows — the scan projects
+    (vec_id, codes); column pruning never touches the inline vectors.
+    Returns (adc frame, probed cell ids, {query_id: qvec}) so the plain
+    top-k and the two-stage re-rank share one core."""
     coarse = load_codebook(spark, pq_coarse_path(path))
     pq_cb = load_pq_codebook(spark, pq_codebook_path(path))
     qv = (_quantized_vectors(spark, sf_dir)
@@ -915,7 +915,50 @@ def pq_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
                     (F.col("cell") == F.col("probe_cell"))
                     & (F.col("neighbor_id") != F.col("query_id")))
            .select("query_id", "neighbor_id", _adc_sum().alias("adc_d2")))
+    return adc, probed, qvecs
+
+
+def pq_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """ADC top-k from the persisted PQ index — the explicit-path serve
+    core shared by the catalog gate and the lifecycle tests (see
+    _pq_serve_adc for the scan discipline)."""
+    adc, _, _ = _pq_serve_adc(spark, sf_dir, path)
     return _topk_per_query(adc)
+
+
+def pq_rerank_serve(spark: SparkSession, sf_dir: str,
+                    path: str) -> DataFrame:
+    """Two-stage ANN from the persisted artifact ALONE: the ADC scan
+    produces a cheap top-{RERANK_POOL} shortlist per query, and only
+    those candidates are re-scored with the EXACT distance read from
+    the code table's own INLINE vectors — the reason the artifact
+    co-locates them: at serve time neither stage touches the source
+    corpus. The vec-column read is restricted to the same probed-cell
+    partitions the shortlist came from, so stage 2 is a pruned
+    point-lookup pattern, and the exact fold is one in-row zip_with."""
+    adc, probed, qvecs = _pq_serve_adc(spark, sf_dir, path)
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (adc.withColumn("__rn", F.row_number().over(wr))
+             .filter(F.col("__rn") <= RERANK_POOL)
+             .select("query_id", "neighbor_id",
+                     F.col("adc_d2").cast("long").alias("adc_d2")))
+    qv_df = spark.createDataFrame(
+        sorted((qid, v) for qid, v in qvecs.items()),
+        "query_id: long, qvec: array<bigint>")
+    nvecs = (spark.read.parquet(pq_codes_path(path))
+             .filter(F.col("cell").isin(probed))  # partition-pruned
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("vec").alias("nvec")))
+    exact = F.expr(
+        "aggregate(zip_with(nvec, qvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    ex = (nvecs.join(F.broadcast(short), "neighbor_id")
+          .join(F.broadcast(qv_df), "query_id")
+          .select("query_id", "neighbor_id", exact.alias("exact_d2"),
+                  "adc_d2"))
+    we = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (ex.withColumn("__rn", F.row_number().over(we))
+            .filter(F.col("__rn") <= ADC_TOPK).drop("__rn"))
 
 
 def compact_pq_index(spark: SparkSession, path: str,
@@ -984,10 +1027,21 @@ def _build_inc_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _pq_serve_oracle_sql() -> str:
+    """The shared serve CTE chain + the plain ADC top-k."""
+    return _pq_serve_ctes() + f"""
+SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}"""
+
+
+def _pq_serve_ctes() -> str:
     """Compose the base-split coarse Lloyd chain (``b``-prefixed), the
     base-split PQ chain (``p``-prefixed, base dims AND base init ids),
     the increment's saved-codebook assignment + encoding, and the fresh
-    query batch's probe → LUT → ADC → top-k."""
+    query batch's probe → LUT → ADC — ending at ``adc(query_id,
+    neighbor_id, adc_d2)`` so the plain top-k and the two-stage re-rank
+    oracles build on one chain."""
     base = f"vec_id % {_DRIFT_MOD} <> 0"
     inc = (f"vec_id % {_DRIFT_MOD} = 0"
            f" AND vec_id >= {_SERVE_QBOUND}")
@@ -1079,11 +1133,38 @@ adc AS (
   FROM cand c
   JOIN lut l ON l.query_id = c.query_id AND l.sub = c.sub AND l.cid = c.code
   GROUP BY 1, 2
+)"""
+
+
+def _pq_rerank_serve_oracle_sql() -> str:
+    """The serve CTE chain, then: top-{RERANK_POOL} shortlist per query
+    → exact squared L2 over the quantized dims (what the artifact's
+    inline vectors hold, by construction) → final top-k by exact."""
+    dim_stream = (f"SELECT vec_id, generate_subscripts(embedding, 1) AS dim,\n"
+                  f"         CAST(floor(unnest(embedding::DOUBLE[]) * {SCALE}.0)"
+                  f" AS BIGINT) AS val\n  FROM embeddings WHERE ")
+    return _pq_serve_ctes() + f""",
+short AS (
+  SELECT query_id, neighbor_id, adc_d2 FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_d2, neighbor_id) <= {RERANK_POOL}
+),
+alldims AS (
+  {dim_stream}1 = 1
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_d2,
+         sum((dq.val - dn.val) * (dq.val - dn.val))::BIGINT AS exact_d2
+  FROM short s
+  JOIN alldims dq ON dq.vec_id = s.query_id
+  JOIN alldims dn ON dn.vec_id = s.neighbor_id AND dn.dim = dq.dim
+  GROUP BY 1, 2, 3
 )
-SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2
-FROM adc
+SELECT query_id, neighbor_id, exact_d2,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM ex
 QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY adc_d2, neighbor_id) <= {ADC_TOPK}"""
+                           ORDER BY exact_d2, neighbor_id) <= {ADC_TOPK}"""
 
 
 @q("similarity_pq_serve_topk", _pq_serve_oracle_sql())
@@ -1393,3 +1474,31 @@ def similarity_pq_drift_report(spark: SparkSession,
                            " DIV nullif(s_base * n_added, 0), 0)"
                            " AS BIGINT)").alias("pq_drift_ppm"))
             .orderBy("cell"))
+
+
+@q("similarity_pq_rerank_serve", _pq_rerank_serve_oracle_sql())
+def similarity_pq_rerank_serve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Two-stage ANN served from the persisted PQ artifact ALONE — the
+    production serving pattern at 100 TB, now entirely
+    artifact-resident: stage 1 is the partition-pruned ADC scan over
+    the packed codes (cheap shortlist of {RERANK_POOL} per query);
+    stage 2 re-scores ONLY the shortlist with the exact distance read
+    from the code table's own INLINE full-precision vectors — the
+    column the artifact co-locates precisely so that re-ranking never
+    joins back to the source corpus (compare
+    similarity_ivfpq_rerank_topk, whose stage 2 re-reads the
+    embeddings table from session state). The oracle recomputes both
+    stages from the corpus the artifact is a deterministic function
+    of, so a green row certifies shortlist AND exact re-scores
+    bit-for-bit.
+
+    Scale path: stage 1 as similarity_pq_serve_topk (probed-cell
+    partition pruning, (vec_id, codes) projection, broadcast LUTs, one
+    top-k exchange); stage 2 reads (vec_id, vec) of the SAME probed
+    partitions with the bounded shortlist broadcast — a pruned
+    point-lookup pattern — and the exact fold is one in-row zip_with.
+    Integer end-to-end ⇒ hash-exact."""
+    path = cached_scalar(spark, sf_dir, "pq_inc_index_path",
+                         lambda: _build_inc_pq_index(spark, sf_dir))
+    return pq_rerank_serve(spark, sf_dir, path)

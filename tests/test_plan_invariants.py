@@ -254,6 +254,9 @@ MAX_SHUFFLES = {
     # the ONLY exchange is the per-query top-k window
     "similarity_pq_rebuild_serve": 1,  # same serve core after the
     # rebuild swap (fits are memoized lifecycle cost, not plan cost)
+    "similarity_pq_rerank_serve": 2,  # two-stage artifact serve: the
+    # ADC shortlist window + the exact-rerank window — both artifact
+    # scans partition-pruned to the probed cells, shortlist broadcast
     "similarity_pq_compaction_policy": 3,  # partition-column census:
     # cell groupBy + countDistinct's two-phase expand + the k-row sort
     "similarity_pq_drift_report": 4,  # pq_err-column census: two

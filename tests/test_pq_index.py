@@ -275,3 +275,38 @@ def test_drift_census_reads_only_pq_err_column(spark):
     assert schemas
     for s in schemas:
         assert "pq_err" in s and "codes" not in s and "vec" not in s, s
+
+
+def test_rerank_serve_is_artifact_resident_and_shortlist_bounded(
+        spark, tmp_path):
+    """Two-stage serve from the artifact alone: stage-2 exact scores
+    must re-rank WITHIN the ADC shortlist (every final neighbor appears
+    in the stage-1 pool), results are exact-distance ordered, and BOTH
+    stages' artifact scans are partition-pruned to the probed cells."""
+    from pyspark.sql import Window
+
+    from demo_cdc_users_airline_spark.operators.pq import (
+        _pq_serve_adc,
+        _topk_per_query,
+        pq_rerank_serve,
+    )
+    from demo_cdc_users_airline_spark.operators.pq import RERANK_POOL
+
+    path = _grown(spark, str(tmp_path / "idx"))
+    rows = pq_rerank_serve(spark, SF, path).collect()
+    assert rows
+    adc, _, _ = _pq_serve_adc(spark, SF, path)
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    pool = {(r["query_id"], r["neighbor_id"]) for r in
+            (adc.withColumn("__rn", F.row_number().over(wr))
+             .filter(F.col("__rn") <= RERANK_POOL).collect())}
+    by_q = {}
+    for r in rows:
+        assert (r["query_id"], r["neighbor_id"]) in pool
+        by_q.setdefault(r["query_id"], []).append(
+            (r["exact_d2"], r["neighbor_id"]))
+    for pairs in by_q.values():
+        assert pairs == sorted(pairs)
+    plan = pq_rerank_serve(spark, SF, path) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [cell") >= 2, plan
