@@ -989,7 +989,10 @@ def rebuild_pq_index(spark: SparkSession, path: str,
 
     root = _live_root(path, _PQ_META)
     keep = ("ingest_batch",) if keep_provenance else ()
-    vecs = (spark.read.parquet(root + "/codes")
+    # live read through the resolver (the r10 rule: never hand-compose
+    # artifact subpaths); the new_root STAGING paths below are composed
+    # by hand on purpose — they are pre-publish, not yet resolvable
+    vecs = (spark.read.parquet(pq_codes_path(path))
             .select(F.col("vec_id").alias("id"), "vec", *keep).cache())
     coarse = kmeans_fit(vecs.select("id", "vec"), k=k, iters=iters)
     pq_cb = pq_fit(_subvectors_of(vecs).cache())
@@ -1335,6 +1338,25 @@ def similarity_pq_rebuild_serve(spark: SparkSession,
     return pq_serve(spark, sf_dir, path)
 
 
+# The drift ratio in ppm over the FLOORED per-cell averages — NEVER over
+# the raw sums (whose cross-product s_added·n_base·1e6 multiplies two
+# DECIMAL(38,0)/HUGEINT sums and can exceed 38 digits past the tested
+# envelope, where DuckDB raises but Spark's decimal nulls into the
+# coalesce: a silent 0). The avg ratio's intermediates are bounded by
+# the max PER-VECTOR error × 1e6 — corpus-size-independent, so
+# overflow-free at any scale (VERDICT r11 #2). One spelling per engine,
+# shared verbatim by the catalog query, its oracle, and the giant-sum
+# regime test (tests/test_pq_index.py), with `{i}`/`{b}` relation
+# prefixes for the oracle's two-sided join.
+PQ_DRIFT_PPM_SPARK = ("CAST(coalesce(CAST({i}s_added DIV"
+                      " nullif({i}n_added, 0) AS DECIMAL(38,0))"
+                      " * 1000000 DIV nullif({b}s_base DIV"
+                      " nullif({b}n_base, 0), 0), 0) AS BIGINT)")
+PQ_DRIFT_PPM_DUCK = ("CAST(coalesce(({i}s_added // nullif({i}n_added, 0))"
+                     " * 1000000 // nullif({b}s_base //"
+                     " nullif({b}n_base, 0), 0), 0) AS BIGINT)")
+
+
 def _pq_drift_oracle_sql() -> str:
     """Base coarse chain + base PQ chain, the increment's codes under
     the saved codebooks, and per-cell PQ reconstruction-error stats —
@@ -1412,9 +1434,7 @@ SELECT CAST(c.cell AS BIGINT) AS cell,
          AS avg_pq_err_base,
        CAST(coalesce(i.s_added // nullif(i.n_added, 0), 0) AS BIGINT)
          AS avg_pq_err_added,
-       CAST(coalesce(i.s_added * b.n_base * 1000000
-                     // nullif(b.s_base * i.n_added, 0), 0) AS BIGINT)
-         AS pq_drift_ppm
+       {PQ_DRIFT_PPM_DUCK.format(i='i.', b='b.')} AS pq_drift_ppm
 FROM cells c
 LEFT JOIN pb b USING (cell)
 LEFT JOIN pi i USING (cell)
@@ -1433,16 +1453,24 @@ def similarity_pq_drift_report(spark: SparkSession,
     retrains IVFPQ for): per coarse cell, base vs appended-increment
     mean PQ reconstruction error (``pq_err`` inline in the artifact —
     written at encode time by the same argmin that assigns the codes)
-    and their cross-multiplied integer ratio in ppm. The action the
-    report gates is ``rebuild_pq_index`` (auto-fired in-loop by
-    StreamingPqIngest's hook).
+    and their integer ratio in ppm computed over the already-floored
+    per-cell AVERAGES (``avg_added·1e6 DIV avg_base``), never over the
+    raw sums: a sums cross-product (``s_added·n_base·1e6``) multiplies
+    two DECIMAL(38,0) values and past the tested envelope (≳ sf100)
+    could exceed 38 digits, where DuckDB's HUGEINT raises loudly but
+    Spark's decimal nulls into the coalesce — a silent 0. The avg
+    ratio's intermediates are bounded by the max PER-VECTOR error
+    (corpus-size-independent), so it cannot overflow at any scale —
+    tests/test_pq_index.py pins the giant-sum regime on both engines.
+    The action the report gates is ``rebuild_pq_index`` (auto-fired
+    in-loop by StreamingPqIngest's hook).
 
     Scale path: a pure ARTIFACT census — the codes read projects
     (cell, ingest_batch, pq_err): footer + one small column, never
     codes or vectors; two k-row aggregates assembled with broadcast
     joins. Exactness: int64 per-vector errors, DECIMAL(38,0)/HUGEINT
-    widened sums, cross-multiplied floor-division ratios (never a
-    float fraction), total order on cell."""
+    widened sums, all-integer floor-division ratios (never a float
+    fraction), total order on cell."""
     path = cached_scalar(spark, sf_dir, "pq_inc_index_path",
                          lambda: _build_inc_pq_index(spark, sf_dir))
     codes = spark.read.parquet(pq_codes_path(path))
@@ -1470,9 +1498,8 @@ def similarity_pq_drift_report(spark: SparkSession,
                            " 0) AS BIGINT)").alias("avg_pq_err_base"),
                     F.expr("CAST(coalesce(s_added DIV nullif(n_added,"
                            " 0), 0) AS BIGINT)").alias("avg_pq_err_added"),
-                    F.expr("CAST(coalesce(s_added * n_base * 1000000"
-                           " DIV nullif(s_base * n_added, 0), 0)"
-                           " AS BIGINT)").alias("pq_drift_ppm"))
+                    F.expr(PQ_DRIFT_PPM_SPARK.format(i="", b=""))
+                    .alias("pq_drift_ppm"))
             .orderBy("cell"))
 
 

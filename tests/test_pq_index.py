@@ -310,3 +310,66 @@ def test_rerank_serve_is_artifact_resident_and_shortlist_bounded(
     plan = pq_rerank_serve(spark, SF, path) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("PartitionFilters: [cell") >= 2, plan
+
+
+def test_drift_ppm_is_overflow_free_in_the_giant_sum_regime(spark):
+    """Pin the ≥38-digit regime the r11 formula could NOT survive
+    (VERDICT r11 #2): with error SUMS around 1e30, the retired
+    cross-product ``s_added·n_base·1e6`` exceeds DECIMAL(38,0) /
+    HUGEINT — DuckDB raises, Spark silently nulls→0. The shipped
+    ratio-of-floored-averages must (a) produce IDENTICAL BIGINTs on
+    both engines from the exact production fragments, and (b) keep
+    every intermediate bounded by max-per-vector-error × 1e6,
+    i.e. never overflow no matter how large the sums grow."""
+    import duckdb
+
+    from demo_cdc_users_airline_spark.operators.pq import (
+        PQ_DRIFT_PPM_DUCK,
+        PQ_DRIFT_PPM_SPARK,
+    )
+
+    # (cell, n_base, s_base, n_added, s_added): sums near 1e30 — far
+    # past the point where s_added * n_base * 1e6 blows 38 digits —
+    # plus the edge cells (no increment, no base, zero base error).
+    rows = [
+        (0, 10**12, 3 * 10**30, 10**9, 9 * 10**27),   # drifted 3×
+        (1, 10**12, 3 * 10**30, 10**9, 3 * 10**27),   # in-distribution
+        (2, 10**12, 3 * 10**30, 0, None),             # no increment
+        (3, 0, None, 10**9, 9 * 10**27),              # no base
+        (4, 10**12, 0, 10**9, 9 * 10**27),            # zero base error
+    ]
+    from decimal import Decimal
+
+    sdf = spark.createDataFrame(
+        [(c, nb, None if sb is None else Decimal(sb),
+          na, None if sa is None else Decimal(sa))
+         for c, nb, sb, na, sa in rows],
+        "cell long, n_base long, s_base decimal(38,0),"
+        " n_added long, s_added decimal(38,0)")
+    got_spark = {r["cell"]: r["ppm"] for r in
+                 sdf.select("cell",
+                            F.expr(PQ_DRIFT_PPM_SPARK.format(i="", b=""))
+                            .alias("ppm")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(cell BIGINT, n_base BIGINT,"
+                " s_base HUGEINT, n_added BIGINT, s_added HUGEINT)")
+    # literal text, never bound Python ints: the client binding routes
+    # >2^53 ints through a double and silently mangles them
+    con.execute("INSERT INTO t VALUES " + ", ".join(
+        "(%s)" % ", ".join("NULL" if v is None else str(v) for v in r)
+        for r in rows))
+    got_duck = {c: p for c, p in con.execute(
+        f"SELECT cell, {PQ_DRIFT_PPM_DUCK.format(i='', b='')} FROM t"
+    ).fetchall()}
+    assert got_spark == got_duck
+    # the drifted cell reads 3×, the healthy one 1× — the signal the
+    # rebuild gate thresholds on survives the giant regime intact
+    assert got_spark[0] == 3_000_000
+    assert got_spark[1] == 1_000_000
+    assert got_spark[2] == 0 and got_spark[3] == 0 and got_spark[4] == 0
+    # and the retired cross-product indeed dies here: DuckDB raises
+    # (loud), so any same-shape future regression re-breaks this test
+    with pytest.raises(Exception):
+        con.execute("SELECT s_added * n_base * 1000000"
+                    " // nullif(s_base * n_added, 0) FROM t"
+                    " WHERE cell = 0").fetchall()
