@@ -216,22 +216,21 @@ FROM asgfin GROUP BY cell ORDER BY cell""")
 
 
 # Quantized-cosine oracle fragments (VERDICT r10 #7: the top-k probes
-# now share the module-wide int64 fixed-point convention — exact
+# share the module-wide int64 fixed-point convention — exact
 # order-independent integer dots surfaced as doubles, then ONE
-# engine-identical IEEE tree ``dot / sqrt(nn_a * nn_b)`` — instead of
-# the probe family's former double sequential fold, the last
-# engine-DEPENDENT float path in the catalog).
-_QNN_CTES = f"""qn AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv
-  FROM embeddings
-),
-qnn AS (SELECT vec_id, qv,
-               list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS nn
-        FROM qn)"""
-_QCOS = ("list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])"
-         " / sqrt(a.nn * b.nn)")
+# engine-identical IEEE tree ``dot / sqrt(nn_a * nn_b)``). Derived from
+# similarity.py's single source of truth (ADVICE r11 #4 — the two
+# modules previously held hand-synced near-copies), label-free here
+# because the probe oracles never project the cell column.
+from .similarity import QCOS_SQL as _QCOS
+from .similarity import QUANT_SCALE as _QUANT_SCALE
+from .similarity import qnn_sql as _qnn_sql
+
+# this module's Spark-side quantization (SCALE) and the shared oracle
+# fragments (QUANT_SCALE) must agree or every probe hash diverges
+assert SCALE == _QUANT_SCALE
+
+_QNN_CTES = f"qnn AS ({_qnn_sql(label=False)})"
 
 
 def _learned_probe_oracle_sql(k: int = 8, iters: int = 3, topk: int = 3) -> str:
@@ -1419,7 +1418,20 @@ def stale_generation_dirs(path: str, meta_name: str,
     by the first versioned publish. Empty while the index is still
     flat: without a pointer, the flat tables ARE the live artifact.
     Reaped (``_retire_dirs``) from rebuild and compaction, so one
-    successful maintenance pass after any crash leaves zero debris."""
+    successful maintenance pass after any crash leaves zero debris.
+
+    CONCURRENCY CONTRACT (ADVICE r11 #2): maintenance on one artifact
+    is SINGLE-WRITER — this census treats ANY unreferenced ``v<N>`` as
+    garbage, so a compaction running concurrently with an in-flight
+    rebuild would reap the generation being STAGED. That is safe in
+    the shipped topology because every maintenance entry point
+    (rebuild_*/compact_*) runs inside the artifact's one streaming
+    maintainer's quiesced foreachBatch — batches of one query are
+    serialized by Structured Streaming, so a stage dir can never
+    coexist with another writer's GC pass. A future SECOND maintainer
+    on the same artifact must serialize maintenance externally (or
+    teach this census to skip the max-``v<N>``+1 candidate dir) before
+    relying on it."""
     import json
     import os
     import re

@@ -146,11 +146,15 @@ _HYBRID_QVEC = 0  # the exemplar document whose embedding is the dense query
 # documents.doc_id and embeddings.vec_id are the same id space in the
 # testdata (one embedding per document), so the two rank lists fuse on it.
 
-_COS_Q_SQL = f"""
-  list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[])
-  / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
-     * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
-"""
+# dense-leg cosine on the repo-wide quantized-int64 convention
+# (VERDICT r11 #3: this leg was the catalog's last double sequential
+# fold — engine-identical only empirically; it now shares the same
+# structurally-exact fragment every similarity probe uses). `a` is the
+# query row, `b` the candidate — the fragment is symmetric in the dot.
+from .similarity import QCOS_SQL as _QCOS_RRF
+from .similarity import qnn_sql as _qnn_sql
+
+_QNN_NOLAB = _qnn_sql(label=False)
 
 
 @q("retrieval_hybrid_rrf", f"""
@@ -182,9 +186,10 @@ br AS (
 ),
 cr AS (
   SELECT b.vec_id AS doc_id,
-         row_number() OVER (ORDER BY {_COS_Q_SQL} DESC, b.vec_id) AS cos_rank
-  FROM embeddings b
-  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_HYBRID_QVEC}) q
+         row_number() OVER (ORDER BY {_QCOS_RRF} DESC, b.vec_id) AS cos_rank
+  FROM ({_QNN_NOLAB}) b
+  CROSS JOIN (SELECT qv, nn FROM ({_QNN_NOLAB})
+              WHERE vec_id = {_HYBRID_QVEC}) a
   WHERE b.vec_id <> {_HYBRID_QVEC}
   QUALIFY cos_rank <= {RRF_POOL}
 )
@@ -205,7 +210,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the modalities that retrieved d, in exact micro-unit integer
     division, so fusion is engine-exact even though the underlying
     scores live on incomparable scales (the reason RRF is the standard
-    fusion for hybrid search).
+    fusion for hybrid search). The dense leg ranks by the repo-wide
+    quantized-int64 cosine (exact order-independent integer dots, one
+    engine-identical IEEE tree) — r12 retired its former double
+    sequential fold, the catalog's last engine-dependent float path.
 
     Dataflow: each modality reduces to a top-{RRF_POOL} list via
     TakeOrderedAndProject (per-partition heap — never a global window);
@@ -222,18 +230,16 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_top = (_bm25_scored(spark, sf_dir)
                 .orderBy(F.col("score_micro").desc(), "doc_id")
                 .limit(RRF_POOL).select("doc_id").collect())
+    from .similarity import qdot, quantize_expr
+
     e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
                       "vec_id")
-    qv = (e.filter(F.col("vec_id") == _HYBRID_QVEC)
-          .select(F.col("embedding").alias("q_emb")))
-    from .similarity import dot
-
-    cos = (F.expr("aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
-                  " CAST(q_emb AS ARRAY<DOUBLE>), (x, y) -> x * y),"
-                  " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-           / (F.sqrt(dot("embedding", "embedding"))
-              * F.sqrt(dot("q_emb", "q_emb"))))
-    cos_top = (e.filter(F.col("vec_id") != _HYBRID_QVEC)
+    qn = (e.select("vec_id", quantize_expr("embedding").alias("qv"))
+          .withColumn("nn", qdot("qv", "qv")))
+    qv = (qn.filter(F.col("vec_id") == _HYBRID_QVEC)
+          .select(F.col("qv").alias("q_qv"), F.col("nn").alias("q_nn")))
+    cos = qdot("qv", "q_qv") / F.sqrt(F.col("nn") * F.col("q_nn"))
+    cos_top = (qn.filter(F.col("vec_id") != _HYBRID_QVEC)
                .crossJoin(F.broadcast(qv))
                .select("vec_id", cos.alias("cosine"))
                .orderBy(F.col("cosine").desc(), "vec_id")

@@ -117,6 +117,9 @@ MAX_SHUFFLES = {
     "corpus_token_spectrum": 2,     # token groupBy + |vocab|→|counts| agg;
     # grand total folds in as a collected broadcast scalar
     "similarity_hard_negatives": 1,  # anchors broadcast; per-anchor top-k
+    "similarity_sq8_adc_topk": 2,  # reconstruct map-only (ranges are
+    # driver-collected literals), queries broadcast: per-query top-k
+    # window + the final presentation sort
     # window is the only exchange (bounded by the anchor set)
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the
