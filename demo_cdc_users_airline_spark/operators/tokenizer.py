@@ -278,23 +278,14 @@ FROM documents d LEFT JOIN agg a USING (doc_id)""")
     return "".join(parts)
 
 
-@q("text_bpe_encode", _encode_oracle_sql())
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODING with the learned merge table — the serving half of
-    the tokenizer lifecycle (train → encode): every document's words are
-    re-segmented by applying the {N_MERGES} learned merges in rank
-    order, reporting per-document word/char/BPE-token counts and the
-    chars-per-token compression (integer micro-division).
-
-    Scale path: the merge table is the memoized bounded artifact
-    (learn once per session × dataset, exactly like the k-means/PQ
-    codebooks); encoding is a word explode + {N_MERGES} bound-literal
-    replaces (whole-stage codegen, never an interpreted lambda) + ONE
-    map-side-combinable groupBy(doc_id) — the same one-shuffle shape a
-    production tokenizer sweep has. Merge pairs bind via lit()
-    parameters, never inlined SQL literals (learned symbols may contain
-    quotes or backslashes — the repo's Spark-literal invariant)."""
-    merges = learn_bpe_merges(spark, sf_dir)
+def _bpe_encode_with(spark: SparkSession, sf_dir: str,
+                     merges) -> DataFrame:
+    """Shared encode core for text_bpe_encode (trainer-fed) and
+    text_bpe_encode_served (artifact-fed) — the _unigram_encode_with
+    pattern (ADVICE r11 #3: the two entry points previously held
+    verbatim copies of this body that could drift): word explode →
+    per-word char split → the learned merges applied in rank order as
+    bound-literal replaces → one map-side-combinable groupBy(doc_id)."""
     d = load_table(spark, sf_dir, "documents")
     words = (d.select("doc_id", F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -319,6 +310,25 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
                  .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
                  .cast("long").alias("chars_per_token_micro")))
+
+
+@q("text_bpe_encode", _encode_oracle_sql())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merge table — the serving half of
+    the tokenizer lifecycle (train → encode): every document's words are
+    re-segmented by applying the {N_MERGES} learned merges in rank
+    order, reporting per-document word/char/BPE-token counts and the
+    chars-per-token compression (integer micro-division).
+
+    Scale path: the merge table is the memoized bounded artifact
+    (learn once per session × dataset, exactly like the k-means/PQ
+    codebooks); encoding is a word explode + {N_MERGES} bound-literal
+    replaces (whole-stage codegen, never an interpreted lambda) + ONE
+    map-side-combinable groupBy(doc_id) — the same one-shuffle shape a
+    production tokenizer sweep has. Merge pairs bind via lit()
+    parameters, never inlined SQL literals (learned symbols may contain
+    quotes or backslashes — the repo's Spark-literal invariant)."""
+    return _bpe_encode_with(spark, sf_dir, learn_bpe_merges(spark, sf_dir))
 
 
 @q("text_bpe_merges", _bpe_oracle_sql())
@@ -963,31 +973,9 @@ def text_bpe_encode_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: identical to text_bpe_encode (the artifact load is
     {N_MERGES} driver rows; the encode sweep is unchanged)."""
-    merges = load_bpe_merges(spark, _saved_tokenizer_path(spark, sf_dir))
-    d = load_table(spark, sf_dir, "documents")
-    words = (d.select("doc_id", F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
-             .filter(F.length("w") > 0))
-    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
-               " i -> substring(w, i, 1)))")
-    s = F.concat(F.lit(" "), s, F.lit(" "))
-    for _, a, b, _cnt in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    enc = words.select("doc_id", F.length("w").alias("nc"),
-                       F.size(F.split(F.trim(s), " ")).alias("nt"))
-    agg = (enc.groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_words"),
-                F.sum("nc").alias("n_chars"),
-                F.sum("nt").alias("n_tokens")))
-    return (d.select("doc_id").join(agg, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-                F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
-                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
-                 .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
-                 .cast("long").alias("chars_per_token_micro")))
+    return _bpe_encode_with(
+        spark, sf_dir,
+        load_bpe_merges(spark, _saved_tokenizer_path(spark, sf_dir)))
 
 
 @q("text_unigram_encode_served", _unigram_encode_oracle_sql())
