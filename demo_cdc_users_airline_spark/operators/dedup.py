@@ -1928,9 +1928,15 @@ def _cluster_index_path(sf_dir: str) -> str:
 
 _MERGES_SCHEMA = "old_label long, new_label long"
 
+# past this many overlay rows, update_cluster_index stops materializing
+# the overlay on the driver and pointer-jumps it distributedly instead
+# (VERDICT r11 #5 — the _LOCAL_FINISH_EDGES loud-cap pattern: the
+# overlay is bounded by compaction CADENCE, not structurally)
+_MERGES_LOCAL_MAX = 1_000_000
 
-def _write_merges(spark: SparkSession, path: str,
-                  mapping: dict[int, int]) -> None:
+
+def _write_merges_frame(spark: SparkSession, path: str,
+                        df: DataFrame) -> None:
     """Publish the flattened merges overlay via write-to-tmp +
     rename-aside — the overlay is rewritten on every batch and holds
     ALL prior batches' relabel history, so a bare Spark overwrite's
@@ -1938,16 +1944,12 @@ def _write_merges(spark: SparkSession, path: str,
     a retry cannot recompute (it only re-derives its OWN batch's
     entries). With the swap, a crash leaves either the old or the new
     overlay at a recoverable location and resolved reads never see a
-    half-written table. coalesce(1): bounded by the number of
-    ever-merged components — a k-row scheduler table, not data."""
+    half-written table."""
     import os
     import shutil
-    rows = sorted((int(o), int(n)) for o, n in mapping.items())
     live = path + "/merges"
     tmp, old = live + ".swap.tmp", live + ".swap.old"
-    (spark.createDataFrame(rows, _MERGES_SCHEMA) if rows
-     else spark.createDataFrame([], _MERGES_SCHEMA)) \
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(live):
@@ -1956,9 +1958,17 @@ def _write_merges(spark: SparkSession, path: str,
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _read_merges(spark: SparkSession, path: str) -> dict[int, int]:
-    return {int(r["old_label"]): int(r["new_label"]) for r in
-            spark.read.parquet(path + "/merges").collect()}
+def _write_merges(spark: SparkSession, path: str,
+                  mapping: dict[int, int]) -> None:
+    """Driver-side overlay publish (the common, small-overlay path).
+    coalesce(1): bounded by the number of ever-merged components — a
+    k-row scheduler table, not data."""
+    rows = sorted((int(o), int(n)) for o, n in mapping.items())
+    _write_merges_frame(
+        spark,
+        path,
+        (spark.createDataFrame(rows, _MERGES_SCHEMA) if rows
+         else spark.createDataFrame([], _MERGES_SCHEMA)).coalesce(1))
 
 
 def cluster_labels_of(spark: SparkSession, path: str) -> DataFrame:
@@ -2020,7 +2030,8 @@ def build_cluster_index(spark: SparkSession, sf_dir: str,
 
 
 def update_cluster_index(spark: SparkSession, path: str,
-                         docs: DataFrame, batch_id: int) -> None:
+                         docs: DataFrame, batch_id: int,
+                         merges_local_max: int = _MERGES_LOCAL_MAX) -> None:
     """Extend the persisted cluster labels with one increment batch —
     O(increment), never the corpus, and NEVER the global CC fixpoint:
 
@@ -2048,7 +2059,12 @@ def update_cluster_index(spark: SparkSession, path: str,
        its own rows; its probe self-excludes via exclude_batch); the
        k merged components go into the FLATTENED merges overlay
        (existing entries pointer-jump through new winners, so reads
-       stay one join deep).
+       stay one join deep). Up to ``merges_local_max`` overlay rows
+       the rewrite is a driver dict (the k-row regime); past the cap
+       the SAME update runs distributedly — one broadcast
+       pointer-jump join over the overlay plus a union of the new
+       entries — so an overlay that outgrew its compaction cadence
+       never materializes on the driver (VERDICT r11 #5).
 
     A re-run after a crash recomputes the same final labels: the
     union-find's inputs (immutable signatures, resolved pre-batch
@@ -2132,21 +2148,47 @@ def update_cluster_index(spark: SparkSession, path: str,
      .withColumn("ingest_batch", F.lit(int(batch_id)))
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("ingest_batch").parquet(path + "/labels"))
-    merges = _read_merges(spark, path)
-    changed = False
-    for lab in {c for _, c in pairs}:
-        w = find(lab)
-        if w != lab:
-            merges[lab] = w
-            changed = True
-    if changed:
+    new_w = {lab: find(lab) for lab in {c for _, c in pairs}
+             if find(lab) != lab}
+    if new_w:
         # pointer-jump EXISTING entries through the new winners so the
         # mapping stays flat (one-join reads); new winners are either
-        # new doc ids or still-live labels, never old_label keys
-        merges = {o: merges.get(n, n) for o, n in merges.items()}
-        _write_merges(spark, path, merges)  # atomic swap; unchanged
-        # overlays skip the rewrite entirely (most batches merge
-        # nothing — no reason to cycle the table)
+        # new doc ids or still-live labels, never old_label keys.
+        # Unchanged overlays skip the rewrite entirely (most batches
+        # merge nothing — no reason to cycle the table).
+        head = (spark.read.parquet(path + "/merges")
+                .limit(merges_local_max + 1).collect())
+        if len(head) <= merges_local_max:
+            # common path: the overlay is a k-row scheduler table —
+            # driver dict, sorted single-file rewrite
+            merges = {int(r["old_label"]): int(r["new_label"])
+                      for r in head}
+            merges.update(new_w)
+            merges = {o: new_w.get(n, n) for o, n in merges.items()}
+            _write_merges(spark, path, merges)  # atomic swap
+        else:
+            # VERDICT r11 #5 (the local_finish_max_edges pattern): the
+            # overlay is bounded only by compaction CADENCE, not
+            # structurally — past the cap, never materialize it on the
+            # driver. The same update runs as one broadcast
+            # pointer-jump join (new_w is bounded by this batch's
+            # contracted pairs) + a union of the new entries; retries
+            # that already published their entries dedup on old_label.
+            wdf2 = spark.createDataFrame(
+                sorted((int(o), int(n)) for o, n in new_w.items()),
+                "lab long, w long")
+            overlay = spark.read.parquet(path + "/merges")
+            jumped = (overlay.join(
+                          F.broadcast(wdf2),
+                          overlay["new_label"] == wdf2["lab"], "left")
+                      .select(overlay["old_label"],
+                              F.coalesce(wdf2["w"], overlay["new_label"])
+                              .alias("new_label")))
+            updated = (jumped.unionByName(
+                           wdf2.select(F.col("lab").alias("old_label"),
+                                       F.col("w").alias("new_label")))
+                       .dropDuplicates(["old_label"]))
+            _write_merges_frame(spark, path, updated)
     # keep the probe index current: the batch's signatures/bands join
     # the corpus so the NEXT batch's probe sees them (idempotent by
     # batch id, same as every maintainer append)
