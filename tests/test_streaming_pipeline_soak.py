@@ -1,0 +1,316 @@
+"""All-five-maintainer integration soak (VERDICT r11 #1): ONE CDC
+stream (doc_id, text, embedding) drives the LSH-admission, BM25,
+cluster-label, IVF and PQ maintainers through ≥6 batches with in-loop
+compactions interleaving mid-stream and a mid-stream IVF auto-rebuild
+— the cross-family window the per-family suites never exercise: the
+IVF artifact swaps its coarse codebook at generation v1 WHILE the PQ
+artifact keeps appending under its own independently-saved codebooks
+(the two families share the coarse-quantizer concept but must never
+share state). Afterward every family's serve gate is asserted from
+the maintained artifacts, the whole fan-out is retried for the last
+batch (pipeline-level idempotence), and every batch honors the
+reference's 15 s ingest→serveable budget (modules/utils.py:48-49).
+"""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from demo_cdc_users_airline_spark.operators.dedup import (
+    build_cluster_index,
+    build_lsh_index,
+    cluster_labels_of,
+    probe_lsh_index,
+)
+from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+    build_ivf_index,
+    ivf_cells_path,
+    ivf_codebook_path,
+    load_codebook,
+)
+from demo_cdc_users_airline_spark.operators.pq import (
+    build_pq_index,
+    load_pq_codebook,
+    pq_coarse_path,
+    pq_codebook_path,
+    pq_codes_path,
+    pq_serve,
+)
+from demo_cdc_users_airline_spark.operators.retrieval import (
+    bm25_serve,
+    build_bm25_index,
+)
+from demo_cdc_users_airline_spark.sources.loader import load_table
+from demo_cdc_users_airline_spark.sources.tables import AppendTable
+from demo_cdc_users_airline_spark.streaming.bm25_ingest import (
+    StreamingBm25Ingest,
+)
+from demo_cdc_users_airline_spark.streaming.cluster_ingest import (
+    StreamingClusterIngest,
+)
+from demo_cdc_users_airline_spark.streaming.ivf_ingest import (
+    StreamingIvfIngest,
+)
+from demo_cdc_users_airline_spark.streaming.lsh_ingest import (
+    StreamingLshIngest,
+)
+from demo_cdc_users_airline_spark.streaming.pipeline import (
+    StreamingIndexPipeline,
+)
+from demo_cdc_users_airline_spark.streaming.pq_ingest import (
+    StreamingPqIngest,
+)
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 15.0
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+# distinct word stocks so novel docs never near-dup each other or the
+# corpus (the MinHash rule needs >= 8/16 matching components)
+_WORDS = ("aurora basalt cantilever dromedary estuary fjord glacier "
+          "harmonica isthmus javelin kestrel lagoon meridian nimbus "
+          "obsidian parallax quasar rivulet sediment theodolite umbra "
+          "vertex wavelet xylophone yardarm zephyr").split()
+
+
+def _novel(seed: int) -> str:
+    # 12 distinct words per doc, rotated so no two docs share > a few
+    return " ".join(f"{_WORDS[(seed * 5 + k) % len(_WORDS)]}{seed}x{k}"
+                    for k in range(12))
+
+
+def _rows(ids_texts_vecs):
+    return [{"doc_id": i, "text": t, "embedding": v}
+            for i, t, v in ids_texts_vecs]
+
+
+def _write(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _source(spark, directory):
+    return (spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1).load(str(directory))
+            .select(F.from_json(F.col("value"), SCHEMA).alias("j"))
+            .select("j.doc_id", "j.text", "j.embedding"))
+
+
+def _run_once(pipe, stream, ckpt):
+    q = pipe.start(stream, str(ckpt), trigger_once=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _centroid_vecs(spark, ivf_path, n):
+    """In-distribution vectors: the IVF index's own centroids
+    dequantized (q_err ~ 0 — can never breach the drift ratio)."""
+    cb = load_codebook(spark, ivf_codebook_path(ivf_path))
+    return [[x / 1e6 for x in vec] for _, vec in (cb * 8)[:n]]
+
+
+def _resolved_state(spark, p):
+    """Provenance-free resolved content of all five artifacts (batch
+    partition layout legitimately changes under compaction; resolved
+    reads must not)."""
+    def rows(df):
+        return sorted(str(r) for r in df.collect())
+
+    return {
+        "admitted": rows(spark.read.parquet(p["adm"]).select("doc_id")),
+        "sig": rows(spark.read.parquet(p["lsh"] + "/sig")
+                    .drop("ingest_batch")),
+        "bm25": rows(spark.read.parquet(p["bm25"] + "/postings")
+                     .drop("ingest_batch")),
+        "labels": rows(cluster_labels_of(spark, p["clu"])),
+        "cells": rows(spark.read.parquet(ivf_cells_path(p["ivf"]))
+                      .drop("ingest_batch")),
+        "codes": rows(spark.read.parquet(pq_codes_path(p["pq"]))
+                      .drop("ingest_batch")),
+    }
+
+
+def test_five_maintainer_soak(spark, tmp_path):
+    p = {
+        "lsh": build_lsh_index(spark, SF, str(tmp_path / "lsh")),
+        "bm25": build_bm25_index(spark, SF, str(tmp_path / "bm25")),
+        "clu": build_cluster_index(spark, SF, str(tmp_path / "clu")),
+        "ivf": build_ivf_index(spark, SF, str(tmp_path / "ivf")),
+        "pq": build_pq_index(spark, SF, str(tmp_path / "pq")),
+        "adm": str(tmp_path / "admitted"),
+    }
+    pipe = StreamingIndexPipeline(
+        lsh=StreamingLshIngest(index_path=p["lsh"],
+                               out_table=AppendTable(spark, p["adm"]),
+                               rebuild_check_every=2,
+                               compact_check_every=2),
+        bm25=StreamingBm25Ingest(index_path=p["bm25"],
+                                 compact_check_every=2),
+        clusters=StreamingClusterIngest(index_path=p["clu"],
+                                        compact_check_every=3),
+        ivf=StreamingIvfIngest(
+            index_path=p["ivf"],
+            report_table=AppendTable(spark, str(tmp_path / "rep")),
+            rebuild_check_every=1, compact_check_every=2),
+        pq=StreamingPqIngest(index_path=p["pq"], compact_check_every=2),
+    )
+
+    # the PQ artifact's saved codebooks — must survive the IVF swap
+    pq_coarse_before = load_codebook(spark, pq_coarse_path(p["pq"]))
+    pq_sub_before = load_pq_codebook(spark, pq_codebook_path(p["pq"]))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    vecs3 = lambda: _centroid_vecs(spark, p["ivf"], 3)  # noqa: E731
+
+    # warmup (untimed): the budget models a RUNNING loop's per-batch
+    # latency, as the per-family latency tests do
+    _write(src / "warm.json", _rows(
+        [(9_000_000 + i, _novel(90 + i), v)
+         for i, v in enumerate(vecs3())]))
+    _run_once(pipe, _source(spark, src), ckpt)
+
+    t1a = _novel(1)
+    b5_novels = [(10_500_000 + i, _novel(50 + i)) for i in range(3)]
+    drift = [[x + 1.0 for x in v] for v in vecs3()]
+    batches = [
+        # b1: three novels, in-distribution vectors
+        [(10_000_000 + i, t1a if i == 0 else _novel(10 + i), v)
+         for i, v in enumerate(vecs3())],
+        # b2: an exact dup of t1a (bigger id) + two novels
+        [(10_100_000, t1a, vecs3()[0]),
+         (10_100_001, _novel(21), vecs3()[1]),
+         (10_100_002, _novel(22), vecs3()[2])],
+        # b3: the BM25 unique-term doc + novels, vectors DRIFTED
+        # (+1.0/coord) -> the IVF auto-rebuild fires THIS batch
+        [(10_200_000, "zzsoakterm zzsoakterm zzsoakterm rare posting",
+          drift[0]),
+         (10_200_001, _novel(31), drift[1]),
+         (10_200_002, _novel(32), drift[2])],
+        # b4: a SMALLER-id dup of t1a -> the cluster overlay gains a
+        # merge (existing component relabels to the new min)
+        [(9_999_999, t1a, vecs3()[0]),
+         (10_300_001, _novel(41), vecs3()[1]),
+         (10_300_002, _novel(42), vecs3()[2])],
+        # b5: three novels (b6 will dup one of them)
+        [(i, t, v) for (i, t), v in zip(b5_novels, vecs3())],
+        # b6: an exact dup of a b5 novel + two novels — probes the
+        # admission index AFTER compactions and the IVF swap
+        [(10_600_000, b5_novels[0][1], vecs3()[0]),
+         (10_600_001, _novel(61), vecs3()[1]),
+         (10_600_002, _novel(62), vecs3()[2])],
+    ]
+    timings = []
+    for k, batch in enumerate(batches, start=1):
+        t0 = time.monotonic()
+        _write(src / f"b{k}.json", _rows(batch))
+        _run_once(pipe, _source(spark, src), ckpt)
+        timings.append(time.monotonic() - t0)
+
+    streamed = [(r["doc_id"], r["text"], r["embedding"])
+                for b in batches for r in _rows(b)]
+    warm_ids = [9_000_000, 9_000_001, 9_000_002]
+    all_ids = sorted(warm_ids + [i for i, _, _ in streamed])
+
+    # -- IVF: the auto-rebuild fired mid-stream, exactly once, and
+    #    nothing was lost across the swap + the interleaved folds ---------
+    assert (tmp_path / "ivf" / "_ivf_live.json").exists()
+    assert ivf_cells_path(p["ivf"]).endswith("/v1/cells")
+    from demo_cdc_users_airline_spark.operators.kmeans_ivf import (
+        _DRIFT_MOD,
+    )
+
+    cells = spark.read.parquet(ivf_cells_path(p["ivf"]))
+    base_n = (load_table(spark, SF, "embeddings")
+              .filter(F.col("vec_id") % _DRIFT_MOD != 0).count())
+    got_ids = sorted(r["vec_id"] for r in
+                     cells.filter(F.col("vec_id") >= 9_000_000)
+                     .select("vec_id").collect())
+    assert got_ids == all_ids            # each streamed vector, once
+    assert cells.count() == base_n + len(all_ids)
+    # compactions really folded batch partitions mid-stream: only the
+    # base and the last couple of unfolded batches remain
+    ivf_parts = {r[0] for r in
+                 cells.select("ingest_batch").distinct().collect()}
+    assert -1 in ivf_parts and len(ivf_parts) <= 4, ivf_parts
+
+    # -- PQ: appended under its OWN saved codebooks the whole time —
+    #    the IVF swap next door must not have touched them ----------------
+    assert load_codebook(spark, pq_coarse_path(p["pq"])) \
+        == pq_coarse_before
+    assert load_pq_codebook(spark, pq_codebook_path(p["pq"])) \
+        == pq_sub_before
+    assert not (tmp_path / "pq" / "_pq_live.json").exists()  # no rebuild
+    codes = spark.read.parquet(pq_codes_path(p["pq"]))
+    got_ids = sorted(r["vec_id"] for r in
+                     codes.filter(F.col("vec_id") >= 9_000_000)
+                     .select("vec_id").collect())
+    assert got_ids == all_ids
+    pq_parts = {r[0] for r in
+                codes.select("ingest_batch").distinct().collect()}
+    assert -1 in pq_parts and len(pq_parts) <= 4, pq_parts
+    assert pq_serve(spark, SF, p["pq"]).count() > 0  # ADC serve alive
+
+    # -- LSH admission: dups rejected against the maintained index,
+    #    across compactions and the width census --------------------------
+    adm = {r["doc_id"] for r in
+           spark.read.parquet(p["adm"]).select("doc_id").collect()}
+    rejected = {10_100_000, 9_999_999, 10_600_000}
+    assert adm == set(all_ids) - rejected
+    verdict = {r["doc_id"]: (r["admitted"], r["dup_of"]) for r in
+               probe_lsh_index(
+                   spark,
+                   spark.createDataFrame(
+                       [(20_000_000, t1a),
+                        (20_000_001, b5_novels[0][1]),
+                        (20_000_002, _novel(999))],
+                       "doc_id long, text string"),
+                   p["lsh"]).collect()}
+    assert verdict[20_000_000] == (0, 10_000_000)   # t1a's admitted copy
+    assert verdict[20_000_001] == (0, b5_novels[0][0])
+    assert verdict[20_000_002][0] == 1              # novel admits
+
+    # -- clusters: the t1a component spans three batches and relabeled
+    #    to the b4 SMALLER id through the merges overlay ------------------
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              cluster_labels_of(spark, p["clu"])
+              .filter(F.col("doc_id") >= 9_000_000).collect()}
+    assert labels[10_000_000] == 9_999_999
+    assert labels[10_100_000] == 9_999_999
+    assert labels[9_999_999] == 9_999_999
+    assert labels[10_600_000] == labels[b5_novels[0][0]] \
+        == b5_novels[0][0]
+    assert labels[10_200_001] == 10_200_001         # novel: singleton
+
+    # -- BM25: the unique term serves exactly its doc from the folded
+    #    postings ----------------------------------------------------------
+    rows = bm25_serve(spark, p["bm25"], terms=("zzsoakterm",)).collect()
+    assert [r["doc_id"] for r in rows] == [10_200_000]
+
+    # -- pipeline-level idempotence: retry the ENTIRE fan-out for the
+    #    last batch — every artifact's resolved content is unchanged ------
+    before = _resolved_state(spark, p)
+    last_df = spark.createDataFrame(
+        [(i, t, v) for i, t, v in
+         [(r["doc_id"], r["text"], r["embedding"])
+          for r in _rows(batches[-1])]], SCHEMA)
+    last_id = max(r[0] for r in
+                  codes.select("ingest_batch").distinct().collect())
+    pipe.process_batch(last_df, last_id)
+    assert _resolved_state(spark, p) == before
+
+    # -- the 15 s per-batch budget held THROUGHOUT (incl. the rebuild
+    #    batch and every compaction batch) — asserted LAST so an idle
+    #    re-run of a contended box still reports the functional state
+    print("\nper-batch ingest -> serveable: "
+          + ", ".join(f"{t:.2f}s" for t in timings)
+          + f" (budget {BUDGET:.0f}s)")
+    assert all(t < BUDGET for t in timings), timings
