@@ -49,18 +49,22 @@ from .cluster_ingest import StreamingClusterIngest
 from .ivf_ingest import StreamingIvfIngest
 from .lsh_ingest import StreamingLshIngest
 from .pq_ingest import StreamingPqIngest
+from .sq8_ingest import StreamingSq8Ingest
 
 
 @dataclass
 class StreamingIndexPipeline:
-    """Fan one (doc_id, text, embedding) CDC batch out to the five
-    index maintainers, inside ONE foreachBatch window."""
+    """Fan one (doc_id, text, embedding) CDC batch out to the index
+    maintainers, inside ONE foreachBatch window. The SQ8 leg is
+    optional (None skips it) — deployments choose their compression
+    tier; the soak runs all six."""
 
     lsh: StreamingLshIngest
     bm25: StreamingBm25Ingest
     clusters: StreamingClusterIngest
     ivf: StreamingIvfIngest
     pq: StreamingPqIngest
+    sq8: StreamingSq8Ingest | None = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # one materialization of the source batch; each leg projects
@@ -78,6 +82,8 @@ class StreamingIndexPipeline:
                 (self.clusters.process_batch, docs),
                 (self.ivf.process_batch, vecs),
                 (self.pq.process_batch, vecs)]
+        if self.sq8 is not None:
+            legs.append((self.sq8.process_batch, vecs))
         # one thread PER ARTIFACT (never more): writes inside one
         # artifact stay serialized, independent artifacts overlap.
         # Any leg failure fails the whole batch — foreachBatch then

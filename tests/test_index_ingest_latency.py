@@ -219,3 +219,43 @@ def test_pq_ingest_to_serve_latency(spark, tmp_path):
     print(f"\npq ingest -> serveable: {total:.2f}s "
           f"(budget {BUDGET:.0f}s)")
     assert total < BUDGET
+
+
+def test_sq8_ingest_to_serve_latency(spark, tmp_path):
+    from demo_cdc_users_airline_spark.operators.sq8 import (
+        build_sq8_index,
+        sq8_codes_path,
+        sq8_ranges_path,
+    )
+    from demo_cdc_users_airline_spark.streaming.sq8_ingest import (
+        StreamingSq8Ingest,
+    )
+    path = build_sq8_index(spark, SF, str(tmp_path / "idx"))
+    dim = spark.read.parquet(sq8_ranges_path(path)).count()
+    pipe = StreamingSq8Ingest(index_path=path)
+    vec = (load_table(spark, SF, "embeddings")
+           .filter(F.col("vec_id") % _DRIFT_MOD == 0)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding"))
+           .orderBy("id").first())
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"id": 1_000_001,
+                    "embedding": list(vec["embedding"])}) + "\n")
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 1).load(str(src))
+              .select(F.from_json(F.col("value"), VEC_SCHEMA).alias("j"))
+              .select("j.id", "j.embedding"))
+    run_once(pipe, stream, tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: the vector's 8-bit code row is a
+    # candidate in its coarse cell, one code per dimension
+    got = (spark.read.parquet(sq8_codes_path(path))
+           .filter(F.col("vec_id") == 1_000_001).collect())
+    assert len(got) == 1 and len(got[0]["codes"]) == dim
+    print(f"\nsq8 ingest -> serveable: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET

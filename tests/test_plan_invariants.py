@@ -120,6 +120,13 @@ MAX_SHUFFLES = {
     "similarity_sq8_adc_topk": 2,  # reconstruct map-only (ranges are
     # driver-collected literals), queries broadcast: per-query top-k
     # window + the final presentation sort
+    "similarity_sq8_serve_topk": 1,  # persisted IVF×SQ8 serve: bounded
+    # probe collect, partition-pruned codes read, in-row reconstruct —
+    # ONLY the per-query top-k exchanges (the pq_serve budget)
+    "similarity_sq8_rebuild_serve": 1,  # same serve core over the
+    # rebuilt artifact
+    "similarity_sq8_clip_report": 2,  # (ingest_batch, n_clip) census:
+    # one k-row aggregate + the presentation sort
     # window is the only exchange (bounded by the anchor set)
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the

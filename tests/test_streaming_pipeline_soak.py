@@ -1,14 +1,14 @@
-"""All-five-maintainer integration soak (VERDICT r11 #1): ONE CDC
-stream (doc_id, text, embedding) drives the LSH-admission, BM25,
-cluster-label, IVF and PQ maintainers through ≥6 batches with in-loop
-compactions interleaving mid-stream and a mid-stream IVF auto-rebuild
-— the cross-family window the per-family suites never exercise: the
-IVF artifact swaps its coarse codebook at generation v1 WHILE the PQ
-artifact keeps appending under its own independently-saved codebooks
-(the two families share the coarse-quantizer concept but must never
-share state). Afterward every family's serve gate is asserted from
-the maintained artifacts, the whole fan-out is retried for the last
-batch (pipeline-level idempotence), and every batch honors the
+"""All-maintainer integration soak (VERDICT r11 #1, extended to SIX):
+ONE CDC stream (doc_id, text, embedding) drives the LSH-admission,
+BM25, cluster-label, IVF, PQ and SQ8 maintainers through ≥6 batches
+with in-loop compactions interleaving mid-stream and TWO mid-stream
+auto-rebuilds on the same injected drift batch — the IVF drift gate
+and the SQ8 clip gate each swap their own artifact's generation WHILE
+the PQ artifact keeps appending under its own independently-saved
+codebooks (the families share the coarse-quantizer concept but must
+never share state). Afterward every family's serve gate is asserted
+from the maintained artifacts, the whole fan-out is retried for the
+last batch (pipeline-level idempotence), and every batch honors the
 reference's 15 s ingest→serveable budget (modules/utils.py:48-49).
 """
 
@@ -42,6 +42,11 @@ from demo_cdc_users_airline_spark.operators.retrieval import (
     bm25_serve,
     build_bm25_index,
 )
+from demo_cdc_users_airline_spark.operators.sq8 import (
+    build_sq8_index,
+    sq8_codes_path,
+    sq8_serve,
+)
 from demo_cdc_users_airline_spark.sources.loader import load_table
 from demo_cdc_users_airline_spark.sources.tables import AppendTable
 from demo_cdc_users_airline_spark.streaming.bm25_ingest import (
@@ -61,6 +66,9 @@ from demo_cdc_users_airline_spark.streaming.pipeline import (
 )
 from demo_cdc_users_airline_spark.streaming.pq_ingest import (
     StreamingPqIngest,
+)
+from demo_cdc_users_airline_spark.streaming.sq8_ingest import (
+    StreamingSq8Ingest,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -133,6 +141,8 @@ def _resolved_state(spark, p):
                       .drop("ingest_batch")),
         "codes": rows(spark.read.parquet(pq_codes_path(p["pq"]))
                       .drop("ingest_batch")),
+        "sq8": rows(spark.read.parquet(sq8_codes_path(p["sq8"]))
+                    .drop("ingest_batch")),
     }
 
 
@@ -143,6 +153,7 @@ def test_five_maintainer_soak(spark, tmp_path):
         "clu": build_cluster_index(spark, SF, str(tmp_path / "clu")),
         "ivf": build_ivf_index(spark, SF, str(tmp_path / "ivf")),
         "pq": build_pq_index(spark, SF, str(tmp_path / "pq")),
+        "sq8": build_sq8_index(spark, SF, str(tmp_path / "sq8")),
         "adm": str(tmp_path / "admitted"),
     }
     pipe = StreamingIndexPipeline(
@@ -159,6 +170,12 @@ def test_five_maintainer_soak(spark, tmp_path):
             report_table=AppendTable(spark, str(tmp_path / "rep")),
             rebuild_check_every=1, compact_check_every=2),
         pq=StreamingPqIngest(index_path=p["pq"], compact_check_every=2),
+        # the clip gate checks EVERY batch: the drifted batch (b3)
+        # clips ~40% of its components against the base-trained
+        # ranges, far past the 5% default -> mid-stream SQ8 rebuild
+        sq8=StreamingSq8Ingest(index_path=p["sq8"],
+                               compact_check_every=2,
+                               rebuild_check_every=1),
     )
 
     # the PQ artifact's saved codebooks — must survive the IVF swap
@@ -258,6 +275,20 @@ def test_five_maintainer_soak(spark, tmp_path):
                 codes.select("ingest_batch").distinct().collect()}
     assert -1 in pq_parts and len(pq_parts) <= 4, pq_parts
     assert pq_serve(spark, SF, p["pq"]).count() > 0  # ADC serve alive
+
+    # -- SQ8: the CLIP gate fired on the SAME drift batch the IVF gate
+    #    fired on — two artifact swaps in one foreachBatch window, each
+    #    single-writer on its own tree; post-rebuild ranges cover
+    #    everything (zero clip saturation), nothing lost ------------------
+    assert (tmp_path / "sq8" / "_sq8_live.json").exists()
+    assert sq8_codes_path(p["sq8"]).endswith("/v1/codes")  # exactly once
+    sq8c = spark.read.parquet(sq8_codes_path(p["sq8"]))
+    got_ids = sorted(r["vec_id"] for r in
+                     sq8c.filter(F.col("vec_id") >= 9_000_000)
+                     .select("vec_id").collect())
+    assert got_ids == all_ids
+    assert sq8c.filter(F.col("n_clip") != 0).count() == 0
+    assert sq8_serve(spark, SF, p["sq8"]).count() > 0  # serve alive
 
     # -- LSH admission: dups rejected against the maintained index,
     #    across compactions and the width census --------------------------
