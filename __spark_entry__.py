@@ -36,76 +36,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 11 NEW operators (never driver-certified).
-    "similarity_pq_serve_topk",          # NEW r11 (persisted PQ artifact)
-    "similarity_pq_compaction_policy",   # NEW r11 (5th policy census)
-    "text_bpe_encode_served",            # NEW r11 (tokenizer artifact)
-    "text_unigram_encode_served",        # NEW r11 (tokenizer artifact)
-    "similarity_pq_rebuild_serve",       # NEW r11 (PQ rebuild gate)
-    "similarity_pq_drift_report",        # NEW r11 (PQ-space drift signal)
-    "similarity_pq_rerank_serve",        # NEW r11 (two-stage artifact serve)
-    # Round 11 CHANGED queries (code touched this round — a fresh
-    # driver row must certify the shipping code).
-    "similarity_topk_brute",             # r11: quantized-int64 cosine
-    "similarity_topk_ivf",               # r11: quantized-int64 cosine
-    "similarity_range_search",           # r11: quantized-int64 cosine
-    "similarity_topk_ivf_learned",       # r11: quantized-int64 cosine
-    "similarity_topk_ivf_nprobe",        # r11: quantized-int64 cosine
-    "similarity_ann_recall",             # r11: consumes converted probes
-    "similarity_ann_recall_curve",       # r11: converted pair scoring
-    "similarity_index_staleness",        # r11: converted brute + nprobe
-    "similarity_ivf_rebuild_serve",      # r11: publish helper + reaper
-    "similarity_pq_codes",               # r11: shared _subvectors_of scan
-    "similarity_pq_adc_topk",            # r11: shared _subvectors_of scan
-    "similarity_ivfpq_topk",             # r11: shared _subvectors_of scan
-    "similarity_ivfpq_residual_topk",    # r11: shared _subvectors_of scan
-    "similarity_ivfpq_rerank_topk",      # r11: shared _subvectors_of scan
-    # Oldest fresh rows next (r07 vintage) so no row ages past ~3
-    # rounds (tools/certification_report.py --suggest 50).
-    "regional_supplier_revenue",
-    "orders_per_customer_histogram",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "text_pii_redact",
-    "text_lang_id_confusion",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cluster_labels",
-    "dedup_duplicate_spans",
-    "dedup_edit_distance",
-    "corpus_ngram_novelty",
-    "dedup_prefix_containment",
-    "similarity_lsh_neardup",
-    "corpus_vocabulary",
-    "dataset_sample_split",
-    "corpus_decontaminate",
-    "corpus_decontaminate_bloom",
-    "corpus_pack_chunks",
-    "corpus_curation_pipeline",
-    "corpus_source_scorecard",
-    "dedup_cluster_keep_best",
-    "corpus_ngram_overlap",
-    "corpus_curation_funnel",
-    # r12 rotation queue (reproducible via
-    # tools/certification_report.py --suggest 50): any new/changed r12
-    # queries first, then the remaining oldest rows —
-    # retrieval_bm25_topk, retrieval_hybrid_rrf,
-    # score_dsir_importance, corpus_mixture_weights, corpus_budget_selection,
-    # corpus_quality_classifier, score_bigram_logprob, text_bpe_encode,
-    # text_bpe_merges, text_bpe_vocab, text_rolling_hash,
-    # text_token_entropy, similarity_neardup_cosine, events_type_markov,
-    # events_asof_last_purchase, events_sessionization,
-    # events_funnel_conversion, events_retention_cohorts,
-    # events_minute_anomalies, events_daily_moving_stats,
-    # multimodal_decode_pipeline, similarity_ivf_cell_balance,
-    # dedup_graph_pagerank, dedup_graph_triangles, and the r08 CDC/pipe
-    # family (cdc_*, airport_*, users_*, orders_rollup_summary,
-    # events_type_pivot, events_type_hour_cube) if aged.
+    # Round 12 NEW operators (never driver-certified): the SQ8 tier.
+    "similarity_sq8_serve_topk",        # NEW r12 (persisted IVF x SQ8)
+    "similarity_sq8_rebuild_serve",     # NEW r12 (rebuild == retrain gate)
+    "similarity_sq8_clip_report",       # NEW r12 (clip-drift census)
+    "similarity_sq8_adc_topk",          # NEW r12 (SQ8 train/encode/search)
+    # Round 12 CHANGED queries (code or oracle touched this round — a
+    # fresh driver row must certify the shipping code).
+    "similarity_pq_drift_report",       # r12: overflow-free avg-ratio ppm
+    "retrieval_hybrid_rrf",             # r12: dense leg quantized-int64
+    "text_bpe_encode",                  # r12: shared _bpe_encode_with core
+    "text_bpe_encode_served",           # r12: shared _bpe_encode_with core
+    "similarity_pq_serve_topk",         # r12: rebuild live-read via resolver
+    "similarity_pq_rebuild_serve",      # r12: same
+    "similarity_pq_rerank_serve",       # r12: same
+    "retrieval_mmr_rerank",             # r12: shared QUANT_SQL builder
+    "similarity_matryoshka_recall",     # r12: shared QUANT_SQL builder
+    "similarity_neardup_cosine",        # r12: shared fragment family
+    "similarity_lsh_neardup",           # r12: shared fragment family
+    "similarity_hard_negatives",        # r12: shared fragment family
+    "similarity_semdedup",              # r12: shared fragment family
+    "embedding_knn_classify",           # r12: shared _QNN_CTES derivation
+    "similarity_topk_brute",            # r12: shared qnn_sql oracle
+    "similarity_topk_ivf",              # r12: shared qnn_sql oracle
+    "similarity_topk_ivf_learned",      # r12: shared qnn_sql oracle
+    "similarity_topk_ivf_nprobe",       # r12: shared qnn_sql oracle
+    "similarity_range_search",          # r12: shared qnn_sql oracle
+    "similarity_ann_recall",            # r12: shared qnn_sql oracle
+    "similarity_ann_recall_curve",      # r12: shared qnn_sql oracle
+    "similarity_index_staleness",       # r12: shared qnn_sql oracle
+    "dedup_incremental_clusters",       # r12: capped overlay update path
+    "dedup_cluster_merges",             # r12: capped overlay update path
+    "dedup_cluster_compaction_policy",  # r12: capped overlay update path
+    # Oldest fresh rows next (r08 vintage per
+    # tools/certification_report.py --suggest) so no row ages past ~3
+    # rounds.
+    "cdc_latest_row_per_key",
+    "cdc_latest_state_argmax",
+    "cdc_soft_delete_filtered_state",
+    "cdc_incremental_snapshot",
+    "events_per_minute_gapfill",
+    "events_last_hour_stats",
+    "events_json_extract",
+    "pricing_summary",
+    "regional_customer_value",
+    "customer_order_summary_left",
+    "customers_without_urgent_orders",
+    "orders_above_global_avg",
+    "top_customers",
+    "order_priority_conditional_agg",
+    "order_status_case_rank",
+    "union_order_segments",
+    "part_supplier_analysis",
+    "lineitem_ship_minute_projection",
+    "airport_status_board",
+    "airport_missed_pct_series",
+    "users_api_batch_live",
+    # r13 rotation queue (reproducible via
+    # tools/certification_report.py --suggest 50): any new/changed r13
+    # queries first, then the remaining oldest rows — pipe_node_dag,
+    # users_mv_rmt_endpoint, orders_rollup_summary, events_type_pivot,
+    # events_type_hour_cube, orders_large_volume_topk, events_type_markov,
+    # text_rolling_hash, text_token_entropy, multimodal_decode_pipeline,
+    # similarity_ivf_cell_balance, supplier_part_coverage, and the r09
+    # scalar-subquery family (shipping_priority_topk,
+    # users_customer_reconciliation, returned_item_revenue_topk,
+    # promo_revenue_share, forecast_revenue_change, part_min_cost_supplier,
+    # top_supplier_by_revenue, small_quantity_order_revenue,
+    # discounted_brand_revenue, important_part_value,
+    # sole_returner_suppliers, dormant_valuable_customers,
+    # dominant_part_suppliers) if aged.
 ]
 
 
