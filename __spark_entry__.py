@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "similarity_sq8_rebuild_serve",     # NEW r12 (rebuild == retrain gate)
     "similarity_sq8_clip_report",       # NEW r12 (clip-drift census)
     "similarity_sq8_adc_topk",          # NEW r12 (SQ8 train/encode/search)
+    "similarity_sq8_recall",            # NEW r12 (SQ8 quality monitor)
     # Round 12 CHANGED queries (code or oracle touched this round — a
     # fresh driver row must certify the shipping code).
     "similarity_pq_drift_report",       # r12: overflow-free avg-ratio ppm
@@ -91,12 +92,12 @@ _DRIVER_PRIORITY = [
     "lineitem_ship_minute_projection",
     "airport_status_board",
     "airport_missed_pct_series",
-    "users_api_batch_live",
     # r13 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r13
     # queries first, then the remaining oldest rows — pipe_node_dag,
     # users_mv_rmt_endpoint, orders_rollup_summary, events_type_pivot,
     # events_type_hour_cube, orders_large_volume_topk, events_type_markov,
+    # users_api_batch_live,
     # text_rolling_hash, text_token_entropy, multimodal_decode_pipeline,
     # similarity_ivf_cell_balance, supplier_part_coverage, and the r09
     # scalar-subquery family (shipping_priority_topk,

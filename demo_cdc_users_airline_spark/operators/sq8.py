@@ -577,3 +577,95 @@ def similarity_sq8_clip_report(spark: SparkSession,
                            f" DIV (CAST(n_vecs AS DECIMAL(38,0))"
                            f" * {dim}) AS BIGINT)").alias("clip_ppm"))
             .orderBy("ingest_batch"))
+
+
+def _sq8_recall_oracle_sql() -> str:
+    """The serve chain beside the EXACT top-k over the same grown
+    corpus: per query, how many of the exact top-{SQ8_TOPK} the
+    compressed serve recovered — integer hit counts, one double
+    division (the similarity_ann_recall convention)."""
+    return f"""WITH {_sq8_chain(f"({_BASE}) OR ({_INC})", _BASE, _BASE)},
+s8tk AS (
+  SELECT query_id, neighbor_id FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sq_d2, neighbor_id) <= {SQ8_TOPK}
+),
+exd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((q.val - c.val) * (q.val - c.val))::BIGINT AS d2
+  FROM qdims q JOIN alldims c ON c.dim = q.dim
+  GROUP BY 1, 2
+),
+extk AS (
+  SELECT query_id, neighbor_id FROM exd
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY d2, neighbor_id) <= {SQ8_TOPK}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM extk e JOIN s8tk s USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT vec_id AS query_id FROM qdims)
+SELECT q.query_id,
+       CAST({SQ8_TOPK} AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         / CAST({SQ8_TOPK} AS DOUBLE) AS recall_at_k
+FROM qs q LEFT JOIN hits h USING (query_id)
+ORDER BY query_id"""
+
+
+@q("similarity_sq8_recall", _sq8_recall_oracle_sql())
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{SQ8_TOPK} of the maintained IVF×SQ8 serve against the
+    EXACT top-k over the same grown corpus — the quality leg that
+    closes this family's lifecycle (train → encode → serve → MEASURE;
+    the PQ/IVF families carry the same monitor via
+    similarity_ann_recall / similarity_index_staleness). The number a
+    deployment watches when choosing its compression rung: SQ8's
+    per-dimension codes trade less recall than PQ's subspace codes at
+    4× less compression.
+
+    Comparison on neighbor-ID SETS (both sides totally ordered by
+    (distance, neighbor_id); both distances exact integers) — n_hits
+    is an integer, recall divides once in IEEE double, identical on
+    both engines.
+
+    Scale path: the serve side inherits sq8_serve's pruned layout; the
+    exact side scans the corpus ONCE against the broadcast bounded
+    query batch (the ground-truth pass a recall evaluation owns by
+    definition); the hit join is queries × k rows."""
+    path = cached_scalar(spark, sf_dir, "sq8_inc_index_path",
+                         lambda: _build_inc_sq8_index(spark, sf_dir))
+    served = sq8_serve(spark, sf_dir, path).select("query_id",
+                                                   "neighbor_id")
+    vq = _quantized_vectors(spark, sf_dir)
+    queries = spark.createDataFrame(
+        sorted((int(r["id"]), [int(x) for x in r["vec"]]) for r in
+               vq.filter((F.col("id") % _DRIFT_MOD == 0)
+                         & (F.col("id") < _SERVE_QBOUND))
+               .select("id", "vec").collect()),
+        "query_id: long, qvec: array<bigint>")
+    corpus = vq.filter((F.col("id") % _DRIFT_MOD != 0)
+                       | (F.col("id") >= _SERVE_QBOUND))
+    d2 = F.expr("aggregate(zip_with(qvec, vec, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (corpus.crossJoin(F.broadcast(queries))
+             .select("query_id", F.col("id").alias("neighbor_id"),
+                     d2.alias("d2"))
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= SQ8_TOPK)
+             .select("query_id", "neighbor_id"))
+    hits = (exact.join(F.broadcast(served), ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    qs = queries.select("query_id")
+    return (qs.join(F.broadcast(hits), "query_id", "left")
+            .select("query_id",
+                    F.lit(SQ8_TOPK).cast("long").alias("k"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double")
+                     / F.lit(float(SQ8_TOPK))).alias("recall_at_k"))
+            .orderBy("query_id"))

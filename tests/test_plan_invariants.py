@@ -127,6 +127,11 @@ MAX_SHUFFLES = {
     # rebuilt artifact
     "similarity_sq8_clip_report": 2,  # (ingest_batch, n_clip) census:
     # one k-row aggregate + the presentation sort
+    "similarity_sq8_recall": 3,  # serve top-k window + exact-side
+    # top-k window (intrinsic: a recall evaluation owns its
+    # ground-truth pass) + the final presentation sort; the hit
+    # aggregate rides the exact window's query_id partitioning and
+    # both tiny joins broadcast
     # window is the only exchange (bounded by the anchor set)
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the

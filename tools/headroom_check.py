@@ -46,9 +46,13 @@ QUERIES = (
     "score_dsir_importance",
     "corpus_source_divergence",
     # r11: the persisted-PQ serving + drift paths (DECIMAL-widened
-    # pq_err sums, cross-multiplied ppm ratios, two Lloyd families)
+    # pq_err sums, avg-ratio ppm, two Lloyd families)
     "similarity_pq_serve_topk",
     "similarity_pq_drift_report",
+    # r12: the persisted-SQ8 serving + clip paths (clamped floor-div
+    # encode chains, DECIMAL/HUGEINT-widened clip sums + ppm)
+    "similarity_sq8_serve_topk",
+    "similarity_sq8_clip_report",
 )
 
 HEADER = "## Headroom: oracle exactness above the gate SF"

@@ -462,6 +462,12 @@ def main() -> int:
         # vectors (column pruning) — flat base-rows/s = the pruned
         # code scan carries the scale-up
         ("similarity_pq_serve_topk", build_scaled_embeddings),
+        # r12: asymmetric serve from the persisted IVF×SQ8 index —
+        # same fixed-query / growing-base regime; the codes read is
+        # pruned to the probed cells and projects (vec_id, cell,
+        # codes), reconstruction is in-row — flat base-rows/s = the
+        # pruned compressed scan carries the scale-up
+        ("similarity_sq8_serve_topk", build_scaled_embeddings),
     ]
     # persisted-index probes leave their artifact under the warehouse
     # root keyed by scratch dir — free it with the scratch
