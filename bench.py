@@ -44,6 +44,33 @@ def fit_line(payload: dict, timings: dict[str, float], budget: int) -> str:
     return json.dumps(payload, separators=(",", ":"))
 
 
+def calibrate(spark) -> dict[str, float]:
+    """Fixed-cost box-state probe (VERDICT r12 #5): a deterministic
+    pure-JVM job and a numpy matmul, each the median of 3. The work is
+    CONSTANT across rounds, so the ratio of two artifacts' calibration
+    cells measures host state (frequency/noisy-neighbor drift — the
+    r9/r11/r12 adjudications), letting per-query medians be normalized
+    instead of re-litigating box state. Partition count is pinned (not
+    cpus-derived) so the JVM cell is comparable across bench configs."""
+    import statistics
+
+    def med3(fn) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 4)
+
+    jvm = med3(lambda: spark.range(0, 1 << 27, 1, 8)
+               .selectExpr("sum(id % 9973)").collect())
+
+    import numpy as np
+    a = np.random.default_rng(0).standard_normal((2048, 2048))
+    npy = med3(lambda: a @ a)
+    return {"jvm_sec": jvm, "numpy_sec": npy}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,6 +80,8 @@ def main() -> None:
 
     # JVM/codegen warmup on the smallest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    cal_pre = calibrate(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     runs: dict[str, list[float]] = {}
@@ -71,6 +100,8 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    cal_post = calibrate(spark)
+
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -81,6 +112,9 @@ def main() -> None:
         "queries": timings,
         "runs": max(1, repeats),
         "sf": sf_val,
+        # box-state normalizer: constant work, so artifact-to-artifact
+        # ratios of these cells separate host drift from code changes
+        "calibration": {"pre": cal_pre, "post": cal_post},
     }
     # Full per-query detail: by default to an UNCOMMITTED run-stamped file
     # (BENCH_FULL.latest.json, gitignored) so a driver/judge bench run never

@@ -1306,8 +1306,8 @@ _INC_MIN_MATCH = 8  # duplicate threshold: >= 8/16 matching signature
 def _lsh_index_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "lsh_index", key)
 
@@ -1920,8 +1920,8 @@ def rebuild_lsh_index(spark: SparkSession, path: str,
 def _cluster_index_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "cluster_index", key)
 
@@ -2184,10 +2184,20 @@ def update_cluster_index(spark: SparkSession, path: str,
                       .select(overlay["old_label"],
                               F.coalesce(wdf2["w"], overlay["new_label"])
                               .alias("new_label")))
-            updated = (jumped.unionByName(
+            # the NEW winner row must win over any existing overlay
+            # entry for the same old_label (the driver-dict path's
+            # merges.update(new_w) semantics) — anti-join the jumped
+            # overlay against the new keys so the union is disjoint by
+            # construction, never left to dropDuplicates row choice
+            # (ADVICE r12: a retry after a conflicting publish would
+            # otherwise pick an arbitrary row).
+            updated = (jumped.join(
+                           F.broadcast(wdf2.select(
+                               F.col("lab").alias("old_label"))),
+                           "old_label", "left_anti")
+                       .unionByName(
                            wdf2.select(F.col("lab").alias("old_label"),
-                                       F.col("w").alias("new_label")))
-                       .dropDuplicates(["old_label"]))
+                                       F.col("w").alias("new_label"))))
             _write_merges_frame(spark, path, updated)
     # keep the probe index current: the batch's signatures/bands join
     # the corpus so the NEXT batch's probe sees them (idempotent by

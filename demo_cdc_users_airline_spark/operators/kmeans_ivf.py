@@ -1364,8 +1364,8 @@ def similarity_index_staleness(spark: SparkSession,
 def _ivf_index_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "ivf_index", key)
 

@@ -533,8 +533,8 @@ _SERVE_SCORE_SQL = (
 def _bm25_index_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "bm25_index", key)
 

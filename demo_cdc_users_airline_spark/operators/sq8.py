@@ -95,8 +95,8 @@ _SQ8_FLAT_TABLES = ("coarse", "ranges", "codes")
 def _sq8_index_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "sq8_index", key)
 
@@ -230,7 +230,12 @@ def append_to_sq8_index(spark: SparkSession, path: str,
     outside the saved ranges clamp to the rails and count into
     ``n_clip`` — the drift signal). Idempotent by batch id via the
     purge-first contract, exact even across a rebuild's range swap
-    (the append_to_pq_index recipe)."""
+    (the append_to_pq_index recipe). ``batch_id=None`` appends under
+    the shared -2 tag with NO purge — re-running such an append can
+    accumulate duplicate vec_ids (the clip census counts distinct
+    vec_ids and per-row components, so it stays correct, but serves
+    may surface a neighbor twice); production maintainers always pass
+    a real batch id."""
     coarse = load_codebook(spark, sq8_coarse_path(path))
     ranges = load_ranges(spark, sq8_ranges_path(path))
     tag = -2 if batch_id is None else int(batch_id)
@@ -564,8 +569,15 @@ def similarity_sq8_clip_report(spark: SparkSession,
                          lambda: _build_inc_sq8_index(spark, sf_dir))
     dim = len(load_ranges(spark, sq8_ranges_path(path)))
     codes = spark.read.parquet(sq8_codes_path(path))
+    # n_vecs counts DISTINCT vec_ids and the ppm denominator counts
+    # ROWS × dim — exactly the oracle's count(DISTINCT vec_id) /
+    # n_comp pair, so the census stays correct even on an artifact
+    # grown via mode-'append' batches (batch_id=None) that can hold
+    # duplicate vec_ids (ADVICE r12: count(*) only matched under the
+    # purge-first append discipline).
     return (codes.groupBy("ingest_batch")
-            .agg(F.count(F.lit(1)).alias("n_vecs"),
+            .agg(F.countDistinct("vec_id").alias("n_vecs"),
+                 F.count(F.lit(1)).alias("n_rows"),
                  F.sum(F.col("n_clip").cast("decimal(38,0)"))
                  .alias("s_clip"))
             .select(F.col("ingest_batch").cast("long")
@@ -574,7 +586,7 @@ def similarity_sq8_clip_report(spark: SparkSession,
                     F.col("s_clip").cast("long")
                     .alias("clipped_components"),
                     F.expr(f"CAST(s_clip * 1000000"
-                           f" DIV (CAST(n_vecs AS DECIMAL(38,0))"
+                           f" DIV (CAST(n_rows AS DECIMAL(38,0))"
                            f" * {dim}) AS BIGINT)").alias("clip_ppm"))
             .orderBy("ingest_batch"))
 

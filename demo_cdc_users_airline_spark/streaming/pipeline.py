@@ -1,4 +1,4 @@
-"""One CDC ingest stream fanned out to ALL FIVE index maintainers —
+"""One CDC ingest stream fanned out to ALL SIX index maintainers —
 the production topology the per-family maintainers compose into.
 
 Reference parity: the demo wires ONE Kafka CDC topic into several
@@ -7,25 +7,25 @@ budget (modules/cc_functions.py:93-156 — one topic, many consumers;
 modules/utils.py:48-49 — the 15 s wait_for() bound). Here the one
 stream is a (doc_id, text, embedding) feed — the shape a training-data
 CDC loop emits, one row per document with its vector — and the "views"
-are the five maintained index artifacts:
+are the six maintained index artifacts:
 
   docs leg    → LSH admission (dedup-at-ingest), BM25 postings,
                 near-dup cluster labels
-  vectors leg → IVF cells, PQ codes
+  vectors leg → IVF cells, PQ codes, SQ8 codes (optional tier)
 
-Why ONE foreachBatch instead of five independent streams: foreachBatch
+Why ONE foreachBatch instead of six independent streams: foreachBatch
 serializes batches per query, so fanning out inside a single handler
 gives every artifact's maintenance hook (compaction, drift/width
 rebuild) the quiesced single-writer window the artifacts' GC
 contract requires (see stale_generation_dirs — a staged ``v<N>``
 generation must never coexist with another writer's reap pass on the
-SAME artifact). The five artifacts are DISJOINT directory trees, so
-the fan-out runs the five legs CONCURRENTLY (one thread per artifact
+SAME artifact). The six artifacts are DISJOINT directory trees, so
+the fan-out runs the six legs CONCURRENTLY (one thread per artifact
 — Spark's scheduler interleaves their jobs): per-artifact maintenance
 stays strictly single-writer (each artifact has exactly one thread,
 and batches stay serialized by the stream), while the batch's wall
 time is max(leg), not sum(legs) — the same overlap a production
-cluster gets, and what keeps the whole five-artifact loop inside the
+cluster gets, and what keeps the whole six-artifact loop inside the
 reference's 15 s ingest→serveable budget. Cross-family interleaving
 (an IVF codebook swap mid-batch while PQ appends next door under its
 own independently-saved codebooks) is exactly the window
@@ -34,7 +34,7 @@ tests/test_streaming_pipeline_soak.py soaks.
 Idempotence composes: every leg keys its writes by the SAME batch_id
 (its own ingest_batch partitions, dynamic overwrite / purge-first),
 so a foreachBatch retry of the whole fan-out replaces exactly its own
-rows in all five artifacts — soaked end-to-end in the test above.
+rows in all six artifacts — soaked end-to-end in the test above.
 """
 
 from __future__ import annotations
@@ -69,10 +69,10 @@ class StreamingIndexPipeline:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # one materialization of the source batch; each leg projects
         # from it (the legs re-checkpoint their own projections, so
-        # the file source is read once, not five times)
+        # the file source is read once, not once per maintainer)
         batch = batch_df.localCheckpoint(eager=True)
         if batch.isEmpty():
-            return  # empty micro-batch: all five artifacts untouched
+            return  # empty micro-batch: all six artifacts untouched
         docs = batch.select("doc_id", "text")
         vecs = batch.select(F.col("doc_id").cast("long").alias("id"),
                             F.col("embedding").cast("array<double>")
@@ -87,7 +87,7 @@ class StreamingIndexPipeline:
         # one thread PER ARTIFACT (never more): writes inside one
         # artifact stay serialized, independent artifacts overlap.
         # Any leg failure fails the whole batch — foreachBatch then
-        # retries all five, each idempotent by its own batch_id
+        # retries all six, each idempotent by its own batch_id
         # partitions (purge-first / dynamic overwrite).
         from concurrent.futures import ThreadPoolExecutor
 
