@@ -79,17 +79,20 @@ VOCAB_CAP = 262_144  # hard bound on the TRAINING vocabulary: the word-
 
 
 def _bpe_oracle_sql(n_merges: int = N_MERGES,
-                    vocab_cap: int = VOCAB_CAP) -> str:
+                    vocab_cap: int = VOCAB_CAP,
+                    src: str = "documents") -> str:
     """Unrolled merge rounds: wNt(w, n) is the symbol-sequence table
     entering round N; pcN the pair counts; topN the chosen merge.
     ``vocab_cap`` mirrors the engine's top-K training-vocabulary bound
-    (count DESC, word ASC — binary collation on both engines)."""
+    (count DESC, word ASC — binary collation on both engines).
+    ``src`` is the training relation (the drift monitor trains on the
+    base split only: a parenthesized filtered subquery)."""
     parts = [rf"""w1t AS MATERIALIZED (
   SELECT array_to_string(list_transform(range(1, length(w) + 1),
                                         i -> substr(w, i, 1)), ' ') AS w,
          count(*) AS n
   FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-        FROM documents)
+        FROM {src})
   WHERE length(w) > 0
   GROUP BY 1
   ORDER BY n DESC, w LIMIT {vocab_cap}
@@ -127,14 +130,19 @@ top{k} AS MATERIALIZED (
 
 
 def _word_freq(spark: SparkSession, sf_dir: str,
-               vocab_cap: int = VOCAB_CAP) -> DataFrame:
+               vocab_cap: int = VOCAB_CAP,
+               doc_pred: str | None = None) -> DataFrame:
     """(w, n): space-joined character sequence per distinct corpus word,
     weighted by occurrence count, capped to the top ``vocab_cap`` words
     by (count DESC, word ASC) — the BOUNDED frame the merge loop
     collects. The sort+limit plans as TakeOrderedAndProject (each task
     keeps a K-row heap; the driver merges K-row slices), never a global
-    sort — so the collect is O(vocab_cap) at any corpus size."""
+    sort — so the collect is O(vocab_cap) at any corpus size.
+    ``doc_pred`` restricts training to a document split (the drift
+    monitor's base-trained artifact)."""
     d = load_table(spark, sf_dir, "documents")
+    if doc_pred:
+        d = d.filter(doc_pred)
     return (d.select(F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
             .filter(F.length("w") > 0)
@@ -209,6 +217,7 @@ def _merge_loop(rows: list[tuple[str, int]],
 def learn_bpe_merges(spark: SparkSession, sf_dir: str,
                      n_merges: int = N_MERGES,
                      vocab_cap: int = VOCAB_CAP,
+                     doc_pred: str | None = None,
                      ) -> list[tuple[int, str, str, int]]:
     """The merge table [(rank, left, right, pair_count)] — memoized like
     every other training artifact (codebooks, profiles).
@@ -221,11 +230,13 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
     the collect bound is VERDICT r7 item 2)."""
     def fit():
         rows = [(r["w"], int(r["n"]))
-                for r in _word_freq(spark, sf_dir, vocab_cap).collect()]
+                for r in _word_freq(spark, sf_dir, vocab_cap,
+                                    doc_pred).collect()]
         return _merge_loop(rows, n_merges)
 
     return cached_scalar(spark, sf_dir,
-                         f"bpe_merges_{n_merges}_{vocab_cap}", fit)
+                         f"bpe_merges_{n_merges}_{vocab_cap}_{doc_pred}",
+                         fit)
 
 
 def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
@@ -541,8 +552,11 @@ FROM documents d LEFT JOIN aggu a USING (doc_id)""")
 
 
 def _unigram_words(spark: SparkSession, sf_dir: str,
-                   with_doc: bool) -> DataFrame:
+                   with_doc: bool,
+                   doc_pred: str | None = None) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    if doc_pred:
+        d = d.filter(doc_pred)
     cols = (["doc_id"] if with_doc else [])
     return (d.select(*cols, F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -550,8 +564,9 @@ def _unigram_words(spark: SparkSession, sf_dir: str,
             .select(*cols, F.substring("w", 1, U_MAX_WORD).alias("w")))
 
 
-def learn_unigram_vocab(spark: SparkSession,
-                        sf_dir: str) -> list[tuple[str, int]]:
+def learn_unigram_vocab(spark: SparkSession, sf_dir: str,
+                        doc_pred: str | None = None,
+                        ) -> list[tuple[str, int]]:
     """The trained piece table [(piece, weight)] — memoized like every
     training artifact. Corpus text is scanned ONCE (the cached word
     frame feeds both the capped word-frequency table and the alphabet
@@ -559,7 +574,8 @@ def learn_unigram_vocab(spark: SparkSession,
     TakeOrdered, ≤ |character set| alphabet rows at any corpus size;
     everything else is driver-trivial."""
     def fit():
-        words = _unigram_words(spark, sf_dir, with_doc=False).cache()
+        words = _unigram_words(spark, sf_dir, with_doc=False,
+                               doc_pred=doc_pred).cache()
         wf = (words
               .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
@@ -585,7 +601,7 @@ def learn_unigram_vocab(spark: SparkSession,
         words.unpersist()
         return pieces + [(c, char_w.get(c, 0)) for c in alphabet]
 
-    return cached_scalar(spark, sf_dir, "unigram_vocab", fit)
+    return cached_scalar(spark, sf_dir, f"unigram_vocab_{doc_pred}", fit)
 
 
 @q("text_unigram_vocab", _unigram_vocab_oracle_sql())
@@ -907,33 +923,54 @@ def text_unigram_encode_pruned(spark: SparkSession,
 def _tokenizer_path(sf_dir: str) -> str:
     import hashlib
     import os
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark-graft-warehouse")
+    from ..core.session import scratch_root
+    root = scratch_root()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(root, "tokenizer", key)
 
 
 def save_tokenizer(spark: SparkSession, sf_dir: str,
-                   path: str | None = None) -> str:
+                   path: str | None = None,
+                   doc_pred: str | None = None) -> str:
     """Train (memoized) and PERSIST both tokenizers' artifacts — the
-    BPE merge table and the unigram seed piece table. A save is a full
-    rewrite (the artifact is tiny; no append lifecycle — retraining IS
-    the rebuild). Symbols round-trip binary-safe through parquet, so
+    BPE merge table, the unigram seed piece table, and the training
+    ALPHABET (distinct characters of the training words — what a
+    shipped tokenizer needs to census out-of-vocabulary characters, HF
+    tokenizers' initial_alphabet). A save is a full rewrite (the
+    artifact is tiny; no append lifecycle — retraining IS the
+    rebuild). Symbols round-trip binary-safe through parquet, so
     pieces containing quotes/backslashes survive save→load→bind-as-
-    literal (the repo's Spark-literal invariant)."""
+    literal (the repo's Spark-literal invariant). ``doc_pred``
+    restricts training to a document split — the drift monitor's
+    base-trained artifact."""
     path = path or _tokenizer_path(sf_dir)
-    merges = learn_bpe_merges(spark, sf_dir)
+    merges = learn_bpe_merges(spark, sf_dir, doc_pred=doc_pred)
     (spark.createDataFrame(
         [(int(k), a, b, int(c)) for k, a, b, c in merges],
         "merge_rank int, left_sym string, right_sym string,"
         " pair_count long")
      .coalesce(1).write.mode("overwrite").parquet(path + "/bpe_merges"))
-    pieces = learn_unigram_vocab(spark, sf_dir)
+    pieces = learn_unigram_vocab(spark, sf_dir, doc_pred=doc_pred)
     (spark.createDataFrame(
         [(i, p, int(s)) for i, (p, s) in enumerate(pieces)],
         "ord int, piece string, score long")
      .coalesce(1).write.mode("overwrite")
      .parquet(path + "/unigram_pieces"))
+    # the alphabet: distinct chars over DISTINCT training words —
+    # UNCAPPED (true coverage; output bounded by the character set, not
+    # the corpus), one explode + distinct
+    d = load_table(spark, sf_dir, "documents")
+    if doc_pred:
+        d = d.filter(doc_pred)
+    (d.select(F.explode(
+         F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+     .filter(F.length("w") > 0).select("w").distinct()
+     .select(F.explode(F.expr(
+         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+         .alias("ch"))
+     .distinct()
+     .coalesce(1).write.mode("overwrite")
+     .parquet(path + "/bpe_alphabet"))
     return path
 
 
@@ -953,6 +990,14 @@ def load_unigram_pieces(spark: SparkSession,
     rows = spark.read.parquet(path + "/unigram_pieces") \
         .orderBy("ord").collect()
     return [(r["piece"], int(r["score"])) for r in rows]
+
+
+def load_alphabet(spark: SparkSession, path: str) -> str:
+    """The training alphabet as ONE sorted string (the translate()
+    argument form the OOV census consumes — order is cosmetic, the
+    char SET is the contract)."""
+    rows = spark.read.parquet(path + "/bpe_alphabet").collect()
+    return "".join(sorted(r["ch"] for r in rows))
 
 
 def _saved_tokenizer_path(spark: SparkSession, sf_dir: str) -> str:
@@ -994,3 +1039,174 @@ def text_unigram_encode_served(spark: SparkSession,
     pieces = load_unigram_pieces(spark,
                                  _saved_tokenizer_path(spark, sf_dir))
     return _unigram_encode_with(spark, sf_dir, dict(pieces))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer drift monitor (VERDICT r12 #6) — the quality census of the
+# LAST maintained-artifact family without one
+# ---------------------------------------------------------------------------
+
+T_DRIFT_MOD = 10  # doc_id % 10 == 0 is the "fresh" split (10% arrivals)
+_T_BASE = f"doc_id % {T_DRIFT_MOD} <> 0"
+
+
+def _tokenizer_drift_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Re-derives the BASE-split-trained merge table + alphabet from
+    the corpus, encodes BOTH splits under them, and replays the census
+    — a green row proves the artifact-served monitor (saved merges,
+    saved alphabet) equals training from first principles."""
+    src = f"(SELECT * FROM documents WHERE {_T_BASE})"
+    train = _bpe_oracle_sql(n_merges, src=src)
+    with_body = train[: train.rindex("\nSELECT CAST(")]
+    parts = [with_body, rf""",
+alpha AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1))) AS ch
+  FROM (SELECT DISTINCT unnest(
+            string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents WHERE {_T_BASE})
+  WHERE length(w) > 0
+),
+alphs AS MATERIALIZED (
+  SELECT coalesce(string_agg(ch, '' ORDER BY ch), '') AS a FROM alpha
+),
+tdw AS MATERIALIZED (
+  SELECT CASE WHEN doc_id % {T_DRIFT_MOD} = 0 THEN 0 ELSE -1 END AS split,
+         w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+),
+t0 AS MATERIALIZED (
+  SELECT split, length(w) AS nc,
+         length(translate(w, (SELECT a FROM alphs), '')) AS oov,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), ' ') AS s
+  FROM tdw
+)"""]
+    # coalesce('') makes an EXHAUSTED merge round a no-op (a tiny base
+    # split can run out of mergeable pairs before n_merges — the
+    # engine's trainer breaks; an empty top{k} scalar would otherwise
+    # NULL the whole chain). The empty-pattern '   ' can never match a
+    # single-space-joined sequence.
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+t{k} AS MATERIALIZED (
+  SELECT split, nc, oov,
+         trim(replace(' ' || s || ' ',
+                      ' ' || coalesce((SELECT a FROM top{k}), '') || ' '
+                          || coalesce((SELECT b FROM top{k}), '') || ' ',
+                      ' ' || coalesce((SELECT a FROM top{k}), '')
+                          || coalesce((SELECT b FROM top{k}), '') || ' '))
+           AS s
+  FROM t{k - 1}
+)""")
+    parts.append(f""",
+tagg AS MATERIALIZED (
+  SELECT split, count(*) AS n_words, sum(nc) AS n_chars,
+         sum(len(string_split(s, ' '))) AS n_tokens,
+         sum(oov) AS oov_chars
+  FROM t{n_merges} GROUP BY split
+),
+tdocs AS (
+  SELECT CASE WHEN doc_id % {T_DRIFT_MOD} = 0 THEN 0 ELSE -1 END AS split,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT d.split AS split,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(t.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN coalesce(t.n_tokens, 0) = 0 THEN 0
+                 ELSE coalesce(t.n_chars, 0) * 1000000 // t.n_tokens
+            END AS BIGINT) AS chars_per_token_micro,
+       CAST(coalesce(t.oov_chars, 0) AS BIGINT) AS oov_chars,
+       CAST(CASE WHEN coalesce(t.n_chars, 0) = 0 THEN 0
+                 ELSE coalesce(t.oov_chars, 0) * 1000000 // t.n_chars
+            END AS BIGINT) AS oov_ppm
+FROM tdocs d LEFT JOIN tagg t USING (split)
+ORDER BY split""")
+    return "".join(parts)
+
+
+def _base_tokenizer_path(spark: SparkSession, sf_dir: str) -> str:
+    """The drift monitor's artifact: BOTH tokenizers + alphabet trained
+    on the base split only, persisted once per session × dataset."""
+    return cached_scalar(
+        spark, sf_dir, "tokenizer_base_artifact_path",
+        lambda: save_tokenizer(spark, sf_dir,
+                               _tokenizer_path(sf_dir) + "_base",
+                               doc_pred=_T_BASE))
+
+
+@q("text_tokenizer_drift_report", _tokenizer_drift_oracle_sql())
+def text_tokenizer_drift_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Tokenizer DRIFT census — the retrain signal of the tokenizer
+    artifact family, mirroring the IVF q_err / SQ8 clip monitors
+    (VERDICT r12 #6): fresh text (split 0, doc_id % {T_DRIFT_MOD} = 0)
+    is encoded under the PERSISTED base-split-trained artifact and
+    censused against the base split (split -1). Two integer signals
+    per split: ``chars_per_token_micro`` (compression — merges trained
+    on yesterday's distribution segment drifted text into more, shorter
+    tokens) and ``oov_ppm`` (characters outside the trained alphabet —
+    BPE's true out-of-vocabulary class; with no byte fallback each
+    becomes an unmergeable singleton). A fresh row materially below
+    the base row's compression, or with non-zero OOV ppm, is the
+    production trigger to retrain merges (save_tokenizer is the
+    action — retraining IS this artifact's rebuild).
+
+    Scale path: the artifact read is bounded (merges + alphabet rows,
+    bound as literals); the census is one corpus word explode, the
+    {N_MERGES} codegen replaces, an OOV count via translate() (pure
+    codegen — no per-char lambda), and ONE 2-group aggregate — the
+    same one-pass shape as the encode queries. Oracle re-trains the
+    base tokenizer from scratch, so a green row certifies the whole
+    save → load → monitor loop."""
+    path = _base_tokenizer_path(spark, sf_dir)
+    merges = load_bpe_merges(spark, path)
+    alph = load_alphabet(spark, path)
+    d = load_table(spark, sf_dir, "documents")
+    split_c = (F.when(F.col("doc_id") % T_DRIFT_MOD == 0, 0)
+               .otherwise(-1).cast("long"))
+    words = (d.select(split_c.alias("split"), F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0))
+    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+               " i -> substring(w, i, 1)))")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    per_word = words.select(
+        "split", F.length("w").alias("nc"),
+        F.size(F.split(F.trim(s), " ")).alias("nt"),
+        (F.length(F.translate(F.col("w"), alph, "")) if alph
+         else F.length("w")).alias("oov"))
+    agg = (per_word.groupBy("split")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("nc").alias("n_chars"),
+                F.sum("nt").alias("n_tokens"),
+                F.sum("oov").alias("oov_chars")))
+    docs = (d.select(split_c.alias("split"))
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")))
+    return (docs.join(agg, "split", "left")
+            .select(
+                F.col("split").cast("long").alias("split"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.coalesce("n_words", F.lit(0)).cast("long")
+                .alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("long")
+                .alias("n_chars"),
+                F.coalesce("n_tokens", F.lit(0)).cast("long")
+                .alias("n_tokens"),
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, 0)
+                .otherwise(F.expr("n_chars * 1000000 DIV n_tokens"))
+                .cast("long").alias("chars_per_token_micro"),
+                F.coalesce("oov_chars", F.lit(0)).cast("long")
+                .alias("oov_chars"),
+                F.when(F.coalesce("n_chars", F.lit(0)) == 0, 0)
+                .otherwise(F.expr("oov_chars * 1000000 DIV n_chars"))
+                .cast("long").alias("oov_ppm"))
+            .orderBy("split"))
