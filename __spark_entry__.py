@@ -36,77 +36,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 12 NEW operators (never driver-certified): the SQ8 tier.
-    "similarity_sq8_serve_topk",        # NEW r12 (persisted IVF x SQ8)
-    "similarity_sq8_rebuild_serve",     # NEW r12 (rebuild == retrain gate)
-    "similarity_sq8_clip_report",       # NEW r12 (clip-drift census)
-    "similarity_sq8_adc_topk",          # NEW r12 (SQ8 train/encode/search)
-    "similarity_sq8_recall",            # NEW r12 (SQ8 quality monitor)
-    # Round 12 CHANGED queries (code or oracle touched this round — a
-    # fresh driver row must certify the shipping code).
-    "similarity_pq_drift_report",       # r12: overflow-free avg-ratio ppm
-    "retrieval_hybrid_rrf",             # r12: dense leg quantized-int64
-    "text_bpe_encode",                  # r12: shared _bpe_encode_with core
-    "text_bpe_encode_served",           # r12: shared _bpe_encode_with core
-    "similarity_pq_serve_topk",         # r12: rebuild live-read via resolver
-    "similarity_pq_rebuild_serve",      # r12: same
-    "similarity_pq_rerank_serve",       # r12: same
-    "retrieval_mmr_rerank",             # r12: shared QUANT_SQL builder
-    "similarity_matryoshka_recall",     # r12: shared QUANT_SQL builder
-    "similarity_neardup_cosine",        # r12: shared fragment family
-    "similarity_lsh_neardup",           # r12: shared fragment family
-    "similarity_hard_negatives",        # r12: shared fragment family
-    "similarity_semdedup",              # r12: shared fragment family
-    "embedding_knn_classify",           # r12: shared _QNN_CTES derivation
-    "similarity_topk_brute",            # r12: shared qnn_sql oracle
-    "similarity_topk_ivf",              # r12: shared qnn_sql oracle
-    "similarity_topk_ivf_learned",      # r12: shared qnn_sql oracle
-    "similarity_topk_ivf_nprobe",       # r12: shared qnn_sql oracle
-    "similarity_range_search",          # r12: shared qnn_sql oracle
-    "similarity_ann_recall",            # r12: shared qnn_sql oracle
-    "similarity_ann_recall_curve",      # r12: shared qnn_sql oracle
-    "similarity_index_staleness",       # r12: shared qnn_sql oracle
-    "dedup_incremental_clusters",       # r12: capped overlay update path
-    "dedup_cluster_merges",             # r12: capped overlay update path
-    "dedup_cluster_compaction_policy",  # r12: capped overlay update path
-    # Oldest fresh rows next (r08 vintage per
-    # tools/certification_report.py --suggest) so no row ages past ~3
-    # rounds.
-    "cdc_latest_row_per_key",
-    "cdc_latest_state_argmax",
-    "cdc_soft_delete_filtered_state",
-    "cdc_incremental_snapshot",
-    "events_per_minute_gapfill",
-    "events_last_hour_stats",
-    "events_json_extract",
-    "pricing_summary",
-    "regional_customer_value",
-    "customer_order_summary_left",
-    "customers_without_urgent_orders",
-    "orders_above_global_avg",
-    "top_customers",
-    "order_priority_conditional_agg",
-    "order_status_case_rank",
-    "union_order_segments",
-    "part_supplier_analysis",
-    "lineitem_ship_minute_projection",
-    "airport_status_board",
-    "airport_missed_pct_series",
-    # r13 rotation queue (reproducible via
-    # tools/certification_report.py --suggest 50): any new/changed r13
-    # queries first, then the remaining oldest rows — pipe_node_dag,
-    # users_mv_rmt_endpoint, orders_rollup_summary, events_type_pivot,
-    # events_type_hour_cube, orders_large_volume_topk, events_type_markov,
-    # users_api_batch_live,
-    # text_rolling_hash, text_token_entropy, multimodal_decode_pipeline,
-    # similarity_ivf_cell_balance, supplier_part_coverage, and the r09
-    # scalar-subquery family (shipping_priority_topk,
-    # users_customer_reconciliation, returned_item_revenue_topk,
-    # promo_revenue_share, forecast_revenue_change, part_min_cost_supplier,
-    # top_supplier_by_revenue, small_quantity_order_revenue,
-    # discounted_brand_revenue, important_part_value,
-    # sole_returner_suppliers, dormant_valuable_customers,
-    # dominant_part_suppliers) if aged.
+    # Round 13 NEW operators (never driver-certified).
+    "text_tokenizer_drift_report",      # NEW r13 (tokenizer drift census)
+    "corpus_training_dataset",          # NEW r13 (end-to-end manifest)
+    # Round 13 CHANGED queries (code touched this round — a fresh
+    # driver row must certify the shipping code).
+    "similarity_sq8_clip_report",       # r13: countDistinct census
+    "text_bpe_merges",                  # r13: doc_pred-parameterized trainer
+    "text_bpe_vocab",                   # r13: same
+    "text_bpe_encode",                  # r13: same
+    "text_bpe_encode_served",           # r13: alphabet-bearing artifact
+    "text_unigram_vocab",               # r13: doc_pred-parameterized trainer
+    "text_unigram_encode",              # r13: same
+    "text_unigram_prune",               # r13: same
+    "text_unigram_encode_pruned",       # r13: same
+    "text_unigram_encode_served",       # r13: alphabet-bearing artifact
+    "dedup_incremental_clusters",       # r13: deterministic overlay union
+    "dedup_cluster_merges",             # r13: same
+    "dedup_cluster_compaction_policy",  # r13: same
+    # Oldest fresh rows next (r07/r08/r09 vintage per
+    # tools/certification_report.py) so no row ages past ~3 rounds.
+    "retrieval_bm25_topk",
+    "score_dsir_importance",
+    "corpus_mixture_weights",
+    "corpus_budget_selection",
+    "corpus_quality_classifier",
+    "users_api_batch_live",
+    "pipe_node_dag",
+    "users_mv_rmt_endpoint",
+    "orders_rollup_summary",
+    "events_type_pivot",
+    "events_type_hour_cube",
+    "orders_large_volume_topk",
+    "events_type_markov",
+    "text_rolling_hash",
+    "text_token_entropy",
+    "similarity_ivf_cell_balance",
+    "multimodal_decode_pipeline",
+    "events_asof_last_purchase",
+    "events_sessionization",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_minute_anomalies",
+    "events_daily_moving_stats",
+    "score_bigram_logprob",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "supplier_part_coverage",
+    "shipping_priority_topk",
+    "users_customer_reconciliation",
+    "returned_item_revenue_topk",
+    "orders_with_returns_by_priority",
+    "promo_revenue_share",
+    "forecast_revenue_change",
+    "part_min_cost_supplier",
+    "top_supplier_by_revenue",
+    # r14 rotation queue (reproducible via
+    # tools/certification_report.py --suggest 50): any new/changed r14
+    # queries first, then the remaining oldest rows — the r09 tail
+    # (small_quantity_order_revenue, discounted_brand_revenue,
+    # important_part_value, sole_returner_suppliers,
+    # dormant_valuable_customers, dominant_part_suppliers,
+    # text_winnowing, similarity_lsh_buckets, embedding_quantize_int8,
+    # similarity_kmeans_ivf, corpus_topic_clusters,
+    # corpus_topic_keywords, corpus_sample_by_quality,
+    # corpus_cluster_split, corpus_stats_report,
+    # corpus_curriculum_order, events_value_percentiles,
+    # events_scd2_history, events_activity_streaks,
+    # retrieval_bm25_serve, score_unigram_logprob) if aged.
 ]
 
 
