@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     # Round 13 NEW operators (never driver-certified).
     "text_tokenizer_drift_report",      # NEW r13 (tokenizer drift census)
     "corpus_training_dataset",          # NEW r13 (end-to-end manifest)
+    "similarity_sq8_residual_topk",     # NEW r13 (residual IVF x SQ8)
     # Round 13 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_sq8_clip_report",       # r13: countDistinct census
@@ -90,11 +91,11 @@ _DRIVER_PRIORITY = [
     "promo_revenue_share",
     "forecast_revenue_change",
     "part_min_cost_supplier",
-    "top_supplier_by_revenue",
     # r14 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r14
     # queries first, then the remaining oldest rows — the r09 tail
-    # (small_quantity_order_revenue, discounted_brand_revenue,
+    # (top_supplier_by_revenue, small_quantity_order_revenue,
+    # discounted_brand_revenue,
     # important_part_value, sole_returner_suppliers,
     # dormant_valuable_customers, dominant_part_suppliers,
     # text_winnowing, similarity_lsh_buckets, embedding_quantize_int8,

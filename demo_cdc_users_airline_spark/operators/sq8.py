@@ -232,8 +232,8 @@ def append_to_sq8_index(spark: SparkSession, path: str,
     purge-first contract, exact even across a rebuild's range swap
     (the append_to_pq_index recipe). ``batch_id=None`` appends under
     the shared -2 tag with NO purge — re-running such an append can
-    accumulate duplicate vec_ids (the clip census counts distinct
-    vec_ids and per-row components, so it stays correct, but serves
+    accumulate duplicate vec_ids (the clip census counts code ROWS on
+    both engines, so it never diverges — each copy counts — but serves
     may surface a neighbor twice); production maintainers always pass
     a real batch id."""
     coarse = load_codebook(spark, sq8_coarse_path(path))
@@ -487,8 +487,11 @@ percomp AS (
   FROM alldims d JOIN rng r USING (dim)
 ),
 stats AS (
+  -- n_vecs = component rows // dim == CODE ROWS, the same row-count
+  -- census the engine runs (duplicate-vec_id mode-append artifacts
+  -- count every copy on both sides — never a silent divergence)
   SELECT ingest_batch,
-         count(DISTINCT vec_id) AS n_vecs,
+         count(*) // (SELECT count(*) FROM rng) AS n_vecs,
          sum(CAST(clip AS HUGEINT)) AS s_clip,
          count(*) AS n_comp
   FROM percomp GROUP BY 1
@@ -569,15 +572,18 @@ def similarity_sq8_clip_report(spark: SparkSession,
                          lambda: _build_inc_sq8_index(spark, sf_dir))
     dim = len(load_ranges(spark, sq8_ranges_path(path)))
     codes = spark.read.parquet(sq8_codes_path(path))
-    # n_vecs counts DISTINCT vec_ids and the ppm denominator counts
-    # ROWS × dim — exactly the oracle's count(DISTINCT vec_id) /
-    # n_comp pair, so the census stays correct even on an artifact
-    # grown via mode-'append' batches (batch_id=None) that can hold
-    # duplicate vec_ids (ADVICE r12: count(*) only matched under the
-    # purge-first append discipline).
+    # n_vecs counts CODE ROWS on BOTH engines (ADVICE r12: the old
+    # Spark count(*) / oracle count(DISTINCT vec_id) pair agreed only
+    # under the purge-first append discipline — an artifact grown via
+    # batch_id=None mode-'append' can hold duplicate vec_ids and the
+    # two spellings silently diverge). Rows == distinct vectors under
+    # the production purge-first contract; with duplicates every
+    # appended copy counts, identically on both sides — and the census
+    # stays a map-side-combinable k-row aggregate (a countDistinct
+    # would shuffle the full-width (batch, vec_id) projection — the
+    # exact scale cost this footer-only census exists to avoid).
     return (codes.groupBy("ingest_batch")
-            .agg(F.countDistinct("vec_id").alias("n_vecs"),
-                 F.count(F.lit(1)).alias("n_rows"),
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.sum(F.col("n_clip").cast("decimal(38,0)"))
                  .alias("s_clip"))
             .select(F.col("ingest_batch").cast("long")
@@ -586,7 +592,7 @@ def similarity_sq8_clip_report(spark: SparkSession,
                     F.col("s_clip").cast("long")
                     .alias("clipped_components"),
                     F.expr(f"CAST(s_clip * 1000000"
-                           f" DIV (CAST(n_rows AS DECIMAL(38,0))"
+                           f" DIV (CAST(n_vecs AS DECIMAL(38,0))"
                            f" * {dim}) AS BIGINT)").alias("clip_ppm"))
             .orderBy("ingest_batch"))
 
@@ -681,3 +687,138 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_hits", F.lit(0)).cast("double")
                      / F.lit(float(SQ8_TOPK))).alias("recall_at_k"))
             .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# residual SQ8 — the FAISS-default IVF,SQ8 encoding (VERDICT r12 #7's
+# sanctioned breadth: SQ8 over x − centroid, the pq.py residual recipe,
+# integer-exact end to end)
+# ---------------------------------------------------------------------------
+
+# fused clamp → encode → decode of one residual component in one integer
+# expression (operands non-negative after the clamp, so DuckDB `//` ==
+# Spark DIV); the clamp is a no-op when ranges were fit on the same data
+# but keeps the expression identical to the artifact family's append path
+_RESID_FUSE = (f"(v, r) -> r.mn + ((least(r.mx, greatest(r.mn, v)) - r.mn)"
+               f" * {SQ8_LEVELS} DIV greatest(1L, r.mx - r.mn))"
+               f" * (r.mx - r.mn) DIV {SQ8_LEVELS}")
+
+
+def _sq8_residual_oracle_sql() -> str:
+    """Full-corpus coarse Lloyd chain → per-vector residual dims →
+    residual ranges → centroid + fused-recon reconstruction → nprobe
+    probe over the chain's own distance table → probed-cell asymmetric
+    distances → top-k."""
+    it = _KM_ITERS
+    fuse = (f"r.mn + ((least(r.mx, greatest(r.mn, t.val)) - r.mn)"
+            f" * {SQ8_LEVELS} // greatest(1, r.mx - r.mn))"
+            f" * (r.mx - r.mn) // {SQ8_LEVELS}")
+    return f"""WITH {_prefixed_kmeans_ctes("r8", 8, it)},
+resid AS (
+  SELECT d.vec_id, d.dim, a.cell, d.val - c.val AS val
+  FROM r8dims d
+  JOIN r8asgfin a USING (vec_id)
+  JOIN r8cent{it} c ON c.cid = a.cell AND c.dim = d.dim
+),
+rrng AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM resid GROUP BY 1
+),
+rrec AS (
+  SELECT t.vec_id, t.dim, c.val + ({fuse}) AS rv
+  FROM resid t
+  JOIN rrng r USING (dim)
+  JOIN r8cent{it} c ON c.cid = t.cell AND c.dim = t.dim
+),
+rprobe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell
+  FROM r8dfin WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY r8d2, cid)
+          <= {SQ8_NPROBE}
+),
+rcand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM rprobe p
+  JOIN r8asgfin a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+),
+rpairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         sum((q.val - n.rv) * (q.val - n.rv))::BIGINT AS sq_d2
+  FROM rcand c
+  JOIN r8dims q ON q.vec_id = c.query_id
+  JOIN rrec n ON n.vec_id = c.neighbor_id AND n.dim = q.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, sq_d2
+FROM rpairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sq_d2, neighbor_id) <= {SQ8_TOPK}
+ORDER BY query_id, sq_d2, neighbor_id"""
+
+
+@q("similarity_sq8_residual_topk", _sq8_residual_oracle_sql())
+def similarity_sq8_residual_topk(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Residual IVF×SQ8 — FAISS's default SQ-inside-IVF encoding: the
+    8-bit codes quantize x − centroid(cell(x)) instead of x, so the
+    256 levels of every dimension cover only WITHIN-cell variation
+    (the coarse quantizer already removed the between-cell spread —
+    residual ranges are tighter than raw ranges by construction, the
+    same fidelity argument as similarity_ivfpq_residual_topk's).
+    Reconstruction = centroid + decoded residual; nprobe={SQ8_NPROBE}
+    learned cells per query; asymmetric exact-query distances;
+    top-{SQ8_TOPK} per query on a (sq_d2, neighbor_id) total order.
+
+    The fixed-point discipline carries through unchanged: residuals
+    are int64 SUBTRACTIONS of already-quantized values, ranges are
+    min/max over them, and the fused clamp→encode→decode is one
+    integer floor-division expression shared with the oracle — every
+    distance is an exact int64 on both engines.
+
+    Scale path: the codebook is the memoized trained artifact; the
+    residual map + reconstruction is one broadcast-codebook zip pass
+    (map-only); the probe set is the bounded query batch; candidates
+    are cell-restricted (never all-pairs); the only exchanges are the
+    per-query top-k window and the presentation sort — at 100 TB this
+    serves from a (cell, ingest_batch)-partitioned residual-code table
+    exactly like the raw-SQ8 artifact family (build/append/serve
+    lifecycle identical; the residual encode simply subtracts the
+    SAVED centroid before the same clamp expression)."""
+    from .kmeans_ivf import fitted_codebook
+    from .pq import _residual_vectors
+
+    vq = _quantized_vectors(spark, sf_dir)
+    cb = fitted_codebook(spark, sf_dir, k=8, iters=_KM_ITERS)
+    rv = _residual_vectors(vq, cb)  # (id, cell, rvec) — one map
+    ranges = sq8_fit(rv.select(F.col("rvec").alias("vec")))
+    cbdf = vq.sparkSession.createDataFrame(
+        [(int(cid), [int(x) for x in v]) for cid, v in cb],
+        "cell: int, cvec: array<bigint>")
+    bound = (rv.join(F.broadcast(cbdf), "cell")
+             .withColumn("__rng", _rng_col(ranges))
+             .withColumn("__rres",
+                         F.expr(f"zip_with(rvec, __rng, {_RESID_FUSE})"))
+             .select(F.col("id").alias("neighbor_id"), "cell",
+                     F.expr("zip_with(cvec, __rres, (a, b) -> a + b)")
+                     .alias("rv")))
+    # bounded probe table with the exact query vectors embedded (the
+    # ivfpq residual pattern: N_QUERIES × nprobe rows, broadcast)
+    qvecs = {int(r["id"]): [int(x) for x in r["vec"]]
+             for r in vq.filter(F.col("id") < 8).collect()}
+    probe_rows = probe_cells(vq.filter(F.col("id") < 8), cb,
+                             nprobe=SQ8_NPROBE).collect()
+    probe_df = spark.createDataFrame(
+        sorted((int(r["id"]), int(r["probe_cell"]), qvecs[int(r["id"])])
+               for r in probe_rows),
+        "query_id: long, probe_cell: int, qv: array<bigint>")
+    d2 = F.expr("aggregate(zip_with(qv, rv, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    pairs = (bound.join(F.broadcast(probe_df),
+                        (F.col("cell") == F.col("probe_cell"))
+                        & (F.col("neighbor_id") != F.col("query_id")))
+             .select("query_id", "neighbor_id", d2.alias("sq_d2")))
+    w = Window.partitionBy("query_id").orderBy("sq_d2", "neighbor_id")
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= SQ8_TOPK).drop("__rn")
+            .select("query_id", "neighbor_id",
+                    F.col("sq_d2").cast("long").alias("sq_d2"))
+            .orderBy("query_id", "sq_d2", "neighbor_id"))

@@ -129,9 +129,23 @@ top{k} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + rows
 
 
+def _docs_frame(spark: SparkSession, sf_dir: str,
+                doc_pred: str | None = None,
+                docs: DataFrame | None = None) -> DataFrame:
+    """The training corpus: an explicit (doc_id, text) frame (the
+    streaming maintainer's accumulated corpus) or the dataset's
+    documents table, optionally split-filtered."""
+    d = docs if docs is not None else load_table(spark, sf_dir,
+                                                 "documents")
+    if doc_pred:
+        d = d.filter(doc_pred)
+    return d
+
+
 def _word_freq(spark: SparkSession, sf_dir: str,
                vocab_cap: int = VOCAB_CAP,
-               doc_pred: str | None = None) -> DataFrame:
+               doc_pred: str | None = None,
+               docs: DataFrame | None = None) -> DataFrame:
     """(w, n): space-joined character sequence per distinct corpus word,
     weighted by occurrence count, capped to the top ``vocab_cap`` words
     by (count DESC, word ASC) — the BOUNDED frame the merge loop
@@ -139,10 +153,9 @@ def _word_freq(spark: SparkSession, sf_dir: str,
     keeps a K-row heap; the driver merges K-row slices), never a global
     sort — so the collect is O(vocab_cap) at any corpus size.
     ``doc_pred`` restricts training to a document split (the drift
-    monitor's base-trained artifact)."""
-    d = load_table(spark, sf_dir, "documents")
-    if doc_pred:
-        d = d.filter(doc_pred)
+    monitor's base-trained artifact); ``docs`` substitutes an explicit
+    corpus frame."""
+    d = _docs_frame(spark, sf_dir, doc_pred, docs)
     return (d.select(F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
             .filter(F.length("w") > 0)
@@ -218,6 +231,7 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
                      n_merges: int = N_MERGES,
                      vocab_cap: int = VOCAB_CAP,
                      doc_pred: str | None = None,
+                     docs: DataFrame | None = None,
                      ) -> list[tuple[int, str, str, int]]:
     """The merge table [(rank, left, right, pair_count)] — memoized like
     every other training artifact (codebooks, profiles).
@@ -231,9 +245,11 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
     def fit():
         rows = [(r["w"], int(r["n"]))
                 for r in _word_freq(spark, sf_dir, vocab_cap,
-                                    doc_pred).collect()]
+                                    doc_pred, docs).collect()]
         return _merge_loop(rows, n_merges)
 
+    if docs is not None:  # explicit-frame training (streaming retrain)
+        return fit()      # is never memoized — the frame IS the state
     return cached_scalar(spark, sf_dir,
                          f"bpe_merges_{n_merges}_{vocab_cap}_{doc_pred}",
                          fit)
@@ -553,10 +569,9 @@ FROM documents d LEFT JOIN aggu a USING (doc_id)""")
 
 def _unigram_words(spark: SparkSession, sf_dir: str,
                    with_doc: bool,
-                   doc_pred: str | None = None) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    if doc_pred:
-        d = d.filter(doc_pred)
+                   doc_pred: str | None = None,
+                   docs: DataFrame | None = None) -> DataFrame:
+    d = _docs_frame(spark, sf_dir, doc_pred, docs)
     cols = (["doc_id"] if with_doc else [])
     return (d.select(*cols, F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -566,6 +581,7 @@ def _unigram_words(spark: SparkSession, sf_dir: str,
 
 def learn_unigram_vocab(spark: SparkSession, sf_dir: str,
                         doc_pred: str | None = None,
+                        docs: DataFrame | None = None,
                         ) -> list[tuple[str, int]]:
     """The trained piece table [(piece, weight)] — memoized like every
     training artifact. Corpus text is scanned ONCE (the cached word
@@ -575,7 +591,7 @@ def learn_unigram_vocab(spark: SparkSession, sf_dir: str,
     everything else is driver-trivial."""
     def fit():
         words = _unigram_words(spark, sf_dir, with_doc=False,
-                               doc_pred=doc_pred).cache()
+                               doc_pred=doc_pred, docs=docs).cache()
         wf = (words
               .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
@@ -601,6 +617,8 @@ def learn_unigram_vocab(spark: SparkSession, sf_dir: str,
         words.unpersist()
         return pieces + [(c, char_w.get(c, 0)) for c in alphabet]
 
+    if docs is not None:  # explicit-frame training (streaming retrain)
+        return fit()
     return cached_scalar(spark, sf_dir, f"unigram_vocab_{doc_pred}", fit)
 
 
@@ -929,56 +947,141 @@ def _tokenizer_path(sf_dir: str) -> str:
     return os.path.join(root, "tokenizer", key)
 
 
+def _census_cols(merges, alph: str) -> tuple:
+    """Per-word census columns over a frame with a ``w`` column:
+    (nc = chars, nt = BPE tokens under ``merges``, oov = characters
+    outside ``alph``). The merge chain is the shared sentinel-space
+    replace spec (pure codegen); the OOV count is ONE translate() —
+    never a per-char lambda."""
+    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+               " i -> substring(w, i, 1)))")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    oov = (F.length(F.translate(F.col("w"), alph, "")) if alph
+           else F.length("w"))
+    return (F.length("w").alias("nc"),
+            F.size(F.split(F.trim(s), " ")).alias("nt"),
+            oov.alias("oov"))
+
+
+def tokenizer_census(docs: DataFrame, merges,
+                     alph: str) -> dict[str, int]:
+    """ONE-row census of a (doc_id, text) frame under a trained
+    tokenizer (merges + alphabet as bound literals): doc/word/char/
+    token/OOV counts plus the two integer drift signals — the shared
+    core of the drift report and the streaming monitor. Driver-side
+    ints (the frame is a micro-batch or a bounded training corpus
+    aggregate — ONE map-side-combinable pass either way)."""
+    words = (docs.select(F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0))
+    row = (words.select(*_census_cols(merges, alph))
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("nc").alias("n_chars"),
+                F.sum("nt").alias("n_tokens"),
+                F.sum("oov").alias("oov_chars")).collect()[0])
+    n_words = int(row["n_words"] or 0)
+    n_chars = int(row["n_chars"] or 0)
+    n_tokens = int(row["n_tokens"] or 0)
+    oov = int(row["oov_chars"] or 0)
+    return {
+        "n_docs": int(docs.count()),
+        "n_words": n_words, "n_chars": n_chars, "n_tokens": n_tokens,
+        "oov_chars": oov,
+        "chars_per_token_micro": (n_chars * 1_000_000 // n_tokens
+                                  if n_tokens else 0),
+        "oov_ppm": oov * 1_000_000 // n_chars if n_chars else 0,
+    }
+
+
 def save_tokenizer(spark: SparkSession, sf_dir: str,
                    path: str | None = None,
-                   doc_pred: str | None = None) -> str:
+                   doc_pred: str | None = None,
+                   docs: DataFrame | None = None,
+                   with_stats: bool = False,
+                   _out: str | None = None) -> str:
     """Train (memoized) and PERSIST both tokenizers' artifacts — the
     BPE merge table, the unigram seed piece table, and the training
     ALPHABET (distinct characters of the training words — what a
     shipped tokenizer needs to census out-of-vocabulary characters, HF
     tokenizers' initial_alphabet). A save is a full rewrite (the
-    artifact is tiny; no append lifecycle — retraining IS the
-    rebuild). Symbols round-trip binary-safe through parquet, so
-    pieces containing quotes/backslashes survive save→load→bind-as-
-    literal (the repo's Spark-literal invariant). ``doc_pred``
-    restricts training to a document split — the drift monitor's
-    base-trained artifact."""
+    artifact is tiny; no append lifecycle — retraining IS the rebuild;
+    the in-loop retrain path stages a ``v<N>/`` generation via
+    ``retrain_tokenizer`` and publishes atomically). Symbols
+    round-trip binary-safe through parquet, so pieces containing
+    quotes/backslashes survive save→load→bind-as-literal (the repo's
+    Spark-literal invariant). ``doc_pred`` restricts training to a
+    document split (the drift monitor's base-trained artifact);
+    ``docs`` substitutes an explicit (doc_id, text) training frame
+    (the streaming maintainer's accumulated corpus — not memoized);
+    ``with_stats`` additionally censuses the TRAINING corpus under the
+    final merges (the ``bpe_stats`` baseline the streaming drift gate
+    compares arrivals against); ``_out`` redirects the table writes
+    (generation staging) while ``path`` stays the artifact root."""
     path = path or _tokenizer_path(sf_dir)
-    merges = learn_bpe_merges(spark, sf_dir, doc_pred=doc_pred)
+    out = _out or path
+    merges = learn_bpe_merges(spark, sf_dir, doc_pred=doc_pred,
+                              docs=docs)
     (spark.createDataFrame(
         [(int(k), a, b, int(c)) for k, a, b, c in merges],
         "merge_rank int, left_sym string, right_sym string,"
         " pair_count long")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/bpe_merges"))
-    pieces = learn_unigram_vocab(spark, sf_dir, doc_pred=doc_pred)
+     .coalesce(1).write.mode("overwrite").parquet(out + "/bpe_merges"))
+    pieces = learn_unigram_vocab(spark, sf_dir, doc_pred=doc_pred,
+                                 docs=docs)
     (spark.createDataFrame(
         [(i, p, int(s)) for i, (p, s) in enumerate(pieces)],
         "ord int, piece string, score long")
      .coalesce(1).write.mode("overwrite")
-     .parquet(path + "/unigram_pieces"))
+     .parquet(out + "/unigram_pieces"))
     # the alphabet: distinct chars over DISTINCT training words —
     # UNCAPPED (true coverage; output bounded by the character set, not
     # the corpus), one explode + distinct
-    d = load_table(spark, sf_dir, "documents")
-    if doc_pred:
-        d = d.filter(doc_pred)
-    (d.select(F.explode(
-         F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
-     .filter(F.length("w") > 0).select("w").distinct()
-     .select(F.explode(F.expr(
-         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-         .alias("ch"))
-     .distinct()
-     .coalesce(1).write.mode("overwrite")
-     .parquet(path + "/bpe_alphabet"))
+    d = _docs_frame(spark, sf_dir, doc_pred, docs)
+    chars = (d.select(F.explode(
+                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") > 0).select("w").distinct()
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(w)),"
+                 " i -> substring(w, i, 1))")).alias("ch"))
+             .distinct())
+    chars.coalesce(1).write.mode("overwrite") \
+        .parquet(out + "/bpe_alphabet")
+    if with_stats:
+        alph = "".join(sorted(
+            r["ch"] for r in spark.read.parquet(out + "/bpe_alphabet")
+            .collect()))
+        c = tokenizer_census(d, merges, alph)
+        (spark.createDataFrame(
+            [(c["n_docs"], c["n_words"], c["n_chars"], c["n_tokens"],
+              c["chars_per_token_micro"])],
+            "n_docs long, n_words long, n_chars long, n_tokens long,"
+            " chars_per_token_micro long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(out + "/bpe_stats"))
     return path
+
+
+_TOK_META = "_tok_live.json"
+_TOK_TABLES = ("bpe_merges", "unigram_pieces", "bpe_alphabet",
+               "bpe_stats")
+
+
+def _tok_live(path: str) -> str:
+    """Versioned-pointer resolver for the tokenizer artifact (the
+    kmeans_ivf _live_root recipe): flat until the first in-loop
+    retrain publishes a ``v<N>/`` generation."""
+    from .kmeans_ivf import _live_root
+    return _live_root(path, _TOK_META)
 
 
 def load_bpe_merges(spark: SparkSession,
                     path: str) -> list[tuple[int, str, str, int]]:
     """Inverse of the save: rank order restored, so the encode replay
-    applies merges in exactly the learned sequence."""
-    rows = spark.read.parquet(path + "/bpe_merges") \
+    applies merges in exactly the learned sequence (layout-aware — a
+    retrained artifact is versioned)."""
+    rows = spark.read.parquet(_tok_live(path) + "/bpe_merges") \
         .orderBy("merge_rank").collect()
     return [(int(r["merge_rank"]), r["left_sym"], r["right_sym"],
              int(r["pair_count"])) for r in rows]
@@ -986,8 +1089,9 @@ def load_bpe_merges(spark: SparkSession,
 
 def load_unigram_pieces(spark: SparkSession,
                         path: str) -> list[tuple[str, int]]:
-    """Inverse of the save: emission order restored via ``ord``."""
-    rows = spark.read.parquet(path + "/unigram_pieces") \
+    """Inverse of the save: emission order restored via ``ord``
+    (layout-aware)."""
+    rows = spark.read.parquet(_tok_live(path) + "/unigram_pieces") \
         .orderBy("ord").collect()
     return [(r["piece"], int(r["score"])) for r in rows]
 
@@ -995,9 +1099,49 @@ def load_unigram_pieces(spark: SparkSession,
 def load_alphabet(spark: SparkSession, path: str) -> str:
     """The training alphabet as ONE sorted string (the translate()
     argument form the OOV census consumes — order is cosmetic, the
-    char SET is the contract)."""
-    rows = spark.read.parquet(path + "/bpe_alphabet").collect()
+    char SET is the contract; layout-aware)."""
+    rows = spark.read.parquet(_tok_live(path) + "/bpe_alphabet").collect()
     return "".join(sorted(r["ch"] for r in rows))
+
+
+def load_tokenizer_stats(spark: SparkSession, path: str) -> dict:
+    """The training-corpus census persisted at save time (the drift
+    gate's baseline; layout-aware)."""
+    row = spark.read.parquet(_tok_live(path) + "/bpe_stats").collect()[0]
+    return {k: int(row[k]) for k in row.asDict()}
+
+
+def retrain_tokenizer(spark: SparkSession, path: str,
+                      docs: DataFrame) -> None:
+    """REBUILD the tokenizer artifact on an explicit training corpus —
+    the drift monitor's in-loop action (the signal is
+    text_tokenizer_drift_report's census; production retrains merges
+    when fresh text stops compressing or OOV characters appear). All
+    four tables (merges, pieces, alphabet, stats) are trained and
+    staged together under one ``v<N>/`` generation and published with
+    ONE atomic pointer replace; stranded debris of crashed prior swaps
+    is reaped post-publish — the rebuild_sq8_index recipe verbatim,
+    same single-writer maintenance contract (see
+    kmeans_ivf.stale_generation_dirs)."""
+    import os
+    import shutil
+
+    from .kmeans_ivf import (
+        _retire_dirs,
+        publish_generation,
+        stale_generation_dirs,
+    )
+
+    root = _tok_live(path)
+    new_name = ("v1" if root == path
+                else "v%d" % (int(os.path.basename(root)[1:]) + 1))
+    new_root = os.path.join(path, new_name)
+    if os.path.exists(new_root):  # debris of a crashed prior attempt
+        shutil.rmtree(new_root)
+    save_tokenizer(spark, "", path=path, docs=docs, with_stats=True,
+                   _out=new_root)
+    publish_generation(path, _TOK_META, new_name)
+    _retire_dirs(stale_generation_dirs(path, _TOK_META, _TOK_TABLES))
 
 
 def _saved_tokenizer_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1174,16 +1318,7 @@ def text_tokenizer_drift_report(spark: SparkSession,
     words = (d.select(split_c.alias("split"), F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
              .filter(F.length("w") > 0))
-    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
-               " i -> substring(w, i, 1)))")
-    s = F.concat(F.lit(" "), s, F.lit(" "))
-    for _, a, b, _cnt in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    per_word = words.select(
-        "split", F.length("w").alias("nc"),
-        F.size(F.split(F.trim(s), " ")).alias("nt"),
-        (F.length(F.translate(F.col("w"), alph, "")) if alph
-         else F.length("w")).alias("oov"))
+    per_word = words.select("split", *_census_cols(merges, alph))
     agg = (per_word.groupBy("split")
            .agg(F.count(F.lit(1)).alias("n_words"),
                 F.sum("nc").alias("n_chars"),

@@ -50,6 +50,7 @@ from .ivf_ingest import StreamingIvfIngest
 from .lsh_ingest import StreamingLshIngest
 from .pq_ingest import StreamingPqIngest
 from .sq8_ingest import StreamingSq8Ingest
+from .tokenizer_ingest import StreamingTokenizerIngest
 
 
 @dataclass
@@ -57,7 +58,9 @@ class StreamingIndexPipeline:
     """Fan one (doc_id, text, embedding) CDC batch out to the index
     maintainers, inside ONE foreachBatch window. The SQ8 leg is
     optional (None skips it) — deployments choose their compression
-    tier; the soak runs all six."""
+    tier; the soak runs all six. The tokenizer drift monitor is the
+    optional SEVENTH leg (docs side): census + retrain gate per batch
+    against the persisted tokenizer artifact."""
 
     lsh: StreamingLshIngest
     bm25: StreamingBm25Ingest
@@ -65,6 +68,7 @@ class StreamingIndexPipeline:
     ivf: StreamingIvfIngest
     pq: StreamingPqIngest
     sq8: StreamingSq8Ingest | None = None
+    tokenizer: StreamingTokenizerIngest | None = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # one materialization of the source batch; each leg projects
@@ -84,10 +88,12 @@ class StreamingIndexPipeline:
                 (self.pq.process_batch, vecs)]
         if self.sq8 is not None:
             legs.append((self.sq8.process_batch, vecs))
+        if self.tokenizer is not None:
+            legs.append((self.tokenizer.process_batch, docs))
         # one thread PER ARTIFACT (never more): writes inside one
         # artifact stay serialized, independent artifacts overlap.
         # Any leg failure fails the whole batch — foreachBatch then
-        # retries all six, each idempotent by its own batch_id
+        # retries every leg, each idempotent by its own batch_id
         # partitions (purge-first / dynamic overwrite).
         from concurrent.futures import ThreadPoolExecutor
 

@@ -132,6 +132,18 @@ MAX_SHUFFLES = {
     # ground-truth pass) + the final presentation sort; the hit
     # aggregate rides the exact window's query_id partitioning and
     # both tiny joins broadcast
+    # round-13 additions
+    "similarity_sq8_residual_topk": 2,  # residual map + reconstruction
+    # are broadcast-codebook zips (map-only); probes broadcast with the
+    # query vectors embedded; per-query top-k window + presentation sort
+    "text_tokenizer_drift_report": 3,  # word-level 2-group census agg +
+    # docs-per-split count + the 2-row presentation sort; merges and
+    # alphabet bind as literals from the persisted artifact
+    "corpus_training_dataset": 21,  # the five composed stages' memoized
+    # frames (verdict cache, CC labels, BPE encode, split, rf) reprint
+    # their cached subtrees in the static plan (the PLANS.md caveat);
+    # the composition itself adds only doc_id equi-joins, one bounded
+    # rf broadcast, and the per-(split, shard) packing window
     # window is the only exchange (bounded by the anchor set)
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the

@@ -1,4 +1,5 @@
-"""All-maintainer integration soak (VERDICT r11 #1, extended to SIX):
+"""All-maintainer integration soak (VERDICT r11 #1, extended to SIX
+index maintainers + the tokenizer drift monitor as the seventh leg):
 ONE CDC stream (doc_id, text, embedding) drives the LSH-admission,
 BM25, cluster-label, IVF, PQ and SQ8 maintainers through ≥6 batches
 with in-loop compactions interleaving mid-stream and TWO mid-stream
@@ -13,6 +14,7 @@ reference's 15 s ingest→serveable budget (modules/utils.py:48-49).
 """
 
 import json
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -47,6 +49,10 @@ from demo_cdc_users_airline_spark.operators.sq8 import (
     sq8_codes_path,
     sq8_serve,
 )
+from demo_cdc_users_airline_spark.operators.tokenizer import (
+    load_alphabet,
+    load_bpe_merges,
+)
 from demo_cdc_users_airline_spark.sources.loader import load_table
 from demo_cdc_users_airline_spark.sources.tables import AppendTable
 from demo_cdc_users_airline_spark.streaming.bm25_ingest import (
@@ -69,6 +75,9 @@ from demo_cdc_users_airline_spark.streaming.pq_ingest import (
 )
 from demo_cdc_users_airline_spark.streaming.sq8_ingest import (
     StreamingSq8Ingest,
+)
+from demo_cdc_users_airline_spark.streaming.tokenizer_ingest import (
+    StreamingTokenizerIngest,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -144,6 +153,11 @@ def _resolved_state(spark, p):
                       .drop("ingest_batch")),
         "sq8": rows(spark.read.parquet(sq8_codes_path(p["sq8"]))
                     .drop("ingest_batch")),
+        "tok": [str(load_bpe_merges(spark, p["tok"] + "/tok")),
+                load_alphabet(spark, p["tok"] + "/tok")],
+        "tok_corpus": rows(spark.read.parquet(p["tok"] + "/corpus")
+                           .select("doc_id", "text")),
+        "tok_report": rows(spark.read.parquet(p["tok"] + "/report")),
     }
 
 
@@ -156,7 +170,15 @@ def test_six_maintainer_soak(spark, tmp_path):
         "pq": build_pq_index(spark, SF, str(tmp_path / "pq")),
         "sq8": build_sq8_index(spark, SF, str(tmp_path / "sq8")),
         "adm": str(tmp_path / "admitted"),
+        "tok": str(tmp_path / "tokm"),
     }
+    tok = StreamingTokenizerIngest(path=p["tok"], retrain_check_every=0)
+    # monitor-only in the soak: the novel docs carry digit-suffixed
+    # words the base alphabet has never seen, so the census MUST report
+    # OOV every batch — the firing/retrain semantics have their own
+    # suite (tests/test_streaming_tokenizer.py)
+    tok.build(spark, load_table(spark, SF, "documents")
+              .select("doc_id", "text"))
     pipe = StreamingIndexPipeline(
         lsh=StreamingLshIngest(index_path=p["lsh"],
                                out_table=AppendTable(spark, p["adm"]),
@@ -177,6 +199,7 @@ def test_six_maintainer_soak(spark, tmp_path):
         sq8=StreamingSq8Ingest(index_path=p["sq8"],
                                compact_check_every=2,
                                rebuild_check_every=1),
+        tokenizer=tok,
     )
 
     # the PQ artifact's saved codebooks — must survive the IVF swap
@@ -326,6 +349,16 @@ def test_six_maintainer_soak(spark, tmp_path):
     #    postings ----------------------------------------------------------
     rows = bm25_serve(spark, p["bm25"], terms=("zzsoakterm",)).collect()
     assert [r["doc_id"] for r in rows] == [10_200_000]
+
+    # -- tokenizer leg: a census row per batch (warm + b1..b6), the OOV
+    #    signal live (digit-suffixed novels are outside the trained
+    #    alphabet), no retrain in monitor-only mode ------------------------
+    trep = {int(r["ingest_batch"]): r.asDict() for r in
+            spark.read.parquet(p["tok"] + "/report").collect()}
+    assert sorted(trep) == [0, 1, 2, 3, 4, 5, 6]
+    assert all(r["retrain_fired"] == 0 for r in trep.values())
+    assert all(trep[k]["oov_ppm"] > 0 for k in range(1, 7))
+    assert not os.path.exists(p["tok"] + "/tok/_tok_live.json")
 
     # -- pipeline-level idempotence: retry the ENTIRE fan-out for the
     #    last batch — every artifact's resolved content is unchanged ------
