@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     "text_tokenizer_drift_report",      # NEW r13 (tokenizer drift census)
     "corpus_training_dataset",          # NEW r13 (end-to-end manifest)
     "similarity_sq8_residual_topk",     # NEW r13 (residual IVF x SQ8)
+    "corpus_training_manifest",         # NEW r13 (persisted manifest)
+    "corpus_pack_manifest",             # NEW r13 (pack rollup)
     # Round 13 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_sq8_clip_report",       # r13: countDistinct census
@@ -89,12 +91,11 @@ _DRIVER_PRIORITY = [
     "returned_item_revenue_topk",
     "orders_with_returns_by_priority",
     "promo_revenue_share",
-    "forecast_revenue_change",
-    "part_min_cost_supplier",
     # r14 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r14
     # queries first, then the remaining oldest rows — the r09 tail
-    # (top_supplier_by_revenue, small_quantity_order_revenue,
+    # (forecast_revenue_change, part_min_cost_supplier,
+    # top_supplier_by_revenue, small_quantity_order_revenue,
     # discounted_brand_revenue,
     # important_part_value, sole_returner_suppliers,
     # dormant_valuable_customers, dominant_part_suppliers,

@@ -144,6 +144,11 @@ MAX_SHUFFLES = {
     # their cached subtrees in the static plan (the PLANS.md caveat);
     # the composition itself adds only doc_id equi-joins, one bounded
     # rf broadcast, and the per-(split, shard) packing window
+    "corpus_training_manifest": 0,  # the persisted-artifact read: a
+    # partition-laid parquet scan + casts — consumers NEVER re-run the
+    # composition
+    "corpus_pack_manifest": 1,      # one map-side-combinable rollup
+    # over the artifact read (grouping keys prefix the partition layout)
     # window is the only exchange (bounded by the anchor set)
     "multimodal_image_phash": 0,    # one Arrow mapInPandas codec pass
     "multimodal_phash_neardup": 1,  # band exchange; verify joins ride the
