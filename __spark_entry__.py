@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "similarity_sq8_residual_topk",     # NEW r13 (residual IVF x SQ8)
     "corpus_training_manifest",         # NEW r13 (persisted manifest)
     "corpus_pack_manifest",             # NEW r13 (pack rollup)
+    "similarity_sq4_adc_topk",          # NEW r13 (4-bit SQ tier)
     # Round 13 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_sq8_clip_report",       # r13: countDistinct census
@@ -90,11 +91,11 @@ _DRIVER_PRIORITY = [
     "users_customer_reconciliation",
     "returned_item_revenue_topk",
     "orders_with_returns_by_priority",
-    "promo_revenue_share",
     # r14 rotation queue (reproducible via
     # tools/certification_report.py --suggest 50): any new/changed r14
     # queries first, then the remaining oldest rows — the r09 tail
-    # (forecast_revenue_change, part_min_cost_supplier,
+    # (promo_revenue_share, forecast_revenue_change,
+    # part_min_cost_supplier,
     # top_supplier_by_revenue, small_quantity_order_revenue,
     # discounted_brand_revenue,
     # important_part_value, sole_returner_suppliers,

@@ -598,16 +598,90 @@ SQ8_LEVELS = 255  # codes 0..255: code = (v - min_d) * 255 DIV (max_d - min_d)
 _SQ8_TOPK = 5     # serve depth, same as the PQ ADC baseline
 
 
-def _sq8_recon_sql(v: str = "d.val") -> str:
+def _sq8_recon_sql(v: str = "d.val", levels: int = SQ8_LEVELS) -> str:
     """Reconstruction of one component from its code, all-integer —
     train (min/max), encode (ratio floor-div) and decode (inverse) in
     ONE expression so both engines share every intermediate. Operands
     are non-negative at every division (v >= mn), so DuckDB's ``//``
     and Spark's ``DIV`` agree; greatest(1, ...) keeps a constant
-    dimension exact (code 0, recon = mn = v)."""
-    return (f"r.mn + (({v} - r.mn) * {SQ8_LEVELS}"
+    dimension exact (code 0, recon = mn = v). ``levels`` is the code
+    resolution (255 = SQ8, 15 = SQ4)."""
+    return (f"r.mn + (({v} - r.mn) * {levels}"
             f" // greatest(1, r.mx - r.mn))"
-            f" * (r.mx - r.mn) // {SQ8_LEVELS}")
+            f" * (r.mx - r.mn) // {levels}")
+
+
+def _sq_adc_oracle_sql(levels: int, topk: int) -> str:
+    """The SQ ADC oracle, parameterized by code resolution — one
+    template serves the 8-bit and 4-bit tiers (identical text at each
+    level, so the SQ8 gate hash is unchanged by the refactor)."""
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * {QUANT_SCALE}.0)
+              AS BIGINT) AS val
+  FROM embeddings
+),
+rng AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM dims GROUP BY dim),
+recon AS (
+  SELECT d.vec_id, d.dim, {_sq8_recon_sql(levels=levels)} AS rv
+  FROM dims d JOIN rng r USING (dim)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum((q.val - c.rv) * (q.val - c.rv))::BIGINT AS sq_d2
+  FROM dims q JOIN recon c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, sq_d2
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sq_d2, neighbor_id) <= {topk}
+ORDER BY query_id, sq_d2, neighbor_id
+"""
+
+
+def _sq_adc_topk_spark(spark: SparkSession, sf_dir: str,
+                       levels: int) -> DataFrame:
+    """Shared SQ ADC engine body (train ranges → encode+reconstruct in
+    one zip pass → asymmetric distances → per-query top-k), identical
+    for every code resolution — only ``levels`` differs."""
+    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
+                      "vec_id")
+    vq = e.select("vec_id", quantize_expr("embedding").alias("qv"))
+    stats = (vq.select(F.posexplode("qv").alias("d", "val"))
+             .groupBy("d")
+             .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+             .orderBy("d").collect())  # dim rows — the trained ranges
+    mn_arr = F.array(*[F.lit(int(r["mn"])) for r in stats])
+    mx_arr = F.array(*[F.lit(int(r["mx"])) for r in stats])
+    # bind the range arrays in a prior projection (the CLAUDE.md lambda
+    # rule), then reconstruct in ONE zip pass mirroring _sq8_recon_sql
+    bound = vq.select("vec_id", "qv",
+                      F.arrays_zip(mn_arr.alias("mn"), mx_arr.alias("mx"))
+                      .alias("rng"))
+    recon = F.expr(
+        f"zip_with(qv, rng, (v, r) -> r.mn + ((v - r.mn) * {levels}"
+        f" DIV greatest(1L, r.mx - r.mn))"
+        f" * (r.mx - r.mn) DIV {levels})")
+    cand = bound.select(F.col("vec_id").alias("neighbor_id"),
+                        recon.alias("rv"))
+    queries = spark.createDataFrame(
+        sorted((int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in
+               vq.filter(F.col("vec_id") < 8).collect()),
+        "query_id: long, q_qv: array<bigint>")
+    d2 = F.expr("aggregate(zip_with(q_qv, rv, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    pairs = (cand.join(F.broadcast(queries),
+                       F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", d2.alias("sq_d2")))
+    w = Window.partitionBy("query_id").orderBy("sq_d2", "neighbor_id")
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= _SQ8_TOPK).drop("__rn")
+            .select("query_id", "neighbor_id",
+                    F.col("sq_d2").cast("long").alias("sq_d2"))
+            .orderBy("query_id", "sq_d2", "neighbor_id"))
 
 
 @q("similarity_sq8_adc_topk", f"""
@@ -663,41 +737,28 @@ def similarity_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/SQ/PQ compression ladder (VERDICT r11 #7's sanctioned scope:
     a quantization tier that keeps the bit-exact oracle discipline,
     unlike an OPQ rotation whose eigensolver is not engine-exact)."""
-    e = parallel_scan(spark, load_table(spark, sf_dir, "embeddings"),
-                      "vec_id")
-    vq = e.select("vec_id", quantize_expr("embedding").alias("qv"))
-    stats = (vq.select(F.posexplode("qv").alias("d", "val"))
-             .groupBy("d")
-             .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-             .orderBy("d").collect())  # dim rows — the trained ranges
-    mn_arr = F.array(*[F.lit(int(r["mn"])) for r in stats])
-    mx_arr = F.array(*[F.lit(int(r["mx"])) for r in stats])
-    # bind the range arrays in a prior projection (the CLAUDE.md lambda
-    # rule), then reconstruct in ONE zip pass mirroring _sq8_recon_sql
-    bound = vq.select("vec_id", "qv",
-                      F.arrays_zip(mn_arr.alias("mn"), mx_arr.alias("mx"))
-                      .alias("rng"))
-    recon = F.expr(
-        f"zip_with(qv, rng, (v, r) -> r.mn + ((v - r.mn) * {SQ8_LEVELS}"
-        f" DIV greatest(1L, r.mx - r.mn))"
-        f" * (r.mx - r.mn) DIV {SQ8_LEVELS})")
-    cand = bound.select(F.col("vec_id").alias("neighbor_id"),
-                        recon.alias("rv"))
-    queries = spark.createDataFrame(
-        sorted((int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in
-               vq.filter(F.col("vec_id") < 8).collect()),
-        "query_id: long, q_qv: array<bigint>")
-    d2 = F.expr("aggregate(zip_with(q_qv, rv, (a, b) -> (a - b) * (a - b)),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-    pairs = (cand.join(F.broadcast(queries),
-                       F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id", d2.alias("sq_d2")))
-    w = Window.partitionBy("query_id").orderBy("sq_d2", "neighbor_id")
-    return (pairs.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= _SQ8_TOPK).drop("__rn")
-            .select("query_id", "neighbor_id",
-                    F.col("sq_d2").cast("long").alias("sq_d2"))
-            .orderBy("query_id", "sq_d2", "neighbor_id"))
+    return _sq_adc_topk_spark(spark, sf_dir, SQ8_LEVELS)
+
+
+SQ4_LEVELS = 15  # codes 0..15: half a byte per dimension — 2x smaller
+# than SQ8, the fidelity/footprint rung below it
+
+
+@q("similarity_sq4_adc_topk", _sq_adc_oracle_sql(SQ4_LEVELS, _SQ8_TOPK))
+def similarity_sq4_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ4 asymmetric top-k — the 4-bit rung of the scalar-quantization
+    ladder (VERDICT r12 #7's second sanctioned option): identical
+    train/encode/decode/search discipline as similarity_sq8_adc_topk
+    with 16 levels per dimension instead of 256 (FAISS ScalarQuantizer
+    QT_4bit; two codes pack per byte in a bit-packed store). Shares
+    the SQ ADC engine body and oracle template verbatim — the only
+    difference between the tiers IS the resolution constant, which is
+    exactly the property that makes the ladder a dial.
+
+    Scale path: identical to the SQ8 tier (one map-side range fit to
+    dim rows, a per-row zip reconstruct, the bounded query broadcast,
+    one top-k exchange)."""
+    return _sq_adc_topk_spark(spark, sf_dir, SQ4_LEVELS)
 
 
 # ---------------------------------------------------------------------------

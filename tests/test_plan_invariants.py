@@ -120,6 +120,8 @@ MAX_SHUFFLES = {
     "similarity_sq8_adc_topk": 2,  # reconstruct map-only (ranges are
     # driver-collected literals), queries broadcast: per-query top-k
     # window + the final presentation sort
+    "similarity_sq4_adc_topk": 2,  # the shared SQ ADC body at 16
+    # levels — identical plan shape to the 8-bit tier
     "similarity_sq8_serve_topk": 1,  # persisted IVF×SQ8 serve: bounded
     # probe collect, partition-pruned codes read, in-row reconstruct —
     # ONLY the per-query top-k exchanges (the pq_serve budget)

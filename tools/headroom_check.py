@@ -53,6 +53,14 @@ QUERIES = (
     # encode chains, DECIMAL/HUGEINT-widened clip sums + ppm)
     "similarity_sq8_serve_topk",
     "similarity_sq8_clip_report",
+    # r13: the residual-SQ8 ranges (int64 residual subtractions feed
+    # the floor-div chain), the tokenizer drift ppm pair, and the
+    # capstone manifest (rf IEEE formula over int64 masses + the
+    # pack running sums — the largest integer accumulations of the
+    # composed stages)
+    "similarity_sq8_residual_topk",
+    "text_tokenizer_drift_report",
+    "corpus_training_dataset",
 )
 
 HEADER = "## Headroom: oracle exactness above the gate SF"
