@@ -8,6 +8,7 @@ check then exercises the real consumer path: an LSH probe must reject
 a copy of the ingested document, a BM25 query must rank it, an IVF
 serve-style read must surface its vector."""
 
+import os
 import json
 import time
 
@@ -39,7 +40,7 @@ from demo_cdc_users_airline_spark.streaming.lsh_ingest import (
 )
 
 SF = "/root/testdata/sf0.001"
-BUDGET = 15.0
+BUDGET = 15.0 * float(os.environ.get("SPARK_GRAFT_LATENCY_BUDGET_RELAX", "1"))
 
 DOC_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("text", T.StringType())])
