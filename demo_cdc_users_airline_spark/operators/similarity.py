@@ -684,31 +684,7 @@ def _sq_adc_topk_spark(spark: SparkSession, sf_dir: str,
             .orderBy("query_id", "sq_d2", "neighbor_id"))
 
 
-@q("similarity_sq8_adc_topk", f"""
-WITH dims AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(floor(unnest(embedding::DOUBLE[]) * {QUANT_SCALE}.0)
-              AS BIGINT) AS val
-  FROM embeddings
-),
-rng AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM dims GROUP BY dim),
-recon AS (
-  SELECT d.vec_id, d.dim, {_sq8_recon_sql()} AS rv
-  FROM dims d JOIN rng r USING (dim)
-),
-pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         sum((q.val - c.rv) * (q.val - c.rv))::BIGINT AS sq_d2
-  FROM dims q JOIN recon c ON c.dim = q.dim AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < 8
-  GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, sq_d2
-FROM pairs
-QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY sq_d2, neighbor_id) <= {_SQ8_TOPK}
-ORDER BY query_id, sq_d2, neighbor_id
-""")
+@q("similarity_sq8_adc_topk", _sq_adc_oracle_sql(SQ8_LEVELS, _SQ8_TOPK))
 def similarity_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 asymmetric top-k: train per-dimension [min, max] over the
     corpus, encode every vector to 8-bit codes, and serve each query by

@@ -305,6 +305,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id)""")
     return "".join(parts)
 
 
+def _bpe_token_count_col(merges):
+    """BPE token count of column ``w`` under ``merges`` — THE single
+    copy of the char-split + sentinel-space pad + rank-ordered
+    bound-literal replace chain. The served encode, the drift census
+    and the streaming monitor all tokenize through this one fragment,
+    so they agree by construction (the ADVICE r11 #3 no-copy rule)."""
+    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
+               " i -> substring(w, i, 1)))")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    for _, a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(s), " "))
+
+
 def _bpe_encode_with(spark: SparkSession, sf_dir: str,
                      merges) -> DataFrame:
     """Shared encode core for text_bpe_encode (trainer-fed) and
@@ -317,13 +331,8 @@ def _bpe_encode_with(spark: SparkSession, sf_dir: str,
     words = (d.select("doc_id", F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
              .filter(F.length("w") > 0))
-    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
-               " i -> substring(w, i, 1)))")
-    s = F.concat(F.lit(" "), s, F.lit(" "))
-    for _, a, b, _cnt in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
     enc = words.select("doc_id", F.length("w").alias("nc"),
-                       F.size(F.split(F.trim(s), " ")).alias("nt"))
+                       _bpe_token_count_col(merges).alias("nt"))
     agg = (enc.groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_words"),
                 F.sum("nc").alias("n_chars"),
@@ -953,15 +962,10 @@ def _census_cols(merges, alph: str) -> tuple:
     outside ``alph``). The merge chain is the shared sentinel-space
     replace spec (pure codegen); the OOV count is ONE translate() —
     never a per-char lambda."""
-    s = F.expr("concat_ws(' ', transform(sequence(1, length(w)),"
-               " i -> substring(w, i, 1)))")
-    s = F.concat(F.lit(" "), s, F.lit(" "))
-    for _, a, b, _cnt in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
     oov = (F.length(F.translate(F.col("w"), alph, "")) if alph
            else F.length("w"))
     return (F.length("w").alias("nc"),
-            F.size(F.split(F.trim(s), " ")).alias("nt"),
+            _bpe_token_count_col(merges).alias("nt"),
             oov.alias("oov"))
 
 

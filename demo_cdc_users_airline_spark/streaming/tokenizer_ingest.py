@@ -126,14 +126,17 @@ class StreamingTokenizerIngest:
         fired = 0
         if self.retrain_check_every > 0 and c["n_chars"] > 0:
             self._batches_since_check += 1
-            if (self._batches_since_check >= self.retrain_check_every
-                    and (oov_breach or cpt_breach)):
+            if self._batches_since_check >= self.retrain_check_every:
+                # the family cadence contract (StreamingSq8Ingest /
+                # StreamingPqIngest): the gate is EVALUATED every Nth
+                # batch and the window resets whether or not it fires
                 self._batches_since_check = 0
-                retrain_tokenizer(
-                    spark, self.tok_path,
-                    spark.read.parquet(self.corpus_path)
-                    .select("doc_id", "text"))
-                fired = 1
+                if oov_breach or cpt_breach:
+                    retrain_tokenizer(
+                        spark, self.tok_path,
+                        spark.read.parquet(self.corpus_path)
+                        .select("doc_id", "text"))
+                    fired = 1
         # 4. report row (same batch-keyed idempotence; observational —
         #    the across-swap retry legitimately records fired = 0)
         (spark.createDataFrame(

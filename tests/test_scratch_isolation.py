@@ -107,3 +107,33 @@ def test_in_process_consistency():
     # an artifact built early in a session is found late in it
     assert scratch_root() == scratch_root()
     assert scratch_session_key() == scratch_session_key()
+
+
+def test_concurrent_verify_fails_fast():
+    """verify_all.run_concurrently terminates the sibling on the first
+    nonzero exit instead of waiting out its full run."""
+    import time
+
+    sys.path.insert(0, "/root/repo/tools")
+    import verify_all
+
+    t0 = time.monotonic()
+    try:
+        verify_all.run_concurrently(cmds=(
+            [sys.executable, "-c", "import time; time.sleep(120)"],
+            [sys.executable, "-c", "import sys; sys.exit(3)"],
+        ))
+        raised = False
+    except SystemExit as e:
+        raised = e.code == 1
+    assert raised
+    assert time.monotonic() - t0 < 30  # never waited out the sleeper
+
+
+def test_concurrent_verify_green_path():
+    import verify_all
+
+    verify_all.run_concurrently(cmds=(
+        [sys.executable, "-c", "pass"],
+        [sys.executable, "-c", "pass"],
+    ))  # both zero: returns without raising

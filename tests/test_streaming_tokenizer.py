@@ -135,3 +135,25 @@ def test_compression_gate_fires_without_oov(spark, tmp_path):
     assert rep["retrain_fired"] == 1
     assert (rep["chars_per_token_micro"] * 1_000_000
             < rep["baseline_cpt_micro"] * 900_000)
+
+
+def test_retrain_cadence_matches_family(spark, tmp_path):
+    """retrain_check_every=N follows the sibling maintainers' contract
+    (StreamingSq8Ingest/StreamingPqIngest): the gate is EVALUATED every
+    Nth batch and the window resets whether or not it fires — a
+    breaching batch between checks is NOT gated immediately."""
+    m = StreamingTokenizerIngest(path=str(tmp_path / "tokmon3"),
+                                 retrain_check_every=2)
+    m.build(spark, _docs(spark, range(30), BASE_SENT))
+    # batch 0: drifted, but it is check 1 of 2 -> NOT gated
+    m.process_batch(_docs(spark, range(100, 106), DRIFT_SENT), 0)
+    assert _report(spark, m)[0]["retrain_fired"] == 0
+    assert not os.path.exists(os.path.join(m.tok_path, _TOK_META))
+    # batch 1: drifted, check 2 of 2 -> gate evaluates and fires
+    m.process_batch(_docs(spark, range(200, 206), DRIFT_SENT), 1)
+    assert _report(spark, m)[1]["retrain_fired"] == 1
+    assert os.path.exists(os.path.join(m.tok_path, _TOK_META))
+    # batch 2: in-distribution, check 1 of the NEXT window -> the
+    # window advanced past the fire (reset happened at the check)
+    m.process_batch(_docs(spark, range(300, 306), BASE_SENT), 2)
+    assert _report(spark, m)[2]["retrain_fired"] == 0

@@ -33,13 +33,17 @@ def manifest(spark):
 
 @pytest.fixture(scope="module")
 def stages(spark):
+    from demo_cdc_users_airline_spark.sources.loader import load_table
     verdict = {r["doc_id"]: r["retained"]
                for r in _cu.curation_verdict(spark, SF).collect()}
     split = {r["doc_id"]: r["split"]
              for r in _sa.corpus_cluster_split(spark, SF).collect()}
     ntok = {r["doc_id"]: r["n_tokens"]
             for r in _tok.text_bpe_encode_served(spark, SF).collect()}
-    return verdict, split, ntok
+    source = {r["doc_id"]: r["source"]
+              for r in load_table(spark, SF, "documents")
+              .select("doc_id", "source").collect()}
+    return verdict, split, ntok, source
 
 
 def _bern(doc_id: int, rf_ppm: int) -> int:
@@ -49,7 +53,7 @@ def _bern(doc_id: int, rf_ppm: int) -> int:
 
 
 def test_only_retained_docs_enter(manifest, stages):
-    verdict, split, _ = stages
+    verdict, split, _, _ = stages
     docs = {r["doc_id"] for r in manifest}
     assert docs  # non-degenerate
     for d in docs:
@@ -69,7 +73,7 @@ def test_eval_splits_never_epoch_expand(manifest):
 def test_row_count_identity(manifest, stages):
     """Train multiplicity == floor(rf) + Bernoulli(frac(rf)), doc by
     doc — the row-count identity of the temperature stage."""
-    verdict, split, _ = stages
+    verdict, split, _, _ = stages
     per_doc = Counter(r["doc_id"] for r in manifest
                       if r["split"] == "train")
     rf_of = {r["doc_id"]: r["rf_ppm"] for r in manifest
@@ -79,20 +83,29 @@ def test_row_count_identity(manifest, stages):
         rf = rf_of[d]
         assert n == rf // 1_000_000 + _bern(d, rf)
     # retained train docs ABSENT from the manifest are exactly the
-    # rf-downsampled ones whose copies evaluated to zero
+    # rf-downsampled ones whose copies evaluated to zero: their
+    # source's rf < 1.0 AND the Bernoulli coin failed (a doc with
+    # rf >= 1.0 gets floor(rf) >= 1 copies and MUST be present)
     retained_train = {d for d, v in verdict.items()
                       if v == 1 and split[d] == "train"}
-    for d in retained_train - set(per_doc):
-        # its source's rf must have been < 1.0 with a failed coin
-        srcs_rf = {rf_of[o] for o in per_doc if o in retained_train}
-        assert all(isinstance(x, int) for x in srcs_rf)
+    src_of = stages[3]
+    rf_by_source = {src_of[r["doc_id"]]: r["rf_ppm"] for r in manifest
+                    if r["split"] == "train"}
+    absent = retained_train - set(per_doc)
+    for d in absent:
+        rf = rf_by_source.get(src_of[d])
+        assert rf is not None, f"source of absent doc {d} vanished"
+        assert rf < 1_000_000 and _bern(d, rf) == 0, (d, rf)
+    # and nothing with rf >= 1.0 is ever absent
+    for d in retained_train - absent:
+        assert d in per_doc
 
 
 def test_token_budget_identity(manifest, stages):
     """n_tokens is the ARTIFACT-SERVED BPE budget, and per (split,
     shard) the packing offsets are the exact running sum — the budget
     identity of the packing stage."""
-    _, _, ntok = stages
+    _, _, ntok, _ = stages
     for r in manifest:
         assert r["n_tokens"] == ntok[r["doc_id"]]
     streams = defaultdict(list)
