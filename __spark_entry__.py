@@ -36,77 +36,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 13 NEW operators (never driver-certified).
-    "text_tokenizer_drift_report",      # NEW r13 (tokenizer drift census)
-    "corpus_training_dataset",          # NEW r13 (end-to-end manifest)
-    "similarity_sq8_residual_topk",     # NEW r13 (residual IVF x SQ8)
-    "corpus_training_manifest",         # NEW r13 (persisted manifest)
-    "corpus_pack_manifest",             # NEW r13 (pack rollup)
-    "similarity_sq4_adc_topk",          # NEW r13 (4-bit SQ tier)
-    # Round 13 CHANGED queries (code touched this round — a fresh
+    # Round 14 NEW operators (never driver-certified) — prepended as
+    # they land; see the r14 section of ROADMAP.md.
+    # Round 14 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
-    "similarity_sq8_clip_report",       # r13: countDistinct census
-    "text_bpe_merges",                  # r13: doc_pred-parameterized trainer
-    "text_bpe_vocab",                   # r13: same
-    "text_bpe_encode",                  # r13: same
-    "text_bpe_encode_served",           # r13: alphabet-bearing artifact
-    "text_unigram_vocab",               # r13: doc_pred-parameterized trainer
-    "text_unigram_encode",              # r13: same
-    "text_unigram_prune",               # r13: same
-    "text_unigram_encode_pruned",       # r13: same
-    "text_unigram_encode_served",       # r13: alphabet-bearing artifact
-    "dedup_incremental_clusters",       # r13: deterministic overlay union
-    "dedup_cluster_merges",             # r13: same
-    "dedup_cluster_compaction_policy",  # r13: same
-    # Oldest fresh rows next (r07/r08/r09 vintage per
-    # tools/certification_report.py) so no row ages past ~3 rounds.
-    "retrieval_bm25_topk",
-    "score_dsir_importance",
-    "corpus_mixture_weights",
-    "corpus_budget_selection",
-    "corpus_quality_classifier",
-    "users_api_batch_live",
-    "pipe_node_dag",
-    "users_mv_rmt_endpoint",
-    "orders_rollup_summary",
-    "events_type_pivot",
-    "events_type_hour_cube",
-    "orders_large_volume_topk",
-    "events_type_markov",
-    "text_rolling_hash",
-    "text_token_entropy",
-    "similarity_ivf_cell_balance",
-    "multimodal_decode_pipeline",
-    "events_asof_last_purchase",
-    "events_sessionization",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_minute_anomalies",
-    "events_daily_moving_stats",
-    "score_bigram_logprob",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    "supplier_part_coverage",
-    "shipping_priority_topk",
-    "users_customer_reconciliation",
-    "returned_item_revenue_topk",
-    "orders_with_returns_by_priority",
-    # r14 rotation queue (reproducible via
-    # tools/certification_report.py --suggest 50): any new/changed r14
-    # queries first, then the remaining oldest rows — the r09 tail
-    # (promo_revenue_share, forecast_revenue_change,
-    # part_min_cost_supplier,
-    # top_supplier_by_revenue, small_quantity_order_revenue,
-    # discounted_brand_revenue,
-    # important_part_value, sole_returner_suppliers,
-    # dormant_valuable_customers, dominant_part_suppliers,
-    # text_winnowing, similarity_lsh_buckets, embedding_quantize_int8,
-    # similarity_kmeans_ivf, corpus_topic_clusters,
-    # corpus_topic_keywords, corpus_sample_by_quality,
-    # corpus_cluster_split, corpus_stats_report,
-    # corpus_curriculum_order, events_value_percentiles,
-    # events_scd2_history, events_activity_streaks,
-    # retrieval_bm25_serve, score_unigram_logprob) if aged.
+    "similarity_sq8_clip_report",       # r14: purge-first None-batch append
+    "text_bpe_merges",                  # r14: structured oracle parts
+    "text_bpe_vocab",                   # r14: same
+    "text_bpe_encode",                  # r14: same
+    "text_bpe_encode_served",           # r14: same
+    "text_tokenizer_drift_report",      # r14: same
+    "corpus_training_dataset",          # r14: same (composed oracle)
+    "corpus_training_manifest",         # r14: same
+    "corpus_pack_manifest",             # r14: same
+    # Oldest fresh rows next (r09/r10 vintage — the full 50-slot list
+    # is reproducible via tools/certification_report.py --suggest 50,
+    # which now pads with oldest-fresh once nothing is never/stale).
+    "promo_revenue_share",
+    "forecast_revenue_change",
+    "part_min_cost_supplier",
+    "top_supplier_by_revenue",
+    "small_quantity_order_revenue",
+    "discounted_brand_revenue",
+    "important_part_value",
+    "sole_returner_suppliers",
+    "dormant_valuable_customers",
+    "dominant_part_suppliers",
+    "text_winnowing",
+    "similarity_lsh_buckets",
+    "embedding_quantize_int8",
+    "similarity_kmeans_ivf",
+    "corpus_topic_clusters",
+    "corpus_topic_keywords",
+    "corpus_sample_by_quality",
+    "corpus_cluster_split",
+    "corpus_stats_report",
+    "corpus_curriculum_order",
+    "events_value_percentiles",
+    "events_scd2_history",
+    "events_activity_streaks",
+    "retrieval_bm25_serve",
+    "score_unigram_logprob",
+    "corpus_perplexity_buckets",
+    "corpus_source_divergence",
+    "corpus_token_cms_topk",
+    "events_value_quantile_sketch",
+    "events_hll_distinct",
+    "events_limit3_by_user",
+    "events_user_anomaly_days",
+    "text_lang_id_ngram",
+    "corpus_quality_percentile",
+    "text_rake_keywords",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_estimate",
+    "dedup_jaccard_containment",
+    "dedup_incremental_lsh",
+    "dedup_lsh_compaction_policy",
+    "similarity_incremental_ivf",
+    # r15 rotation queue (reproducible the same way): any new/changed
+    # r15 queries first, then the remaining oldest rows — the r10 tail
+    # (similarity_ivf_serve_topk, similarity_ivf_incremental_serve,
+    # similarity_ivf_compaction_policy, the multimodal family,
+    # corpus_token_spectrum, events_reservoir_sample,
+    # events_cumulative_users, corpus_chunk_overlap,
+    # retrieval_tfidf_topk, retrieval_bm25_incremental_serve,
+    # retrieval_bm25_compaction_policy, corpus_temperature_sample,
+    # corpus_pmi_collocations, corpus_bigram_next_word,
+    # score_bigram_accuracy, orders_table_profile,
+    # events_key_skew_report, orders_zorder_layout,
+    # events_agg_state_rollup) if aged.
 ]
 
 

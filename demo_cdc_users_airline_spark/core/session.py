@@ -69,8 +69,46 @@ def scratch_root() -> str:
     if explicit:
         return explicit
     root = os.path.join(_SCRATCH_BASE, scratch_session_key())
+    _reap_orphan_scratch_roots(keep=root)
     _register_scratch_cleanup(root)
     return root
+
+
+_orphans_reaped = False
+
+
+def _reap_orphan_scratch_roots(keep: str) -> None:
+    """Remove sibling ``pid<N>`` scratch trees whose owning process is
+    gone. The atexit rmtree only runs in the process that registered it
+    — a hard-killed child (e.g. verify_all's fail-fast killpg path)
+    strands its tree, and strands accumulate across crashed runs. Runs
+    once per process, before this process's root is created."""
+    global _orphans_reaped
+    if _orphans_reaped:
+        return
+    _orphans_reaped = True
+    import shutil
+
+    try:
+        entries = os.listdir(_SCRATCH_BASE)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("pid"):
+            continue  # named sessions are the caller's to manage
+        path = os.path.join(_SCRATCH_BASE, name)
+        if path == keep:
+            continue
+        try:
+            pid = int(name[3:])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive under another uid — leave it
 
 
 _cleanup_registered: set[str] = set()

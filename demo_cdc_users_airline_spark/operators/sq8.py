@@ -231,21 +231,18 @@ def append_to_sq8_index(spark: SparkSession, path: str,
     ``n_clip`` — the drift signal). Idempotent by batch id via the
     purge-first contract, exact even across a rebuild's range swap
     (the append_to_pq_index recipe). ``batch_id=None`` appends under
-    the shared -2 tag with NO purge — re-running such an append can
-    accumulate duplicate vec_ids (the clip census counts code ROWS on
-    both engines, so it never diverges — each copy counts — but serves
-    may surface a neighbor twice); production maintainers always pass
-    a real batch id."""
+    the shared -2 tag with the SAME purge-first contract — a re-run
+    replaces the whole -2 partition rather than accumulating duplicate
+    vec_ids (distinct un-tagged batches must pass real batch ids;
+    production maintainers always do)."""
     coarse = load_codebook(spark, sq8_coarse_path(path))
     ranges = load_ranges(spark, sq8_ranges_path(path))
     tag = -2 if batch_id is None else int(batch_id)
-    mode = "append" if batch_id is None else "overwrite"
-    if batch_id is not None:
-        _purge_batch_partitions(sq8_codes_path(path), tag)
+    _purge_batch_partitions(sq8_codes_path(path), tag)
     (_sq8_encode_rows(vectors, coarse, ranges)
      .withColumn("ingest_batch", F.lit(tag))
      .repartition("cell")
-     .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell", "ingest_batch")
      .parquet(sq8_codes_path(path)))
 
@@ -574,11 +571,11 @@ def similarity_sq8_clip_report(spark: SparkSession,
     codes = spark.read.parquet(sq8_codes_path(path))
     # n_vecs counts CODE ROWS on BOTH engines (ADVICE r12: the old
     # Spark count(*) / oracle count(DISTINCT vec_id) pair agreed only
-    # under the purge-first append discipline — an artifact grown via
-    # batch_id=None mode-'append' can hold duplicate vec_ids and the
-    # two spellings silently diverge). Rows == distinct vectors under
-    # the production purge-first contract; with duplicates every
-    # appended copy counts, identically on both sides — and the census
+    # under the purge-first append discipline — which, since r14,
+    # EVERY append path honors: the batch_id=None tag purges its -2
+    # partition before writing, so duplicate vec_ids can no longer
+    # accumulate). Rows == distinct vectors by construction — and the
+    # census
     # stays a map-side-combinable k-row aggregate (a countDistinct
     # would shuffle the full-width (batch, vec_id) projection — the
     # exact scale cost this footer-only census exists to avoid).

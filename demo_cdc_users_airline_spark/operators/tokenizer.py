@@ -78,10 +78,19 @@ VOCAB_CAP = 262_144  # hard bound on the TRAINING vocabulary: the word-
 
 
 
-def _bpe_oracle_sql(n_merges: int = N_MERGES,
-                    vocab_cap: int = VOCAB_CAP,
-                    src: str = "documents") -> str:
-    """Unrolled merge rounds: wNt(w, n) is the symbol-sequence table
+def _bpe_oracle_parts(n_merges: int = N_MERGES,
+                      vocab_cap: int = VOCAB_CAP,
+                      src: str = "documents") -> tuple[str, str]:
+    """Structured halves of the BPE-training oracle:
+    ``(with_body, final_select)``. ``with_body`` is the complete
+    ``WITH ...`` clause (ends at ``top{n}``, every ``topK`` scalar
+    subquery in scope); ``final_select`` is the UNION-ALL merge-row
+    projection. Composers (the encode chain, the drift monitor, the
+    training-dataset capstone) extend ``with_body`` with their own
+    CTEs instead of pattern-slicing rendered SQL (ADVICE r13 #3 — a
+    reformat of the tail used to break them at import time).
+
+    Unrolled merge rounds: wNt(w, n) is the symbol-sequence table
     entering round N; pcN the pair counts; topN the chosen merge.
     ``vocab_cap`` mirrors the engine's top-K training-vocabulary bound
     (count DESC, word ASC — binary collation on both engines).
@@ -126,7 +135,16 @@ top{k} AS MATERIALIZED (
         f" b AS right_sym, a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
         f" FROM top{k}"
         for k in range(1, n_merges + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + rows
+    return "WITH " + ",\n".join(parts), rows
+
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES,
+                    vocab_cap: int = VOCAB_CAP,
+                    src: str = "documents") -> str:
+    """The rendered BPE-training oracle (see :func:`_bpe_oracle_parts`
+    for the structured halves composers use)."""
+    with_body, final_select = _bpe_oracle_parts(n_merges, vocab_cap, src)
+    return with_body + "\n" + final_select
 
 
 def _docs_frame(spark: SparkSession, sf_dir: str,
@@ -255,15 +273,25 @@ def learn_bpe_merges(spark: SparkSession, sf_dir: str,
                          fit)
 
 
-def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
-    """Training CTEs (to re-derive the merge table) + an encode chain
+def _encode_oracle_parts(n_merges: int = N_MERGES,
+                         agg_name: str = "agg") -> tuple[str, str, str]:
+    """Structured pieces of the BPE-encode oracle:
+    ``(chain_body, agg_cte, final_select)``. ``chain_body`` = the
+    training CTEs (to re-derive the merge table) + an encode chain
     e1..eN applying every learned merge in rank order to each document
-    word's character sequence — the same sentinel-space replace spec the
-    trainer uses."""
+    word's character sequence (the same sentinel-space replace spec
+    the trainer uses), ending at ``e{n}``; ``agg_cte`` is the
+    ``,\\n{agg_name} AS MATERIALIZED (...)`` per-doc rollup fragment
+    (``agg_name`` lets a composer that nests another ``agg``-defining
+    oracle pick a non-shadowing name — DuckDB's binder mis-resolves a
+    shadowed MATERIALIZED twin); ``final_select`` is the
+    documents-left-join projection over it. Composers concatenate
+    whichever pieces they need instead of pattern-slicing rendered SQL
+    (ADVICE r13 #3)."""
     # reuse the training oracle's WITH body (ends at top{n}, every topK
-    # scalar subquery available); drop its UNION-ALL merge-row projection
-    train = _bpe_oracle_sql(n_merges)
-    with_body = train[: train.rindex("\nSELECT CAST(")]
+    # scalar subquery available); its UNION-ALL merge-row projection is
+    # the other half of the pair and simply isn't used here
+    with_body, _ = _bpe_oracle_parts(n_merges)
     parts = [with_body, r""",
 docw AS MATERIALIZED (
   SELECT doc_id, w
@@ -288,21 +316,28 @@ e{k} AS MATERIALIZED (
                           || (SELECT b FROM top{k}) || ' ')) AS s
   FROM e{k - 1}
 )""")
-    parts.append(f""",
-agg AS MATERIALIZED (
+    agg_cte = f""",
+{agg_name} AS MATERIALIZED (
   SELECT doc_id, count(*) AS n_words, sum(nc) AS n_chars,
          sum(len(string_split(s, ' '))) AS n_tokens
   FROM e{n_merges} GROUP BY doc_id
-)
-SELECT d.doc_id,
+)"""
+    final_select = f"""SELECT d.doc_id,
        CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
        CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
                  ELSE coalesce(a.n_chars, 0) * 1000000 // a.n_tokens
             END AS BIGINT) AS chars_per_token_micro
-FROM documents d LEFT JOIN agg a USING (doc_id)""")
-    return "".join(parts)
+FROM documents d LEFT JOIN {agg_name} a USING (doc_id)"""
+    return "".join(parts), agg_cte, final_select
+
+
+def _encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """The rendered BPE-encode oracle (see :func:`_encode_oracle_parts`
+    for the structured pieces composers use)."""
+    chain_body, agg_cte, final_select = _encode_oracle_parts(n_merges)
+    return chain_body + agg_cte + "\n" + final_select
 
 
 def _bpe_token_count_col(merges):
@@ -392,9 +427,9 @@ def _vocab_oracle_sql(n_merges: int = N_MERGES) -> str:
     """The learned VOCABULARY: every symbol of the fully-encoded corpus
     with its corpus-weighted occurrence count — the artifact a trained
     tokenizer ships (base characters + merged subwords)."""
-    enc = _encode_oracle_sql(n_merges)
-    # reuse the encode SQL up to (and including) e{n}: cut at the agg CTE
-    body = enc[: enc.index(",\nagg AS MATERIALIZED")]
+    # reuse the encode chain up to (and including) e{n} — the agg
+    # rollup and final projection are the other structured pieces
+    body, _, _ = _encode_oracle_parts(n_merges)
     return body + f""",
 vocab AS (
   SELECT unnest(string_split(s, ' ')) AS symbol FROM e{n_merges}
@@ -1204,8 +1239,7 @@ def _tokenizer_drift_oracle_sql(n_merges: int = N_MERGES) -> str:
     — a green row proves the artifact-served monitor (saved merges,
     saved alphabet) equals training from first principles."""
     src = f"(SELECT * FROM documents WHERE {_T_BASE})"
-    train = _bpe_oracle_sql(n_merges, src=src)
-    with_body = train[: train.rindex("\nSELECT CAST(")]
+    with_body, _ = _bpe_oracle_parts(n_merges, src=src)
     parts = [with_body, rf""",
 alpha AS MATERIALIZED (
   SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),

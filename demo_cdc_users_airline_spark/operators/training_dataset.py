@@ -71,15 +71,14 @@ def _training_dataset_oracle_sql() -> str:
     cluster-split labels, the train-split temperature table, the epoch
     explode, and the packing windows — one SQL statement, so the gate
     hash certifies the full chain end to end."""
-    enc = _tok._encode_oracle_sql()
-    enc_body = enc[: enc.rindex("\nSELECT d.doc_id,")]
-    # the encode chain's final CTE is named `agg`; the nested
+    # the encode rollup is normally named `agg`; the nested
     # decontamination SQL (inside tds_verdict) defines its own `agg`,
     # and DuckDB's binder mis-resolves the shadowed name when the outer
-    # twin is MATERIALIZED — rename the outer one in this composition
-    assert enc_body.count("agg AS MATERIALIZED") == 1
-    enc_body = enc_body.replace("agg AS MATERIALIZED",
-                                "tds_ntok AS MATERIALIZED")
+    # twin is MATERIALIZED — so this composition asks the structured
+    # oracle builder for a non-shadowing name (ADVICE r13 #3: no more
+    # pattern-slicing/replacing rendered SQL)
+    chain, ntok_cte, _ = _tok._encode_oracle_parts(agg_name="tds_ntok")
+    enc_body = chain + ntok_cte
     return f"""{enc_body},
 tds_verdict AS ({_cu._curation_oracle_sql()}),
 tds_labels AS ({_sa._dd._cluster_oracle_sql()}),

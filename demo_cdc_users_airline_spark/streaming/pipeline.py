@@ -1,5 +1,6 @@
-"""One CDC ingest stream fanned out to ALL SIX index maintainers —
-the production topology the per-family maintainers compose into.
+"""One CDC ingest stream fanned out to ALL SEVEN maintainers (six
+index artifact families + the tokenizer drift monitor) — the
+production topology the per-family maintainers compose into.
 
 Reference parity: the demo wires ONE Kafka CDC topic into several
 materialized views that stay queryable within the same convergence
@@ -7,25 +8,25 @@ budget (modules/cc_functions.py:93-156 — one topic, many consumers;
 modules/utils.py:48-49 — the 15 s wait_for() bound). Here the one
 stream is a (doc_id, text, embedding) feed — the shape a training-data
 CDC loop emits, one row per document with its vector — and the "views"
-are the six maintained index artifacts:
+are the maintained artifacts:
 
   docs leg    → LSH admission (dedup-at-ingest), BM25 postings,
-                near-dup cluster labels
+                near-dup cluster labels, tokenizer census/retrain
   vectors leg → IVF cells, PQ codes, SQ8 codes (optional tier)
 
-Why ONE foreachBatch instead of six independent streams: foreachBatch
-serializes batches per query, so fanning out inside a single handler
-gives every artifact's maintenance hook (compaction, drift/width
-rebuild) the quiesced single-writer window the artifacts' GC
-contract requires (see stale_generation_dirs — a staged ``v<N>``
+Why ONE foreachBatch instead of seven independent streams:
+foreachBatch serializes batches per query, so fanning out inside a
+single handler gives every artifact's maintenance hook (compaction,
+drift/width rebuild) the quiesced single-writer window the artifacts'
+GC contract requires (see stale_generation_dirs — a staged ``v<N>``
 generation must never coexist with another writer's reap pass on the
-SAME artifact). The six artifacts are DISJOINT directory trees, so
-the fan-out runs the six legs CONCURRENTLY (one thread per artifact
+SAME artifact). The artifacts are DISJOINT directory trees, so
+the fan-out runs the legs CONCURRENTLY (one thread per artifact
 — Spark's scheduler interleaves their jobs): per-artifact maintenance
 stays strictly single-writer (each artifact has exactly one thread,
 and batches stay serialized by the stream), while the batch's wall
 time is max(leg), not sum(legs) — the same overlap a production
-cluster gets, and what keeps the whole six-artifact loop inside the
+cluster gets, and what keeps the whole multi-artifact loop inside the
 reference's 15 s ingest→serveable budget. Cross-family interleaving
 (an IVF codebook swap mid-batch while PQ appends next door under its
 own independently-saved codebooks) is exactly the window
@@ -34,7 +35,7 @@ tests/test_streaming_pipeline_soak.py soaks.
 Idempotence composes: every leg keys its writes by the SAME batch_id
 (its own ingest_batch partitions, dynamic overwrite / purge-first),
 so a foreachBatch retry of the whole fan-out replaces exactly its own
-rows in all six artifacts — soaked end-to-end in the test above.
+rows in all the artifacts — soaked end-to-end in the test above.
 """
 
 from __future__ import annotations
@@ -58,8 +59,9 @@ class StreamingIndexPipeline:
     """Fan one (doc_id, text, embedding) CDC batch out to the index
     maintainers, inside ONE foreachBatch window. The SQ8 leg is
     optional (None skips it) — deployments choose their compression
-    tier; the soak runs all six. The tokenizer drift monitor is the
-    optional SEVENTH leg (docs side): census + retrain gate per batch
+    tier; the soak runs all seven legs. The tokenizer drift monitor
+    is the optional SEVENTH leg (docs side): census + retrain gate per
+    batch
     against the persisted tokenizer artifact."""
 
     lsh: StreamingLshIngest
@@ -76,7 +78,7 @@ class StreamingIndexPipeline:
         # the file source is read once, not once per maintainer)
         batch = batch_df.localCheckpoint(eager=True)
         if batch.isEmpty():
-            return  # empty micro-batch: all six artifacts untouched
+            return  # empty micro-batch: every artifact untouched
         docs = batch.select("doc_id", "text")
         vecs = batch.select(F.col("doc_id").cast("long").alias("id"),
                             F.col("embedding").cast("array<double>")

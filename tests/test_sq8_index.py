@@ -85,6 +85,20 @@ def test_append_retry_is_idempotent(spark, tmp_path):
     assert _codes_rows(spark, path) == before
 
 
+def test_untagged_append_is_also_idempotent(spark, tmp_path):
+    """ADVICE r13 #2: batch_id=None shares the purge-first contract —
+    a re-run replaces the -2 partition instead of accumulating
+    duplicate vec_ids that could surface twice in serve results."""
+    path = build_sq8_index(spark, SF, str(tmp_path / "idx"))
+    append_to_sq8_index(spark, path, _inc(spark), batch_id=None)
+    before = _codes_rows(spark, path)
+    append_to_sq8_index(spark, path, _inc(spark), batch_id=None)  # re-run
+    after = _codes_rows(spark, path)
+    assert after == before
+    codes = spark.read.parquet(sq8_codes_path(path))
+    assert codes.count() == codes.select("vec_id").distinct().count()
+
+
 def test_append_retry_across_rebuild_swap(spark, tmp_path):
     path = _grown(spark, str(tmp_path / "idx"))
     rebuild_sq8_index(spark, path, keep_provenance=True)

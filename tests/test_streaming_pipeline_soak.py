@@ -133,7 +133,7 @@ def _centroid_vecs(spark, ivf_path, n):
 
 
 def _resolved_state(spark, p):
-    """Provenance-free resolved content of the six maintained
+    """Provenance-free resolved content of the seven maintained
     artifacts (seven entries: LSH contributes both its admission table
     and its signature table). Batch partition layout legitimately
     changes under compaction; resolved reads must not."""
@@ -161,7 +161,7 @@ def _resolved_state(spark, p):
     }
 
 
-def test_six_maintainer_soak(spark, tmp_path):
+def test_seven_maintainer_soak(spark, tmp_path):
     p = {
         "lsh": build_lsh_index(spark, SF, str(tmp_path / "lsh")),
         "bm25": build_bm25_index(spark, SF, str(tmp_path / "bm25")),

@@ -77,14 +77,20 @@ def main() -> int:
         for name, rnd in rows:
             print(f"  r{rnd:02d}  {name}" if rnd else f"  ----  {name}")
     if args.suggest:
-        # never first, then stale oldest-first (stable on catalog order)
+        # never first, then stale oldest-first, then — once nothing is
+        # never/stale (the steady state since r13) — the oldest FRESH
+        # rows, so every round's window still ages out the oldest
+        # certifications (stable on catalog order throughout)
         ordered = [n for n, _ in buckets["never"]]
         ordered += [n for n, _ in
                     sorted(buckets["stale"], key=lambda t: t[1])]
+        ordered += [n for n, _ in
+                    sorted(buckets["fresh"], key=lambda t: t[1])]
         print(f"\n== suggested {args.suggest}-slot rotation ==")
         for name in ordered[:args.suggest]:
             print(f'    "{name}",')
-        dropped = len(ordered) - args.suggest
+        n_urgent = len(buckets["never"]) + len(buckets["stale"])
+        dropped = n_urgent - args.suggest
         if dropped > 0:
             print(f"# ({dropped} more stale rows left for the next round)")
     return 0

@@ -85,6 +85,24 @@ def check_no_placeholder_tokens() -> None:
         raise SystemExit(1)
 
 
+def _kill_process_group(p: "subprocess.Popen") -> None:
+    """SIGTERM the child's whole process group (JVM included); escalate
+    to SIGKILL if it hasn't exited within 10 s."""
+    import signal
+
+    try:
+        os.killpg(p.pid, signal.SIGTERM)
+    except (ProcessLookupError, PermissionError):
+        p.terminate()
+    try:
+        p.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+
+
 def run_concurrently(cmds: tuple[list[str], ...] | None = None) -> None:
     """The suite and the gate as two live processes over one repo —
     green ONLY if the per-PID scratch roots actually isolate them.
@@ -98,13 +116,18 @@ def run_concurrently(cmds: tuple[list[str], ...] | None = None) -> None:
     print("== concurrent: pytest + oracle gate (sf0.01), two processes")
     import time as _time
     env = dict(os.environ, SPARK_GRAFT_LATENCY_BUDGET_RELAX="3")
-    procs = [subprocess.Popen(cmd, cwd=REPO, env=env) for cmd in cmds or (
+    # start_new_session: each child leads its own process group, so the
+    # fail-fast path can killpg the WHOLE tree — p.terminate() alone
+    # leaves the child's Spark JVM orphaned, contending with (and
+    # skewing) every subsequent verification/bench step on this box.
+    procs = [subprocess.Popen(cmd, cwd=REPO, env=env, start_new_session=True)
+             for cmd in cmds or (
         [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
         [sys.executable, "tools/oracle_check.py"],
     )]
-    # fail-fast: on the first nonzero exit, terminate the sibling
-    # instead of waiting out its full run
-    codes: list[int | None] = [None, None]
+    # fail-fast: on the first nonzero exit, kill the sibling's process
+    # group instead of waiting out its full run
+    codes: list[int | None] = [None] * len(procs)
     while any(c is None for c in codes):
         for i, p in enumerate(procs):
             if codes[i] is None:
@@ -112,7 +135,7 @@ def run_concurrently(cmds: tuple[list[str], ...] | None = None) -> None:
         if any(c not in (None, 0) for c in codes):
             for i, p in enumerate(procs):
                 if codes[i] is None:
-                    p.terminate()
+                    _kill_process_group(p)
                     codes[i] = p.wait()
             break
         _time.sleep(2)
