@@ -36,8 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus anything newly added this round — so each round widens the
 # driver-verified set; tools/oracle_check.py still validates ALL entries.
 _DRIVER_PRIORITY = [
-    # Round 14 NEW operators (never driver-certified) — prepended as
-    # they land; see the r14 section of ROADMAP.md.
+    # Round 14 NEW operators (never driver-certified).
+    "corpus_manifest_incremental",      # NEW r14 (maintained manifest)
+    "corpus_manifest_frozen_rf",        # NEW r14 (frozen mixture weights)
+    "corpus_manifest_rebuild_diff",     # NEW r14 (re-shuffle cost census)
     # Round 14 CHANGED queries (code touched this round — a fresh
     # driver row must certify the shipping code).
     "similarity_sq8_clip_report",       # r14: purge-first None-batch append

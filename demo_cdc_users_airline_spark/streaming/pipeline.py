@@ -1,6 +1,7 @@
-"""One CDC ingest stream fanned out to ALL SEVEN maintainers (six
-index artifact families + the tokenizer drift monitor) — the
-production topology the per-family maintainers compose into.
+"""One CDC ingest stream fanned out to EVERY maintainer (the six
+index artifact families, the tokenizer drift monitor, and the
+training-manifest maintainer) — the production topology the
+per-family maintainers compose into.
 
 Reference parity: the demo wires ONE Kafka CDC topic into several
 materialized views that stay queryable within the same convergence
@@ -11,10 +12,11 @@ CDC loop emits, one row per document with its vector — and the "views"
 are the maintained artifacts:
 
   docs leg    → LSH admission (dedup-at-ingest), BM25 postings,
-                near-dup cluster labels, tokenizer census/retrain
+                near-dup cluster labels, tokenizer census/retrain,
+                training-manifest tail packs
   vectors leg → IVF cells, PQ codes, SQ8 codes (optional tier)
 
-Why ONE foreachBatch instead of seven independent streams:
+Why ONE foreachBatch instead of independent streams:
 foreachBatch serializes batches per query, so fanning out inside a
 single handler gives every artifact's maintenance hook (compaction,
 drift/width rebuild) the quiesced single-writer window the artifacts'
@@ -49,6 +51,7 @@ from .bm25_ingest import StreamingBm25Ingest
 from .cluster_ingest import StreamingClusterIngest
 from .ivf_ingest import StreamingIvfIngest
 from .lsh_ingest import StreamingLshIngest
+from .manifest_ingest import StreamingManifestIngest
 from .pq_ingest import StreamingPqIngest
 from .sq8_ingest import StreamingSq8Ingest
 from .tokenizer_ingest import StreamingTokenizerIngest
@@ -59,10 +62,11 @@ class StreamingIndexPipeline:
     """Fan one (doc_id, text, embedding) CDC batch out to the index
     maintainers, inside ONE foreachBatch window. The SQ8 leg is
     optional (None skips it) — deployments choose their compression
-    tier; the soak runs all seven legs. The tokenizer drift monitor
-    is the optional SEVENTH leg (docs side): census + retrain gate per
-    batch
-    against the persisted tokenizer artifact."""
+    tier. The tokenizer drift monitor (census + retrain gate against
+    the persisted tokenizer artifact) and the training-manifest
+    maintainer (frozen-state re-curation of the streams the batch
+    touches) are further optional docs-side legs; the soak runs every
+    leg."""
 
     lsh: StreamingLshIngest
     bm25: StreamingBm25Ingest
@@ -71,6 +75,7 @@ class StreamingIndexPipeline:
     pq: StreamingPqIngest
     sq8: StreamingSq8Ingest | None = None
     tokenizer: StreamingTokenizerIngest | None = None
+    manifest: StreamingManifestIngest | None = None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # one materialization of the source batch; each leg projects
@@ -92,6 +97,9 @@ class StreamingIndexPipeline:
             legs.append((self.sq8.process_batch, vecs))
         if self.tokenizer is not None:
             legs.append((self.tokenizer.process_batch, docs))
+        if self.manifest is not None:
+            legs.append((self.manifest.process_batch, batch.select(
+                "doc_id", "text")))
         # one thread PER ARTIFACT (never more): writes inside one
         # artifact stay serialized, independent artifacts overlap.
         # Any leg failure fails the whole batch — foreachBatch then

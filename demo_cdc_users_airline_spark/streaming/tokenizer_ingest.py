@@ -1,4 +1,4 @@
-"""Streaming tokenizer drift monitor — the SEVENTH member of the
+"""Streaming tokenizer drift monitor — a member of the
 in-loop maintenance family (LSH, IVF, BM25, clusters, PQ, SQ8,
 tokenizer), closing the last maintained-artifact family without an
 in-loop quality hook (VERDICT r12 #6):

@@ -1,5 +1,5 @@
 """Operational envelope of the streaming maintainers (one latency row
-per family — all seven):
+per family):
 batch arrival → SERVEABLE from the persisted artifact inside the same
 15 s budget the CDC loop honors (the reference's wait_for() bound,
 modules/utils.py:48) — measured, not asserted from structure. The
@@ -54,9 +54,12 @@ NOVEL = ("zebra xylophone quantum harmonica sediment glacier aurora "
          "borealis cantilever mezzanine theodolite sprocket bandolier")
 
 
-def run_once(pipe, stream, ckpt):
+def run_once(pipe, stream, ckpt, timeout=None):
+    """``timeout`` defaults to the budget; WARMUP batches pass a longer
+    one — they model one-time init and are untimed, only the measured
+    steady-state batch must meet the 15 s envelope."""
     q = pipe.start(stream, str(ckpt), trigger_once=True)
-    q.awaitTermination(int(BUDGET))
+    q.awaitTermination(int(timeout or BUDGET))
     assert not q.isActive
 
 
@@ -263,7 +266,7 @@ def test_sq8_ingest_to_serve_latency(spark, tmp_path):
     assert total < BUDGET
 
 def test_tokenizer_ingest_to_census_latency(spark, tmp_path):
-    """The SEVENTH maintainer's latency row (VERDICT r13 #5) — the
+    """The tokenizer maintainer's latency row (VERDICT r13 #5) — the
     drift monitor's batch must census + persist inside the same 15 s
     ingest→serveable budget the six index families honor."""
     from demo_cdc_users_airline_spark.sources.loader import (
@@ -299,5 +302,46 @@ def test_tokenizer_ingest_to_census_latency(spark, tmp_path):
     assert reports.filter(F.col("ingest_batch") == bid).count() == 1
     assert corpus.filter(F.col("doc_id") == 1_000_001).count() == 1
     print(f"\ntokenizer ingest -> census: {total:.2f}s "
+          f"(budget {BUDGET:.0f}s)")
+    assert total < BUDGET
+
+def test_manifest_ingest_to_read_latency(spark, tmp_path):
+    """The training-manifest maintainer's latency row: an arriving
+    batch must be
+    re-curated against the frozen base state and its tail packs
+    readable inside the same 15 s ingest→serveable budget."""
+    from demo_cdc_users_airline_spark.operators.manifest import (
+        build_manifest_index,
+        read_manifest_rows,
+    )
+    from demo_cdc_users_airline_spark.streaming.manifest_ingest import (
+        StreamingManifestIngest,
+    )
+    path = build_manifest_index(spark, SF, str(tmp_path / "m"))
+    pipe = StreamingManifestIngest(index_path=path)
+    src = tmp_path / "src"
+    src.mkdir()
+    # warmup batch (the running-system budget, as the LSH test models)
+    (src / "warm.json").write_text(
+        json.dumps({"doc_id": 900_001,
+                    "text": NOVEL + " warm batch padding tokens the of"
+                    " a to in is extra filler words for quality bounds"})
+        + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt",
+             timeout=4 * BUDGET)
+    t0 = time.monotonic()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1_000_001,
+                    "text": NOVEL + " astrolabe marmalade citadel"
+                    " oscilloscope pergola quenelle rhizome saxifrage"
+                    " the of a to in is"}) + "\n")
+    run_once(pipe, doc_stream(spark, src), tmp_path / "ckpt")
+    total = time.monotonic() - t0
+    # untimed correctness check: the doc's manifest row is readable
+    # from its batch partition with a batch-local pack position
+    got = (read_manifest_rows(spark, path)
+           .filter(F.col("doc_id") == 1_000_001).collect())
+    assert len(got) == 1 and got[0]["pack_offset"] == 0
+    print(f"\nmanifest ingest -> readable: {total:.2f}s "
           f"(budget {BUDGET:.0f}s)")
     assert total < BUDGET

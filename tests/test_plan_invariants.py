@@ -171,8 +171,13 @@ MAX_SHUFFLES = {
     "multimodal_jpeg_roundtrip": 0,   # Arrow mapInPandas codec passes
     "multimodal_mulaw_roundtrip": 0,  # same — pure map, no shuffle
     "multimodal_avi_frame_sample": 0,  # container walk + per-frame decode
-    "corpus_curation_funnel": 6,    # the composed verdict stages (memoized
-    # at runtime, shared with pipeline/scorecard) + the 1-row funnel agg
+    "corpus_curation_funnel": 8,    # the composed verdict stages (memoized
+    # at runtime, shared with pipeline/scorecard) + the 1-row funnel agg.
+    # 8 is the deterministic two-pass-fixture print count (r14): the old
+    # budget of 6 was calibrated against an interleaved fixture whose
+    # count depended on which memoized subtrees earlier entries had
+    # already cache-marked; the EXECUTED exchanges are unchanged (the
+    # verdict memo runs once per session)
     "corpus_topic_keywords": 6,     # assignment join + (cluster, token)
     # agg + vocab/cluster marginal joins + bounded per-cluster window
     "events_limit3_by_user": 1,     # ONE key shuffle; bounded per-key window
@@ -307,6 +312,14 @@ MAX_SHUFFLES = {
     # frame executes it once) + the pair-keyed join of the two bounded
     # text halves — every exchange after the bucket agg carries
     # candidate-pair-sized rows, never the corpus
+    "corpus_manifest_incremental": 1,  # pruned artifact read; the one
+    # exchange is the gate's deterministic ORDER BY (a consumer reading
+    # a single (split, shard) stream pays zero)
+    "corpus_manifest_frozen_rf": 1,   # k-row rf artifact read + sort
+    "corpus_manifest_rebuild_diff": 4,  # artifact read vs the memoized
+    # rebuild frame: one (doc_id, copy) join (2 exchanges) + the k-row
+    # census agg + final sort — both join sides are narrow int64
+    # projections
 }
 
 
@@ -326,8 +339,16 @@ def static_plans(spark):
     spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        yield {name: plan_text(QUERIES[name](spark, SF))
-               for name in MAX_SHUFFLES}
+        # TWO passes: construct every frame first, THEN print. A single
+        # interleaved pass makes each printed tree depend on which
+        # memoized subtrees earlier ENTRIES (or earlier test modules)
+        # happened to cache-mark — the r14 ordering flake: the funnel
+        # printed 6 exchanges after a full-suite chunk had warmed the
+        # memos but 8 when the module ran standalone. With construction
+        # completed up front, every cache mark any entry creates exists
+        # before any print, so the counts are order-independent.
+        frames = {name: QUERIES[name](spark, SF) for name in MAX_SHUFFLES}
+        yield {name: plan_text(df) for name, df in frames.items()}
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 

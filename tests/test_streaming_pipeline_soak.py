@@ -1,7 +1,8 @@
-"""All-maintainer integration soak (VERDICT r11 #1, extended to SIX
-index maintainers + the tokenizer drift monitor as the seventh leg):
-ONE CDC stream (doc_id, text, embedding) drives the LSH-admission,
-BM25, cluster-label, IVF, PQ and SQ8 maintainers through ≥6 batches
+"""All-maintainer integration soak (VERDICT r11 #1, since extended to
+EVERY maintainer: the six index families, the tokenizer drift monitor,
+and the training-manifest maintainer — the count-free name keeps the
+leg list in the pipeline module authoritative): ONE CDC stream
+(doc_id, text, embedding) drives all the maintainers through ≥6 batches
 with in-loop compactions interleaving mid-stream and TWO mid-stream
 auto-rebuilds on the same injected drift batch — the IVF drift gate
 and the SQ8 clip gate each swap their own artifact's generation WHILE
@@ -103,6 +104,20 @@ def _novel(seed: int) -> str:
                     for k in range(12))
 
 
+def _qnovel(seed: int) -> str:
+    # a QUALITY-passing novel doc (24 tokens, ~1/3 stopwords, high
+    # lexical diversity) — the soak docs the manifest leg must admit;
+    # plain _novel docs fail the 20-token floor by design
+    stops = ["the", "of", "a", "to", "in", "is", "the", "and"]
+    body = [f"{_WORDS[(seed * 7 + k) % len(_WORDS)]}{seed}q{k}"
+            for k in range(16)]
+    out = []
+    for i in range(8):
+        out.append(stops[i])
+        out.extend(body[2 * i:2 * i + 2])
+    return " ".join(out)
+
+
 def _rows(ids_texts_vecs):
     return [{"doc_id": i, "text": t, "embedding": v}
             for i, t, v in ids_texts_vecs]
@@ -133,10 +148,10 @@ def _centroid_vecs(spark, ivf_path, n):
 
 
 def _resolved_state(spark, p):
-    """Provenance-free resolved content of the seven maintained
-    artifacts (seven entries: LSH contributes both its admission table
-    and its signature table). Batch partition layout legitimately
-    changes under compaction; resolved reads must not."""
+    """Provenance-free resolved content of every maintained
+    artifact (LSH contributes both its admission table and its
+    signature table). Batch partition layout legitimately changes
+    under compaction; resolved reads must not."""
     def rows(df):
         return sorted(str(r) for r in df.collect())
 
@@ -158,10 +173,21 @@ def _resolved_state(spark, p):
         "tok_corpus": rows(spark.read.parquet(p["tok"] + "/corpus")
                            .select("doc_id", "text")),
         "tok_report": rows(spark.read.parquet(p["tok"] + "/report")),
+        "man_rows": rows(__import__(
+            "demo_cdc_users_airline_spark.operators.manifest",
+            fromlist=["read_manifest_rows"])
+            .read_manifest_rows(spark, p["man"])),
     }
 
 
-def test_seven_maintainer_soak(spark, tmp_path):
+def test_all_maintainer_soak(spark, tmp_path):
+    from demo_cdc_users_airline_spark.operators.manifest import (
+        build_manifest_index,
+        read_manifest_rows,
+    )
+    from demo_cdc_users_airline_spark.streaming.manifest_ingest import (
+        StreamingManifestIngest,
+    )
     p = {
         "lsh": build_lsh_index(spark, SF, str(tmp_path / "lsh")),
         "bm25": build_bm25_index(spark, SF, str(tmp_path / "bm25")),
@@ -169,6 +195,7 @@ def test_seven_maintainer_soak(spark, tmp_path):
         "ivf": build_ivf_index(spark, SF, str(tmp_path / "ivf")),
         "pq": build_pq_index(spark, SF, str(tmp_path / "pq")),
         "sq8": build_sq8_index(spark, SF, str(tmp_path / "sq8")),
+        "man": build_manifest_index(spark, SF, str(tmp_path / "man")),
         "adm": str(tmp_path / "admitted"),
         "tok": str(tmp_path / "tokm"),
     }
@@ -200,6 +227,7 @@ def test_seven_maintainer_soak(spark, tmp_path):
                                compact_check_every=2,
                                rebuild_check_every=1),
         tokenizer=tok,
+        manifest=StreamingManifestIngest(index_path=p["man"]),
     )
 
     # the PQ artifact's saved codebooks — must survive the IVF swap
@@ -223,9 +251,11 @@ def test_seven_maintainer_soak(spark, tmp_path):
     b5_novels = [(10_500_000 + i, _novel(50 + i)) for i in range(3)]
     drift = [[x + 1.0 for x in v] for v in vecs3()]
     batches = [
-        # b1: three novels, in-distribution vectors
+        # b1: three novels + one QUALITY-passing novel (the manifest
+        # leg's admit path), in-distribution vectors
         [(10_000_000 + i, t1a if i == 0 else _novel(10 + i), v)
-         for i, v in enumerate(vecs3())],
+         for i, v in enumerate(vecs3())]
+        + [(10_000_003, _qnovel(71), vecs3()[0])],
         # b2: an exact dup of t1a (bigger id) + two novels
         [(10_100_000, t1a, vecs3()[0]),
          (10_100_001, _novel(21), vecs3()[1]),
@@ -241,8 +271,10 @@ def test_seven_maintainer_soak(spark, tmp_path):
         [(9_999_999, t1a, vecs3()[0]),
          (10_300_001, _novel(41), vecs3()[1]),
          (10_300_002, _novel(42), vecs3()[2])],
-        # b5: three novels (b6 will dup one of them)
-        [(i, t, v) for (i, t), v in zip(b5_novels, vecs3())],
+        # b5: three novels (b6 will dup one of them) + a second
+        # quality-passing novel for the manifest leg
+        [(i, t, v) for (i, t), v in zip(b5_novels, vecs3())]
+        + [(10_500_003, _qnovel(72), vecs3()[1])],
         # b6: an exact dup of a b5 novel + two novels — probes the
         # admission index AFTER compactions and the IVF swap
         [(10_600_000, b5_novels[0][1], vecs3()[0]),
@@ -359,6 +391,20 @@ def test_seven_maintainer_soak(spark, tmp_path):
     assert all(r["retrain_fired"] == 0 for r in trep.values())
     assert all(trep[k]["oov_ppm"] > 0 for k in range(1, 7))
     assert not os.path.exists(p["tok"] + "/tok/_tok_live.json")
+
+    # -- manifest leg: the two quality-passing novels were re-curated
+    #    against the frozen base state and packed as their batches'
+    #    tail streams; everything else the soak streamed fails the
+    #    20-token quality floor by construction --------------------------
+    man = read_manifest_rows(spark, p["man"])
+    man_batch = man.filter(F.col("ingest_batch") >= 0).collect()
+    assert {r["doc_id"] for r in man_batch} == {10_000_003, 10_500_003}
+    for r in man_batch:
+        assert r["source"] == "stream"          # source-less stream docs
+        assert r["rf_ppm"] == 1000000 and r["copy"] == 1  # frozen-rf
+        assert r["pack_offset"] == 0            # batch-local namespace
+    # base rows untouched by six batches of appends
+    assert man.filter(F.col("ingest_batch") == -1).count() > 0
 
     # -- pipeline-level idempotence: retry the ENTIRE fan-out for the
     #    last batch — every artifact's resolved content is unchanged ------

@@ -1,4 +1,4 @@
-"""StreamingTokenizerIngest — the seventh in-loop maintainer
+"""StreamingTokenizerIngest — the tokenizer in-loop maintainer
 (tokenizer drift monitor + retrain gate; VERDICT r12 #6's optional
 in-loop hook).
 
