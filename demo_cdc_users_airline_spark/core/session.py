@@ -150,6 +150,26 @@ def get_spark(app_name: str = "demo_cdc_users_airline_spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Python-worker daemon preload (r14, guide §4.5): Spark hard-kills
+    # idle Python workers after 1 minute (constant in
+    # PythonWorkerFactory.scala), so every Arrow/pandas stage following
+    # a JVM-only stretch re-forks the pool and re-imports numpy/pandas/
+    # pyarrow in every worker (measured 11-26 s for a two-stage
+    # mapInPandas query vs ~1 s warm). Point the daemon at
+    # core.daemon_preload so forked workers inherit the heavy imports
+    # via copy-on-write. The repo root must be importable by the bare
+    # daemon interpreter: prepend it to PYTHONPATH BEFORE the JVM
+    # launches (the JVM snapshots the driver env at launch; on an
+    # existing JVM the conf is inert, which is safe).
+    # SPARK_GRAFT_NO_DAEMON_PRELOAD=1 opts out.
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    preload = os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1"
+    if preload:
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + (os.pathsep + pp if pp else ""))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -162,6 +182,10 @@ def get_spark(app_name: str = "demo_cdc_users_airline_spark",
                 os.environ.get("SPARK_WAREHOUSE_DIR")
                 or os.path.join(scratch_root(), "sqlwarehouse"))
     )
+    if preload:
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "demo_cdc_users_airline_spark.core.daemon_preload")
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())
