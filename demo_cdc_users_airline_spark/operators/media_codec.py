@@ -223,38 +223,83 @@ def _lzw_encode_uncompressed(indices: bytes, min_code_size: int = 8) -> bytes:
     """GIF-flavor LZW, 'uncompressed' strategy: emit every index as a
     literal code and a CLEAR every 250 literals so the decoder's
     dictionary never forces the code width past min_code_size+1 — the
-    classic always-valid GIF writer (decoders run their normal LZW)."""
+    classic always-valid GIF writer (decoders run their normal LZW).
+
+    Vectorized (r14, guide §4.2): the code stream is a fixed pattern
+    (CLEAR, literals with a CLEAR every 250, EOI) at a constant
+    min_code_size+1 bit width, so build the whole code array, expand to
+    a bit matrix, and pack LSB-first with np.packbits — no per-code
+    Python loop. Byte-identical to the scalar emitter it replaces
+    (tests/test_media_codec_vector.py proves it over boundary sizes)."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
-    out = bytearray()
-    acc = nbits = 0
+    n = len(indices)
+    lits = np.frombuffer(indices, dtype=np.uint8).astype(np.uint16)
+    nclears = n // 250           # one CLEAR after every full 250 literals
+    codes = np.empty(n + nclears + 2, dtype=np.uint16)
+    codes[0] = clear
+    codes[-1] = eoi
+    # literal k goes to slot 1 + k + (clears inserted before it)
+    pos = 1 + np.arange(n) + np.arange(n) // 250
+    codes[pos] = lits
+    if nclears:
+        codes[pos[249::250] + 1] = clear
+    bits = ((codes[:, None] >> np.arange(width, dtype=np.uint16)) & 1)
+    return np.packbits(bits.reshape(-1).astype(np.uint8),
+                       bitorder="little").tobytes()
 
-    def emit(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
 
-    emit(clear)
-    cnt = 0
-    for b in indices:
-        emit(b)
-        cnt += 1
-        if cnt == 250:           # 249 dict adds since CLEAR: 258+249 < 512
-            emit(clear)
-            cnt = 0
-    emit(eoi)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+def _lzw_decode_literal_fast(data: bytes, min_code_size: int,
+                             max_pixels: int) -> "bytearray | None":
+    """Vectorized fast path for literal-only LZW streams (r14, guide
+    §4.2): with min_code_size 8 the width stays 9 as long as CLEARs
+    arrive at least every 254 codes, so every code sits in two adjacent
+    bytes and the whole stream unpacks with one vectorized gather.
+    Valid only when no code references a dictionary entry (>= clear+2)
+    — exactly what _lzw_encode_uncompressed emits — and CLEAR spacing
+    keeps the width at 9; returns None otherwise so the caller falls
+    back to the general decoder. Output is bit-identical to the scalar
+    path on its accepted inputs (tests/test_media_codec_vector.py)."""
+    if min_code_size != 8 or not data:
+        return None
+    clear, eoi = 256, 257
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ncodes = (len(buf) * 8) // 9
+    if ncodes == 0:
+        return None
+    bitpos = 9 * np.arange(ncodes)
+    i = bitpos >> 3
+    lo = buf[i].astype(np.uint32)
+    hi = np.zeros(ncodes, dtype=np.uint32)
+    in_range = i + 1 < len(buf)
+    hi[in_range] = buf[i[in_range] + 1]
+    codes = ((lo | (hi << 8)) >> (bitpos & 7)) & 0x1FF
+    if codes[0] != clear:
+        return None
+    ends = np.flatnonzero(codes == eoi)
+    end = int(ends[0]) if len(ends) else ncodes
+    codes = codes[:end]
+    if (codes > eoi).any():
+        return None                       # dictionary reference: general path
+    is_clear = codes == clear
+    # width grows past 9 after 254 non-clear codes without a CLEAR;
+    # the scalar decoder would then read 10-bit codes — bail out.
+    clear_pos = np.flatnonzero(is_clear)
+    seg_bounds = np.concatenate([clear_pos, [len(codes)]])
+    if (np.diff(seg_bounds) - 1 > 254).any():
+        return None
+    lits = codes[~is_clear]
+    if len(lits) < max_pixels and end == ncodes:
+        return None                       # truncated: let scalar report it
+    return bytearray(lits[:max_pixels].astype(np.uint8).tobytes())
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
     """Standard GIF LZW decode (variable width, CLEAR/EOI, the KwKwK
     corner) → index stream, truncated at max_pixels."""
+    fast = _lzw_decode_literal_fast(data, min_code_size, max_pixels)
+    if fast is not None:
+        return fast
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
     table: list[bytes] = []
