@@ -92,12 +92,12 @@ _DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_estimate",
-    "dedup_jaccard_containment",
-    "dedup_incremental_lsh",
-    "dedup_lsh_compaction_policy",
-    "similarity_incremental_ivf",
     # r15 rotation queue (reproducible the same way): any new/changed
-    # r15 queries first, then the remaining oldest rows — the r10 tail
+    # r15 queries first, then dedup_jaccard_containment,
+    # dedup_incremental_lsh, dedup_lsh_compaction_policy,
+    # similarity_incremental_ivf (displaced from the r14 window by the
+    # three new manifest queries + the advice-touched tokenizer family),
+    # then the remaining oldest rows — the r10 tail
     # (similarity_ivf_serve_topk, similarity_ivf_incremental_serve,
     # similarity_ivf_compaction_policy, the multimodal family,
     # corpus_token_spectrum, events_reservoir_sample,
