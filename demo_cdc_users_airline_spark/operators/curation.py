@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, parallel_scan
+from ..sources.loader import load_table, local_frame, parallel_scan
 from . import dedup as _dd
 from . import text as _tx
 
@@ -232,7 +232,7 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = _dd._hashed_shingles(spark, sf_dir)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     words = _bloom_words(spark, sf_dir)
-    wdf = spark.createDataFrame([(words,)], "__bloom array<bigint>")
+    wdf = local_frame(spark, [(words,)], "__bloom array<bigint>")
     bit = " AND ".join(
         f"((__bloom[CAST({_bloom_pos(j, '__bh')} DIV 64 AS INT)]"
         f" >> CAST({_bloom_pos(j, '__bh')} % 64 AS INT)) & 1) = 1"

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, local_frame, parallel_scan
 from ..sources.tables import folded_batch_tag
 
 QUERIES: dict[str, object] = {}
@@ -150,6 +150,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DF_CAP = 50
 
 
+def _capped_sizes_and_pairs(spark: SparkSession,
+                            sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (sizes, pairs) frames both Jaccard reports join: df-capped
+    posting lists built with ONE shuffle on the 8-byte hash, per-doc
+    kept-shingle counts, and map-side common-shingle pair counts.
+
+    posting lists: |docs| = the oracle's window count over (hsh), so
+    the size filter is the QUALIFY twin. Pair generation stays
+    map-side over the bounded (≤ _DF_CAP) lists — no self-join probe.
+    The strict doc1 < doc2 filter keeps it pair-for-pair identical to
+    the oracle's self-join even if a same-doc hash collision
+    duplicated an entry in a posting list.
+
+    Both frames are eagerly materialized (r14, guide §2.4): the final
+    report joins ``sizes`` on BOTH pair sides, and Spark's exchange
+    reuse does not fire across the cached-posts InMemoryRelation —
+    un-materialized, each join side re-ran the full posts-explode +
+    partial-agg pass (profiled 0.84 s + 1.01 s of dedup_ngram_jaccard's
+    3.40 s warm run, and 1.06 s + 1.09 s of dedup_jaccard_containment's
+    3.32 s). One extra ~0.1 s count job buys the second pass back."""
+    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
+    posts = (hh.groupBy("hsh")
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+             .filter(F.size("docs") <= _DF_CAP)
+             .cache())
+    posts.count()  # materialize eagerly: sizes + pairs share it —
+    # concurrent lazy-cache population would recompute the explode per use
+    sizes = (posts.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+             .cache())
+    sizes.count()  # one sizes pass serves both join sides
+    pairs = (posts.select(F.explode(F.expr(
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
+    )).alias("p"))
+        .filter(F.col("p.doc1") < F.col("p.doc2"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    return sizes, pairs
+
+
 @q("dedup_ngram_jaccard", f"""
 WITH sh AS ({_SHINGLE_SQL}),
 hh AS (SELECT doc_id, {_HASH_SQL} AS hsh FROM sh),
@@ -189,28 +230,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines hash with the same md5, so any collision is mirrored
     exactly).
     """
-    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
-    # posting lists with the df cap folded in: |docs| = the oracle's
-    # window count over (hsh), so the filter is the QUALIFY twin
-    posts = (hh.groupBy("hsh")
-             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-             .filter(F.size("docs") <= _DF_CAP)
-             .cache())
-    posts.count()  # materialize eagerly: sizes + pairs share it —
-    # concurrent lazy-cache population would recompute the explode per use
-    sizes = (posts.select(F.explode("docs").alias("doc_id"))
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
-    # pair generation stays map-side over the bounded (≤ _DF_CAP) lists —
-    # no self-join probe. The strict doc1 < doc2 filter keeps it
-    # pair-for-pair identical to the oracle's self-join even if a
-    # same-doc hash collision duplicated an entry in a posting list.
-    pairs = (posts.select(F.explode(F.expr(
-        "flatten(transform(docs, (x, i) ->"
-        " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
-    )).alias("p"))
-        .filter(F.col("p.doc1") < F.col("p.doc2"))
-        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("n_common")))
+    sizes, pairs = _capped_sizes_and_pairs(spark, sf_dir)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
@@ -710,9 +730,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                .limit(local_finish_max_edges + 1).toPandas())
         if len(pdf) <= local_finish_max_edges:
             labels = _local_union_find(pdf)
-            lab_df = (spark.createDataFrame(labels, "doc_id long, label long")
+            lab_df = (local_frame(spark, labels, "doc_id long, label long")
                       if labels else
-                      spark.createDataFrame([], "doc_id long, label long"))
+                      local_frame(spark, [], "doc_id long, label long"))
             return (nodes.join(F.broadcast(lab_df), "doc_id", "left")
                     .select("doc_id",
                             F.coalesce("label", "doc_id").alias("label")))
@@ -923,21 +943,7 @@ def dedup_jaccard_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs ⋈ sizes ⋈ sizes) plan. Sharing _hashed_shingles means a
     session running both symmetric and asymmetric reports pays the
     shingle scan once."""
-    hh = _hashed_shingles(spark, sf_dir)  # shared cached scan
-    posts = (hh.groupBy("hsh")
-             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-             .filter(F.size("docs") <= _DF_CAP)
-             .cache())
-    posts.count()  # sizes + pairs share it (see dedup_ngram_jaccard)
-    sizes = (posts.select(F.explode("docs").alias("doc_id"))
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
-    pairs = (posts.select(F.explode(F.expr(
-        "flatten(transform(docs, (x, i) ->"
-        " transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc1, y AS doc2))))"
-    )).alias("p"))
-        .filter(F.col("p.doc1") < F.col("p.doc2"))
-        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("n_common")))
+    sizes, pairs = _capped_sizes_and_pairs(spark, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     c1 = F.col("n_common").cast("double") / F.col("sa.n")
     c2 = F.col("n_common").cast("double") / F.col("sb.n")
@@ -1967,8 +1973,8 @@ def _write_merges(spark: SparkSession, path: str,
     _write_merges_frame(
         spark,
         path,
-        (spark.createDataFrame(rows, _MERGES_SCHEMA) if rows
-         else spark.createDataFrame([], _MERGES_SCHEMA)).coalesce(1))
+        (local_frame(spark, rows, _MERGES_SCHEMA) if rows
+         else local_frame(spark, [], _MERGES_SCHEMA)).coalesce(1))
 
 
 def cluster_labels_of(spark: SparkSession, path: str) -> DataFrame:
@@ -2139,9 +2145,9 @@ def update_cluster_index(spark: SparkSession, path: str,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("ingest_batch").parquet(path + "/edges"))
-    wdf = (spark.createDataFrame(winner_rows, "blabel long, w long")
+    wdf = (local_frame(spark, winner_rows, "blabel long, w long")
            if winner_rows
-           else spark.createDataFrame([], "blabel long, w long"))
+           else local_frame(spark, [], "blabel long, w long"))
     (bl.join(F.broadcast(wdf), "blabel", "left")
      .select("doc_id",
              F.coalesce("w", "blabel").cast("long").alias("label"))
@@ -2174,7 +2180,7 @@ def update_cluster_index(spark: SparkSession, path: str,
             # pointer-jump join (new_w is bounded by this batch's
             # contracted pairs) + a union of the new entries; retries
             # that already published their entries dedup on old_label.
-            wdf2 = spark.createDataFrame(
+            wdf2 = local_frame(spark, 
                 sorted((int(o), int(n)) for o, n in new_w.items()),
                 "lab long, w long")
             overlay = spark.read.parquet(path + "/merges")
@@ -2521,6 +2527,6 @@ def dedup_cluster_compaction_policy(spark: SparkSession,
             ("labels", l_n, l_b,
              1 if l_b >= _COMPACT_AFTER_BATCHES else 0),
             ("merges", m_n, 0, 1 if m_n > 0 else 0)]
-    return (spark.createDataFrame(
+    return (local_frame(spark, 
         rows, "tbl string, n_rows long, n_batches long, compact_due long")
         .orderBy("tbl"))

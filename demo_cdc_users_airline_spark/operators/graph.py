@@ -52,7 +52,7 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar
+from ..sources.loader import cached_scalar, local_frame
 from .dedup import (_LOCAL_FINISH_EDGES, _SH_BANDS, _SH_BITS, _SH_MASK,
                     _SH_MAX_HAMMING, _SIMHASH_CTES, dedup_simhash_pairs)
 
@@ -196,8 +196,8 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str,
         if edges is not None:
             rows = _pagerank_local(edges)
             schema = "doc_id long, degree long, pagerank_micro long"
-            out = (spark.createDataFrame(rows, schema) if rows
-                   else spark.createDataFrame([], schema))
+            out = (local_frame(spark, rows, schema) if rows
+                   else local_frame(spark, [], schema))
             return out.select(
                 "doc_id", "degree", "pagerank_micro",
                 (F.col("pagerank_micro").cast("double")
@@ -334,7 +334,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str,
                                     local_finish_max_edges)
         if edge_list is not None:
             row = _triangles_local(edge_list)
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 [row], "n_nodes long, n_edges long, n_wedges long, "
                        "n_triangles long, global_cc_micro long")
     edges = pairs.select(F.col("doc1").alias("src"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, local_frame, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -60,7 +60,7 @@ def assign_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]]) -> 
     deterministic tie-break — NO shuffle, no window.
     """
     spark = vectors.sparkSession
-    cb = spark.createDataFrame(
+    cb = local_frame(spark, 
         [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
         "__cents array<struct<cid:int,cvec:array<bigint>>>")
     best = F.expr(
@@ -141,7 +141,7 @@ def save_codebook(spark: SparkSession, path: str,
     stands in for: train once, write the k-row table, every later job
     (probes, encoders, other sessions) loads it instead of retraining.
     Quantized int64 components round-trip losslessly."""
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(int(cid), [int(x) for x in vec]) for cid, vec in centroids],
         "cid int, cvec array<bigint>")
      .coalesce(1).write.mode("overwrite").parquet(path))
@@ -261,7 +261,7 @@ def probe_cells(vectors: DataFrame, centroids: list[tuple[int, list[int]]],
     near-boundary vectors). Same broadcast-codebook map as assignment,
     still shuffle-free."""
     spark = vectors.sparkSession
-    cb = spark.createDataFrame(
+    cb = local_frame(spark, 
         [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
         "__cents array<struct<cid:int,cvec:array<bigint>>>")
     top = F.expr(
@@ -612,7 +612,7 @@ def similarity_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     vq = _quantized_vectors(spark, sf_dir)
     max_np = max(CURVE_NPROBES)
-    cb = spark.createDataFrame(
+    cb = local_frame(spark, 
         [([(int(cid), [int(x) for x in cvec]) for cid, cvec in centroids],)],
         "__cents array<struct<cid:int,cvec:array<bigint>>>")
     top = F.expr(
@@ -1659,7 +1659,7 @@ def similarity_incremental_ivf(spark: SparkSession,
                F.sum(F.col("q_err").cast("decimal(38,0)")).alias("sqe")))
     pb = (spark.read.parquet(ivf_cells_path(path))
           .groupBy("cell").agg(F.count(F.lit(1)).alias("n_base")))
-    cells = spark.createDataFrame([(int(cid),) for cid, _ in cb],
+    cells = local_frame(spark, [(int(cid),) for cid, _ in cb],
                                   "cell int")
     # pb/pi are k-row cell censuses — bounded by the codebook size by
     # construction (never by the corpus), so broadcasting is safe at

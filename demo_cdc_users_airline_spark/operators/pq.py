@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar
+from ..sources.loader import cached_scalar, local_frame
 from .kmeans_ivf import (
     SCALE,
     _DRIFT_MOD,
@@ -102,7 +102,7 @@ Codebook = list[tuple[int, int, list[int]]]  # (sub, cid, centroid)
 
 
 def _codebook_df(spark: SparkSession, codebook: Codebook) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [([(int(s), int(c), [int(x) for x in v]) for s, c, v in codebook],)],
         "__cents array<struct<sub:int,cid:int,cvec:array<bigint>>>")
 
@@ -256,7 +256,7 @@ def _by_sub_codebook_df(spark: SparkSession, codebook: Codebook) -> DataFrame:
     for s, c, v in codebook:
         by_sub.setdefault(int(s), []).append((int(c), [int(x) for x in v]))
     arr = [sorted(by_sub[s]) for s in sorted(by_sub)]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(arr,)], "__cbs array<array<struct<cid:int,cvec:array<bigint>>>>")
 
 
@@ -356,7 +356,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vq = _quantized_vectors(spark, sf_dir)
     codebook = fitted_pq_codebook(spark, sf_dir)
     enc = _encode_packed(vq, "vec", codebook, ["id"])
-    lut_df = spark.createDataFrame(
+    lut_df = local_frame(spark, 
         [(qid, _python_lut(qvec, codebook))
          for qid, qvec in _collect_query_vecs(vq)],
         "query_id: long, lut: array<array<bigint>>")
@@ -453,7 +453,7 @@ def _ivfpq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = dict(_collect_query_vecs(vq))
     # (query, probe_cell, LUT) — driver-built, broadcast (J5 pattern);
     # the absolute-code LUT is cell-independent, repeated per probe row
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         [(int(r["query_id"]), int(r["probe_cell"]),
           _python_lut(qvecs[int(r["query_id"])], pq_cb))
          for r in probe_rows],
@@ -477,7 +477,7 @@ _KM_ITERS = 3  # the coarse quantizer's Lloyd iterations (kmeans_ivf default)
 
 def _ivf_codebook_df(spark: SparkSession,
                      centroids: list[tuple[int, list[int]]]) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [([(int(cid), [int(x) for x in v]) for cid, v in centroids],)],
         "__icents array<struct<cid:int,cvec:array<bigint>>>")
 
@@ -615,7 +615,7 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
     cents = {int(cid): [int(x) for x in v] for cid, v in ivf_cb}
     # per-(query, probe_cell) RESIDUAL LUT: q − centroid(probe_cell) vs
     # the residual codewords — driver-built int arithmetic, broadcast
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         [(qid, pc, _python_lut(
             [x - y for x, y in zip(qvecs[qid], cents[pc])], rcb))
          for qid, pc in sorted((int(r["query_id"]), int(r["probe_cell"]))
@@ -684,7 +684,7 @@ def similarity_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = (adc.withColumn("__rn", F.row_number().over(wr))
              .filter(F.col("__rn") <= RERANK_POOL).drop("__rn"))
     vq = _quantized_vectors(spark, sf_dir)
-    qv_df = spark.createDataFrame(
+    qv_df = local_frame(spark, 
         list(_collect_query_vecs(vq)), "query_id: long, qvec: array<bigint>")
     exact = F.expr(
         "aggregate(zip_with(nvec, qvec, (x, y) -> (x - y) * (x - y)),"
@@ -766,7 +766,7 @@ def save_pq_codebook(spark: SparkSession, path: str,
     """Persist the M sub-codebooks as an (sub, cid, cvec) parquet table
     — the PQ twin of kmeans_ivf.save_codebook. Quantized int64
     components round-trip losslessly."""
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(int(s), int(c), [int(x) for x in v]) for s, c, v in codebook],
         "sub int, cid int, cvec array<bigint>")
      .coalesce(1).write.mode("overwrite").parquet(path))
@@ -903,7 +903,7 @@ def _pq_serve_adc(spark: SparkSession, sf_dir: str, path: str):
     probed = sorted({int(r["probe_cell"]) for r in probe_rows})
     qvecs = {int(r["id"]): [int(x) for x in r["vec"]]
              for r in qv.select("id", "vec").collect()}
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         [(qid, pc, _python_lut(qvecs[qid], pq_cb))
          for qid, pc in sorted((int(r["id"]), int(r["probe_cell"]))
                                for r in probe_rows)],
@@ -942,7 +942,7 @@ def pq_rerank_serve(spark: SparkSession, sf_dir: str,
              .filter(F.col("__rn") <= RERANK_POOL)
              .select("query_id", "neighbor_id",
                      F.col("adc_d2").cast("long").alias("adc_d2")))
-    qv_df = spark.createDataFrame(
+    qv_df = local_frame(spark, 
         sorted((qid, v) for qid, v in qvecs.items()),
         "query_id: long, qvec: array<bigint>")
     nvecs = (spark.read.parquet(pq_codes_path(path))
@@ -1485,7 +1485,7 @@ def similarity_pq_drift_report(spark: SparkSession,
                F.sum(F.col("pq_err").cast("decimal(38,0)"))
                .alias("s_added")))
     coarse = load_codebook(spark, pq_coarse_path(path))
-    cells = spark.createDataFrame([(int(cid),) for cid, _ in coarse],
+    cells = local_frame(spark, [(int(cid),) for cid, _ in coarse],
                                   "cell int")
     return (cells.join(F.broadcast(pb), "cell", "left")
             .join(F.broadcast(pi), "cell", "left")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, local_frame, parallel_scan
 from .text import tokens
 
 QUERIES: dict[str, object] = {}
@@ -244,10 +244,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", cos.alias("cosine"))
                .orderBy(F.col("cosine").desc(), "vec_id")
                .limit(RRF_POOL).select("vec_id").collect())
-    b_df = spark.createDataFrame(
+    b_df = local_frame(spark, 
         [(int(r["doc_id"]), i + 1) for i, r in enumerate(bm25_top)],
         "doc_id: long, bm25_rank: long")
-    c_df = spark.createDataFrame(
+    c_df = local_frame(spark, 
         [(int(r["vec_id"]), i + 1) for i, r in enumerate(cos_top)],
         "doc_id: long, cos_rank: long")
     rrf = (F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + bm25_rank)"), F.lit(0))
@@ -422,7 +422,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             selected.append(nid)
             del remaining[nid]
             out.append((int(qid), rank, int(nid), float(r), float(score)))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out, "query_id: long, mmr_rank: long, neighbor_id: long,"
              " relevance: double, mmr_score: double")
 
@@ -769,7 +769,7 @@ def bm25_serve(spark: SparkSession, path: str,
         # nothing indexed: avgdl is undefined (0/0) and the postings
         # directory may hold no files at all — serve the empty result
         # instead of NaN scores / a schema-inference error
-        return (spark.createDataFrame(
+        return (local_frame(spark, 
             [], "doc_id bigint, n_tokens bigint, n_terms_matched bigint,"
                 " score_micro bigint, score double"))
     pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2]
@@ -777,7 +777,7 @@ def bm25_serve(spark: SparkSession, path: str,
     posts = (spark.read.parquet(path + "/postings")
              .filter(F.col("pfx").isin(pfxs))        # partition-pruned
              .filter(F.col("term").isin(list(terms))))
-    st = spark.createDataFrame([(n_docs, sum_dl)],
+    st = local_frame(spark, [(n_docs, sum_dl)],
                                "n_docs bigint, sum_dl bigint") \
         .select("n_docs",
                 F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")

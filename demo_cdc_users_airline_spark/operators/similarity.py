@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, parallel_scan
+from ..sources.loader import load_table, local_frame, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -475,7 +475,7 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n_dims = len(e.select("embedding").first()[0])
     e = parallel_scan(spark, e, "vec_id")
-    sm = spark.createDataFrame([(_sign_matrix(n_dims),)],
+    sm = local_frame(spark, [(_sign_matrix(n_dims),)],
                                "__signs array<array<bigint>>")
     # per plane p: dot_h = Σ_dims qval · sign (exact int64); bit = dot_h > 0
     bucket = F.expr(f"""
@@ -667,7 +667,7 @@ def _sq_adc_topk_spark(spark: SparkSession, sf_dir: str,
         f" * (r.mx - r.mn) DIV {levels})")
     cand = bound.select(F.col("vec_id").alias("neighbor_id"),
                         recon.alias("rv"))
-    queries = spark.createDataFrame(
+    queries = local_frame(spark, 
         sorted((int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in
                vq.filter(F.col("vec_id") < 8).collect()),
         "query_id: long, q_qv: array<bigint>")

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar
+from ..sources.loader import cached_scalar, local_frame
 from .kmeans_ivf import (
     SCALE,
     _DRIFT_MOD,
@@ -138,7 +138,7 @@ def sq8_fit(vq: DataFrame) -> Ranges:
 def save_ranges(spark: SparkSession, path: str, ranges: Ranges) -> None:
     """Persist the trained ranges as a (dim, mn, mx) parquet table —
     int64 micro-units round-trip losslessly."""
-    (spark.createDataFrame([(int(d), int(mn), int(mx))
+    (local_frame(spark, [(int(d), int(mn), int(mx))
                             for d, mn, mx in ranges],
                            "dim int, mn bigint, mx bigint")
      .coalesce(1).write.mode("overwrite").parquet(path))
@@ -266,7 +266,7 @@ def sq8_serve(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     probed = sorted({int(r["probe_cell"]) for r in probe_rows})
     qvecs = {int(r["id"]): [int(x) for x in r["vec"]]
              for r in qv.select("id", "vec").collect()}
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         [(qid, pc, qvecs[qid]) for qid, pc in
          sorted((int(r["id"]), int(r["probe_cell"])) for r in probe_rows)],
         "query_id: long, probe_cell: int, qvec: array<bigint>")
@@ -656,7 +656,7 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     served = sq8_serve(spark, sf_dir, path).select("query_id",
                                                    "neighbor_id")
     vq = _quantized_vectors(spark, sf_dir)
-    queries = spark.createDataFrame(
+    queries = local_frame(spark, 
         sorted((int(r["id"]), [int(x) for x in r["vec"]]) for r in
                vq.filter((F.col("id") % _DRIFT_MOD == 0)
                          & (F.col("id") < _SERVE_QBOUND))
@@ -787,7 +787,7 @@ def similarity_sq8_residual_topk(spark: SparkSession,
     cb = fitted_codebook(spark, sf_dir, k=8, iters=_KM_ITERS)
     rv = _residual_vectors(vq, cb)  # (id, cell, rvec) — one map
     ranges = sq8_fit(rv.select(F.col("rvec").alias("vec")))
-    cbdf = vq.sparkSession.createDataFrame(
+    cbdf = local_frame(vq.sparkSession, 
         [(int(cid), [int(x) for x in v]) for cid, v in cb],
         "cell: int, cvec: array<bigint>")
     bound = (rv.join(F.broadcast(cbdf), "cell")
@@ -803,7 +803,7 @@ def similarity_sq8_residual_topk(spark: SparkSession,
              for r in vq.filter(F.col("id") < 8).collect()}
     probe_rows = probe_cells(vq.filter(F.col("id") < 8), cb,
                              nprobe=SQ8_NPROBE).collect()
-    probe_df = spark.createDataFrame(
+    probe_df = local_frame(spark, 
         sorted((int(r["id"]), int(r["probe_cell"]), qvecs[int(r["id"])])
                for r in probe_rows),
         "query_id: long, probe_cell: int, qv: array<bigint>")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table, local_frame, parallel_scan
 
 QUERIES: dict[str, object] = {}
 ORACLE: dict[str, str] = {}
@@ -460,7 +460,7 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the inner join equals the oracle's (doc, tri)-compacted
     # sum-of-counts exactly; a trigram in several profiles fans out to
     # one row per candidate, which IS the per-candidate score credit.
-    prof_df = spark.createDataFrame(
+    prof_df = local_frame(spark, 
         [(tri, lg, -i) for i, lg in enumerate(langs)
          for tri in prof_sets.get(lg, [])],
         "tri string, cand_lang string, nx int")

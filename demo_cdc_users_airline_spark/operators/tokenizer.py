@@ -42,9 +42,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table
+from ..sources.loader import cached_scalar, load_table, local_frame
 
-QUERIES: dict[str, object] = {}
+QUERIES: dict[str, local_frame, object] = {}
 ORACLE: dict[str, str] = {}
 
 
@@ -417,7 +417,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     training artifact production reuses (memoized per session ×
     dataset like the k-means/PQ codebooks)."""
     merges = learn_bpe_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(k, a, b, a + b, cnt) for k, a, b, cnt in merges],
         "merge_rank: long, left_sym: string, right_sym: string,"
         " merged: string, pair_count: long")
@@ -679,7 +679,7 @@ def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     word table (bounded rows), a TakeOrdered for the pieces, and a
     distinct over the alphabet — corpus-sized data is touched once."""
     rows = learn_unigram_vocab(spark, sf_dir)
-    return (spark.createDataFrame(
+    return (local_frame(spark, 
         [(p, w, len(p), 1 if len(p) == 1 else 0) for p, w in rows],
         "piece string, score long, piece_len long, is_char long")
         .orderBy(F.col("score").desc(), "piece"))
@@ -734,7 +734,7 @@ def _unigram_encode_with(spark: SparkSession, sf_dir: str,
                          vocab: dict[str, int]) -> DataFrame:
     """The shared encode core: per-distinct-word Viterbi over the
     given piece table, occurrences joined back, per-doc aggregate."""
-    vmap = spark.createDataFrame([(vocab,)], "__vmap map<string,bigint>")
+    vmap = local_frame(spark, [(vocab,)], "__vmap map<string,bigint>")
     words = _unigram_words(spark, sf_dir, with_doc=True)
     dw = (words.select("w").distinct()
           .crossJoin(F.broadcast(vmap))
@@ -897,7 +897,7 @@ def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t, ns, j) — lexicographic on both engines) and the SAME hop
     chain, unrolled by position; int64 weights."""
     vocab = dict(learn_unigram_vocab(spark, sf_dir))
-    vmap = spark.createDataFrame([(vocab,)], "__vmap map<string,bigint>")
+    vmap = local_frame(spark, [(vocab,)], "__vmap map<string,bigint>")
     wf = (_unigram_words(spark, sf_dir, with_doc=False)
           .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
           .orderBy(F.col("n").desc(), "w").limit(VOCAB_CAP))
@@ -906,7 +906,7 @@ def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n", F.explode(F.expr(_U_BACKTRACE_EXPR))
                     .alias("piece")))
     usage = (segs.groupBy("piece").agg(F.sum("n").alias("usage")))
-    seed = spark.createDataFrame(
+    seed = local_frame(spark, 
         [(p, wgt) for p, wgt in vocab.items()],
         "piece string, score long")
     return (seed.join(usage, "piece", "left")
@@ -1062,14 +1062,14 @@ def save_tokenizer(spark: SparkSession, sf_dir: str,
     out = _out or path
     merges = learn_bpe_merges(spark, sf_dir, doc_pred=doc_pred,
                               docs=docs)
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(int(k), a, b, int(c)) for k, a, b, c in merges],
         "merge_rank int, left_sym string, right_sym string,"
         " pair_count long")
      .coalesce(1).write.mode("overwrite").parquet(out + "/bpe_merges"))
     pieces = learn_unigram_vocab(spark, sf_dir, doc_pred=doc_pred,
                                  docs=docs)
-    (spark.createDataFrame(
+    (local_frame(spark, 
         [(i, p, int(s)) for i, (p, s) in enumerate(pieces)],
         "ord int, piece string, score long")
      .coalesce(1).write.mode("overwrite")
@@ -1092,7 +1092,7 @@ def save_tokenizer(spark: SparkSession, sf_dir: str,
             r["ch"] for r in spark.read.parquet(out + "/bpe_alphabet")
             .collect()))
         c = tokenizer_census(d, merges, alph)
-        (spark.createDataFrame(
+        (local_frame(spark, 
             [(c["n_docs"], c["n_words"], c["n_chars"], c["n_tokens"],
               c["chars_per_token_micro"])],
             "n_docs long, n_words long, n_chars long, n_tokens long,"

@@ -107,6 +107,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """A small driver-local literal frame as a LocalRelation
+    (LocalTableScan), not a parallelized RDD (r14, guide §4.1).
+
+    ``createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` pickled-RDD slices, so EVERY evaluation of
+    the frame — and a broadcast codebook/probe table inside a composed
+    plan is evaluated per consumer — runs a full stage whose every
+    task forks a Python worker just to unpickle a handful of rows
+    (measured 0.42-0.53 s per evaluation at local[32] vs 0.08 s as a
+    LocalRelation; similarity_sq8_residual_topk alone carried five
+    such stages ≈ 1.8 s of its 4.3 s warm profile). Routing through a
+    pandas DataFrame with Arrow enabled makes the planner embed the
+    rows as a LocalRelation: no scan stage, no Python workers, and
+    joins can broadcast it without first running a distributed scan.
+    At cluster scale the same holds — these are driver-literal tables
+    (codebooks, probe batches, range tables), bounded by construction.
+
+    Falls back to the plain RDD path if the Arrow conversion cannot
+    represent the rows (correctness first; the fallback is the
+    historical behavior)."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = (_parse_datatype_string(schema)
+              if isinstance(schema, str) else schema)
+        names = [f.name for f in st.fields]
+        data = {n: pd.Series([r[i] for r in rows], dtype=object)
+                for i, n in enumerate(names)}
+        pdf = pd.DataFrame(data, columns=names)
+        out = spark.createDataFrame(pdf, schema=st)
+        # only accept the fast path if it actually planned local
+        # (Arrow disabled / unsupported type falls back inside Spark
+        # to the row path with different coercion rules — reject it)
+        if out._jdf.queryExecution().logical().getClass().getSimpleName() \
+                != "LocalRelation":
+            return spark.createDataFrame(rows, schema)
+        return out
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def parallel_scan(spark: SparkSession, df: DataFrame,
                   *keys: str) -> DataFrame:
     """Fan a SCAN-ONLY frame out to the session's parallelism before

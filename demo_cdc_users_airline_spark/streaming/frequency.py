@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from ..sources.loader import local_frame
 from pyspark.sql import functions as F
 
 from ..operators.sketches import (cms_cell_counts, cms_probe_cells,
@@ -63,7 +64,7 @@ class StreamingCmsFrequency:
         state; absent cells count zero (an unseen token can still
         collide into nonzero cells — the usual CMS overestimate)."""
         spark = self.state_table.spark
-        tw = (spark.createDataFrame([(t,) for t in tokens], "w string")
+        tw = (local_frame(spark, [(t,) for t in tokens], "w string")
               .select("w", F.expr("CAST(conv(substring(md5(w), 1, 15),"
                                   " 16, 10) AS BIGINT)").alias("h")))
         probes = (tw.select("w", F.explode(cms_probe_cells()).alias("jc"))

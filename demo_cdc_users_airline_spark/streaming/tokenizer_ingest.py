@@ -38,6 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from ..sources.loader import local_frame
 from pyspark.sql import functions as F
 
 from ..operators.tokenizer import (
@@ -139,7 +140,7 @@ class StreamingTokenizerIngest:
                     fired = 1
         # 4. report row (same batch-keyed idempotence; observational —
         #    the across-swap retry legitimately records fired = 0)
-        (spark.createDataFrame(
+        (local_frame(spark, 
             [(int(batch_id), c["n_docs"], c["n_words"], c["n_chars"],
               c["n_tokens"], c["chars_per_token_micro"], c["oov_chars"],
               c["oov_ppm"], base["chars_per_token_micro"], fired)],

@@ -46,6 +46,7 @@ def get_spark_with_eventlog(cpus: int, log_dir: str):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.dir", log_dir)
         .config("spark.python.daemon.module",
                 "demo_cdc_users_airline_spark.core.daemon_preload")
@@ -77,9 +78,28 @@ def profile(name: str, sf_dir: str, cpus: int, runs: int) -> None:
     if not os.path.exists(path):
         cands = [os.path.join(log_dir, f) for f in os.listdir(log_dir)]
         path = max(cands, key=os.path.getmtime)
+    def read_log(p: str) -> list[str]:
+        if p.endswith(".zstd"):
+            import zstandard
+            with open(p, "rb") as fh:
+                data = zstandard.ZstdDecompressor().stream_reader(fh).read()
+            return data.decode("utf-8", "replace").splitlines()
+        if p.endswith(".lz4"):
+            import lz4.frame
+            with lz4.frame.open(p, "rt") as fh:
+                return fh.read().splitlines()
+        return list(open(p))
+
+    if os.path.isdir(path):  # Spark 4 rolling event log directory
+        lines = []
+        for f in sorted(os.listdir(path)):
+            if f.startswith("events"):
+                lines.extend(read_log(os.path.join(path, f)))
+    else:
+        lines = read_log(path)
     jobs = {}        # jobId -> dict
     stages = {}      # stageId -> dict
-    for line in open(path):
+    for line in lines:
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
