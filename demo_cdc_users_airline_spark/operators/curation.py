@@ -416,24 +416,22 @@ JOIN clusters cl USING (doc_id)
 """
 
 
-from ..sources.loader import register_memo as _register_memo
-
-_VERDICT_MEMO: dict = _register_memo({})
-
-
 def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-document verdict frame, memoized per (session, dataset)
-    and cached: the pipeline query returns it, the source scorecard
-    aggregates it — one CC fixpoint run serves both (production
-    persists the verdict as a table downstream consumers read; the memo
-    is that artifact's in-session stand-in, like the kmeans codebook)."""
-    import os as _os
+    """The per-document verdict frame, rebuilt (cheaply) per call and
+    cached: the pipeline query returns it, the source scorecard
+    aggregates it. The expensive trained state — the CC fixpoint —
+    stays memoized inside dedup_cluster_labels (checkpoint-backed), so
+    one fixpoint run per session still serves every consumer.
 
-    from ..sources.loader import _session_key
-
-    key = (_session_key(spark), _os.path.abspath(sf_dir))
-    if key in _VERDICT_MEMO:
-        return _VERDICT_MEMO[key]
+    r14: the frame itself is NO LONGER memoized. A memoized DataFrame
+    returns a STALE plan whose internal ``.cache()`` registrations die
+    at the next ``clearCache()`` and are never re-asserted, so every
+    later evaluation recomputed the shared tokenize/shingle subtrees
+    once PER CONSUMER (measured 1.6 s first evaluation vs 4.2-7.1 s
+    for post-clearCache evaluations of the identical result). Calling
+    the builders fresh re-registers the shared caches each time, which
+    restores intra-query subtree sharing — plan construction is
+    milliseconds."""
     quality = _tx.text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     exact = _dd.dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
     clusters = _dd.dedup_cluster_labels(spark, sf_dir).select("doc_id", "is_canonical")
@@ -451,7 +449,6 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_canonical").cast("long").alias("neardup_canonical"),
         (1 - F.col("is_contaminated")).cast("long").alias("uncontaminated"),
         F.when(retained, 1).otherwise(0).cast("long").alias("retained")).cache()
-    _VERDICT_MEMO[key] = out
     return out
 
 

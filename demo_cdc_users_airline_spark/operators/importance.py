@@ -249,7 +249,10 @@ def score_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("b")))
     btf = (feat.groupBy("doc_id", "lang", "b")
            .agg(F.count(F.lit(1)).alias("tf")))
-    # both distributions in ONE pass over the bucketed frame
+    # both distributions in ONE pass over the bucketed frame (tried
+    # r14: rolling dist up from btf instead — exchange reuse does NOT
+    # fire across the two consumers and the btf exchange lands on the
+    # dist path too, measured 1.2 s -> 5.0 s median; keep this shape)
     dist = (feat.groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"),
                  F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
@@ -883,8 +886,15 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement because the key is totally ordered. All counts int64;
     the budget is an exact integer floor-division of the corpus total.
     """
+    # Pin the scored frame BEFORE the range partitioner (r14, guide
+    # §2.4/§5): repartitionByRange first runs a boundary-sampling pass
+    # over its child and then the real exchange — un-pinned, the whole
+    # DSIR scoring pipeline executed twice (profiled as two ~0.8 s
+    # stages reading the same exchange). The checkpoint makes the
+    # sampling pass read materialized blocks instead.
     scored = (score_dsir_importance(spark, sf_dir)
-              .select("doc_id", "lang", "n_tokens", "weight_micro"))
+              .select("doc_id", "lang", "n_tokens", "weight_micro")
+              .localCheckpoint(eager=True))
     order = [F.col("weight_micro").desc(), F.col("doc_id").asc()]
     n_parts = max(spark.sparkContext.defaultParallelism, 4)
     sliced = (scored.repartitionByRange(n_parts, *order)

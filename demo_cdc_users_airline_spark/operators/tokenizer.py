@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, local_frame
+from ..sources.loader import cached_scalar, load_table, local_frame, parallel_scan
 
 QUERIES: dict[str, local_frame, object] = {}
 ORACLE: dict[str, str] = {}
@@ -363,7 +363,16 @@ def _bpe_encode_with(spark: SparkSession, sf_dir: str,
     per-word char split → the learned merges applied in rank order as
     bound-literal replaces → one map-side-combinable groupBy(doc_id)."""
     d = load_table(spark, sf_dir, "documents")
-    words = (d.select("doc_id", F.explode(
+    # r14 (guide §2.5/§2.6): the merge sweep is the CPU-heavy part of
+    # this query ({N_MERGES} chained replaces per word) and the local
+    # single-row-group scan would run it all in ONE task (profiled as
+    # a 0.85 s single-task stage inside the training-dataset
+    # composition). parallel_scan fans the scan out by doc_id; the
+    # groupBy(doc_id) rides that same exchange (superset rule), so no
+    # extra shuffle is introduced — and at production split counts the
+    # wrap is a structural no-op.
+    base = parallel_scan(spark, d.select("doc_id", "text"), "doc_id")
+    words = (base.select("doc_id", F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
              .filter(F.length("w") > 0))
     enc = words.select("doc_id", F.length("w").alias("nc"),

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec_sum, to_start_of_minute
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import cached_scalar, load_table
 from .framework import Context, Node, Pipe, Registry
 
 QUERIES: dict[str, object] = {}
@@ -819,20 +819,24 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = (s.join(n, s["s_nationkey"] == n["n_nationkey"])
           .select("s_suppkey", F.col("n_name").alias("nation"),
                   "s_acctbal"))
-    li = parallel_scan(
-        spark,
-        load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey"),
-        "l_suppkey")
+    # r14 (guide §2.3): aggregate straight off the scan. The previous
+    # shape repartitioned the fact scan and pre-deduped (suppkey,
+    # partkey) before a countDistinct that dedups again — the double
+    # dedup over the exchanged stream profiled at 23.5 task-CPU-s and
+    # the parts side alone A/B'd 4.49 s vs 1.58 s for this shape. Both
+    # reduces are partial aggregates pipelined into the scan task; the
+    # shuffles carry only (nation|suppkey)-keyed partials.
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey",
+                                                      "l_partkey")
     per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("__c"))
-    pairs = li.dropDuplicates(["l_suppkey", "l_partkey"])
     bal = (sn.join(per_supp, sn["s_suppkey"] == per_supp["l_suppkey"], "left")
            .groupBy("nation")
            .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
                 F.sum(F.col("s_acctbal").cast("decimal(38,6)")
                       * F.coalesce("__c", F.lit(1)).cast("long"))
                  .cast("double").alias("total_acctbal")))
-    parts = (pairs.join(F.broadcast(sn.select("s_suppkey", "nation")),
-                        pairs["l_suppkey"] == sn["s_suppkey"])
+    parts = (li.join(F.broadcast(sn.select("s_suppkey", "nation")),
+                     li["l_suppkey"] == sn["s_suppkey"])
              .groupBy("nation")
              .agg(F.countDistinct("l_partkey").alias("n_parts_shipped")))
     return (bal.join(parts, "nation", "left")

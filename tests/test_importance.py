@@ -242,21 +242,21 @@ def test_bigram_logprob_degenerate_docs(spark, tmp_path_factory):
 def test_clear_session_memos_evicts_and_recomputes(spark):
     """The memo eviction hook: registered per-(session, dataset) frames
     and scalars go away, and a later call rebuilds them."""
-    from demo_cdc_users_airline_spark.operators.curation import (
-        _VERDICT_MEMO,
-        curation_verdict,
+    from demo_cdc_users_airline_spark.operators.dedup import (
+        _LABELS_MEMO,
+        dedup_cluster_labels,
     )
     from demo_cdc_users_airline_spark.sources.loader import (
         clear_session_memos,
         load_table,
     )
 
-    curation_verdict(spark, SF)
+    dedup_cluster_labels(spark, SF)
     load_table(spark, SF, "documents")
-    assert len(_VERDICT_MEMO) >= 1
+    assert len(_LABELS_MEMO) >= 1
     n = clear_session_memos(spark)
     assert n >= 2
-    assert len(_VERDICT_MEMO) == 0
+    assert len(_LABELS_MEMO) == 0
     # rebuild works and re-memoizes
-    curation_verdict(spark, SF)
-    assert len(_VERDICT_MEMO) == 1
+    dedup_cluster_labels(spark, SF)
+    assert len(_LABELS_MEMO) == 1
