@@ -372,7 +372,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not all O(n²) pairs — this is the canonical web-scale dedup layout."""
     hh = _hashed_shingles(spark, sf_dir)
     hh.count()  # eager materialization (see dedup_ngram_jaccard)
-    sig = _signatures_from(hh)
+    # cache + EAGER count (r14, guide §5): the band self-join consumes
+    # sig on BOTH sides and AQE runs their broadcast-exchange jobs
+    # concurrently — against a lazily-cached sig each job recomputed
+    # the full shingle→minhash pipeline (profiled as 4 parquet-reading
+    # broadcast stages of ~1.4 s each in dedup_minhash_estimate).
+    sig = _signatures_from(hh).cache()
+    sig.count()
     cand = _minhash_band_candidates(sig)
     sizes = hh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = hh.alias("s1")
@@ -458,6 +464,8 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = _hashed_shingles(spark, sf_dir)
     hh.count()
     sig = _signatures_from(hh).cache()
+    sig.count()  # eager: 4 concurrent broadcast consumers (bands a/b,
+    # g1, g2) otherwise race the lazy cache and recompute sig each
     cand = _minhash_band_candidates(sig)
     g1 = sig.alias("g1")
     g2 = sig.alias("g2")
@@ -1043,23 +1051,35 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r4 layout's countDistinct aggregate + df-probe join (two h-keyed
     # shuffles and a distinct expansion) with one
     wh = Window.partitionBy("h")
-    flagged = (ng.select(
+    flagged = ng.select(
         "doc_id", "pos",
         (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("is_dup"))
-        .cache())
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = (flagged.filter("is_dup")
-            .select("doc_id", (F.col("pos") - F.row_number().over(w))
-                    .alias("grp")))
-    max_run = (runs.groupBy("doc_id", "grp")
-               .agg(F.count(F.lit(1)).alias("rl"))
-               .groupBy("doc_id").agg(F.max("rl").alias("max_run")))
-    per = flagged.groupBy("doc_id").agg(
+    # ONE doc-keyed aggregate computes counts AND the longest run (r14,
+    # guide §2.1): the previous layout cached flagged and consumed it in
+    # two separate doc_id passes (a row_number window+rollup for runs, a
+    # groupBy for counts — two exchanges, 13.7 s combined task time at
+    # sf0.1). max_run = longest run of consecutive integers among a
+    # doc's dup positions (positions are unique per doc), so a sorted
+    # per-doc position array folds to it integer-exactly — same value
+    # as the oracle's pos - row_number() grouping, one exchange total.
+    per = (flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"))
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("is_dup"), F.col("pos")))).alias("__dps"))
+        .withColumn("max_run", F.expr(
+            "aggregate(__dps,"
+            " named_struct('prev', CAST(-2 AS BIGINT),"
+            "              'run', CAST(0 AS BIGINT),"
+            "              'best', CAST(0 AS BIGINT)),"
+            " (a, p) -> named_struct("
+            "   'prev', p,"
+            "   'run', IF(p = a.prev + 1, a.run + 1, CAST(1 AS BIGINT)),"
+            "   'best', greatest(a.best,"
+            "     IF(p = a.prev + 1, a.run + 1, CAST(1 AS BIGINT)))),"
+            " a -> a.best)")))
     docs = _tokenized(spark, sf_dir).select("doc_id")
     return (docs.join(per, "doc_id", "left")
-            .join(max_run, "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
@@ -1135,7 +1155,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2"))
     h1 = d1.join(F.broadcast(pairs), "doc1")  # (doc1, doc2, t1): pair-bounded
     h2 = d2.join(F.broadcast(pairs), "doc2")  # (doc2, doc1, t2): pair-bounded
+    # fan the Levenshtein stage out to the session's parallelism (r14,
+    # guide §2.5): the verified pair frame is KB-sized, so AQE's
+    # byte-based coalescing collapses it to one partition — but the
+    # stage's cost is CPU (O(len²) per pair), not bytes; profiled as a
+    # single-task 0.7 s tail. The exchange itself moves only the
+    # bounded pair texts; partition count tracks cluster cores.
     m = (h1.join(h2, ["doc1", "doc2"])
+         .repartition(spark.sparkContext.defaultParallelism,
+                      "doc1", "doc2")
          .select("doc1", "doc2",
                  F.expr("CAST(levenshtein(t1, t2) AS BIGINT)")
                  .alias("edit_dist"),

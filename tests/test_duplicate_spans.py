@@ -10,6 +10,7 @@ from demo_cdc_users_airline_spark.operators.dedup import (
 )
 
 SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+SHARED2 = "kappa lamda mu nu xi omicron"                   # 6 tokens
 
 DOCS = [
     # 0 and 1 share an 8-token span (embedded at different offsets)
@@ -21,6 +22,11 @@ DOCS = [
     (3, " ".join(f"u{i}" for i in range(12))),
     # 4: too short for any 5-gram
     (4, "tiny doc here"),
+    # 5 and 6 share TWO disjoint spans (6- and 8-token) separated by
+    # per-doc-unique filler: max_dup_run must pick the LONGER run,
+    # n_dup_ngrams the sum of both — the run-fold's multi-run case
+    (5, f"{SHARED2} fx1 fx2 fx3 fx4 {SHARED} fz1"),
+    (6, f"gy0 {SHARED2} gy1 gy2 gy3 gy4 {SHARED} gz1"),
 ]
 
 
@@ -69,6 +75,18 @@ def test_short_doc_has_no_ngrams_and_null_frac(spans):
     assert r["n_ngrams"] == 0
     assert r["max_dup_run"] == 0
     assert r["dup_frac"] is None       # 0/0 → NULL, not a fake 0.0
+
+
+def test_two_disjoint_runs_longest_wins(spans):
+    # 6-token span → 2 dup 5-grams, 8-token span → 4; filler 5-grams
+    # straddling the boundaries are per-doc unique, so the runs stay
+    # disjoint: n_dup = 2 + 4, max run = the longer (4)
+    run_a = len(SHARED2.split()) - _SPAN_N + 1
+    run_b = len(SHARED.split()) - _SPAN_N + 1
+    for doc in (5, 6):
+        r = spans[doc]
+        assert r["n_dup_ngrams"] == run_a + run_b
+        assert r["max_dup_run"] == max(run_a, run_b)
 
 
 def test_gate_corpus_profile(spark):
