@@ -850,7 +850,12 @@ def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = fitted_codebook(spark, sf_dir, k=8, iters=3)
     assigned = (assign_cells(_quantized_vectors(spark, sf_dir), centroids)
                 .select(F.col("id").alias("vec_id"),
-                        F.col("cell").cast("long").alias("cell"), "vec"))
+                        F.col("cell").cast("long").alias("cell"), "vec")
+                .cache())
+    assigned.count()  # eager (r14, guide §5): four consumers (the
+    # pair stage's cell census + GEMM rows, the dup join, the verdict
+    # join) race the lazy cache otherwise — profiled as five stages
+    # each re-reading + re-quantizing the embeddings parquet
     pairs = int_pair_cosines(
         assigned.select("vec_id", "cell", F.col("vec").alias("qv")),
         SEMDEDUP_TAU)
