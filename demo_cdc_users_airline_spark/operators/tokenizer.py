@@ -464,8 +464,15 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound-literal replace chain in whole-stage codegen, then ONE
     map-side-combinable groupBy whose key space is the (bounded)
     vocabulary itself."""
+    from ..sources.loader import parallel_scan
+
     merges = learn_bpe_merges(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
+    # fan the scan out (r14, guide §2.5): the single-row-group documents
+    # file is one input split, which serialized the 64-merge replace
+    # chain into ONE task (profiled 1.46 s single-task CPU) — the same
+    # fix the encode sweep got; structural no-op at production splits
+    d = parallel_scan(spark, load_table(spark, sf_dir, "documents"),
+                      "doc_id")
     words = (d.select(F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
              .filter(F.length("w") > 0))
