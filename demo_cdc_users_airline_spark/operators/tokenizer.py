@@ -1369,7 +1369,10 @@ def text_tokenizer_drift_report(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents")
     split_c = (F.when(F.col("doc_id") % T_DRIFT_MOD == 0, 0)
                .otherwise(-1).cast("long"))
-    words = (d.select(split_c.alias("split"), F.explode(
+    # the census replace-chain is CPU-heavy map work over the
+    # single-row-group scan — fan it out (r14; the encode-sweep fix)
+    words = (parallel_scan(spark, d, "doc_id")
+             .select(split_c.alias("split"), F.explode(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
              .filter(F.length("w") > 0))
     per_word = words.select("split", *_census_cols(merges, alph))

@@ -210,25 +210,30 @@ def corpus_training_dataset(spark: SparkSession,
     rf = (s.crossJoin(F.broadcast(t))
           .select("source", F.expr(_imp._RF_PPM_SQL).alias("rf_ppm")))
 
+    # ONE pass over pool instead of a train/eval UNION (r14): eval
+    # rows ride the SAME copies formula under rf_ppm = 1000000 —
+    # div = 1 and the Bernoulli draw compares hash % 1e6 < 0, so
+    # copies is exactly 1 and copy = 1, the literal the eval branch
+    # used to emit. The left broadcast join attaches train rf to all
+    # rows; the when() overrides it outside the train split.
     bern = F.when(
         _sa._salted_hash(_TDS_SALT, F.col("doc_id")) % 1000000
         < F.col("rf_ppm") % 1000000, 1).otherwise(0)
-    train_rows = (trn.join(F.broadcast(rf), "source")
-                  .withColumn("copies",
-                              (F.expr("rf_ppm div 1000000") + bern)
-                              .cast("long"))
-                  .withColumn("copy", F.explode(F.expr(
-                      "CASE WHEN copies >= 1 THEN"
-                      " sequence(CAST(1 AS BIGINT), copies)"
-                      " ELSE CAST(array() AS ARRAY<BIGINT>) END")))
-                  .select("doc_id", "source", "split", "n_tokens",
-                          "rf_ppm", "copy"))
-    eval_rows = (pool.filter(F.col("split") != "train")
-                 .select("doc_id", "source", "split", "n_tokens",
-                         F.lit(1000000).cast("long").alias("rf_ppm"),
-                         F.lit(1).cast("long").alias("copy")))
-    stream = train_rows.unionByName(eval_rows) \
-        .withColumn("shard", F.col("doc_id") % _cu._N_SHARDS)
+    stream = (pool.join(F.broadcast(rf), "source", "left")
+              .withColumn("rf_ppm",
+                          F.when(F.col("split") == "train",
+                                 F.col("rf_ppm"))
+                          .otherwise(F.lit(1000000)).cast("long"))
+              .withColumn("copies",
+                          (F.expr("rf_ppm div 1000000") + bern)
+                          .cast("long"))
+              .withColumn("copy", F.explode(F.expr(
+                  "CASE WHEN copies >= 1 THEN"
+                  " sequence(CAST(1 AS BIGINT), copies)"
+                  " ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+              .select("doc_id", "source", "split", "n_tokens",
+                      "rf_ppm", "copy")
+              .withColumn("shard", F.col("doc_id") % _cu._N_SHARDS))
 
     w = (Window.partitionBy("split", "shard").orderBy("doc_id", "copy")
          .rowsBetween(Window.unboundedPreceding, -1))
