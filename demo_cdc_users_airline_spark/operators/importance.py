@@ -427,7 +427,12 @@ def score_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     btf = (bg.groupBy("doc_id", "w1", "w2")
            .agg(F.count(F.lit(1)).alias("tf")).cache())
     c2 = btf.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
-    c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
+    # c1 straight off the cached tf table: sum(tf) grouped by w1 ==
+    # the w2-marginal of c2, and deriving it from btf skips re-running
+    # c2's (w1, w2) partial/final aggregate + exchange inside the c1
+    # broadcast build (r14 plan audit: ops 32-40 re-aggregated the
+    # cache through BOTH keys just to marginalize)
+    c1 = btf.groupBy("w1").agg(F.sum("tf").alias("c1"))
     v = cached_scalar(
         spark, sf_dir, "bigram_vocab_v",
         lambda: int(d.select(F.explode(tokens("text")).alias("w"))
