@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import cached_scalar, load_table, parallel_scan
+from ..sources.loader import (cached_scalar, load_table, local_frame,
+                              parallel_scan)
 from .sampling import _salted_hash, _salted_hash_sql
 from .text import tokens
 
@@ -247,25 +248,39 @@ def score_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang",
                     (_salted_hash("dsir_", F.col("w")) % DSIR_BUCKETS)
                     .alias("b")))
+    # ONE corpus pass (r14): btf rides the parallel_scan fan-out
+    # (HashPartitioning(doc_id) satisfies the (doc_id, lang, b)
+    # clustering — no new exchange); the bucket distributions are a
+    # bounded {DSIR_BUCKETS}-row reduction of it, COLLECTED in a
+    # sequenced action that also materializes the lazy btf cache for
+    # the scoring join. Racing variants both lose: lazy dist-from-feat
+    # re-ran the explode+md5 pass per consumer (two ~7.4 s-task-time
+    # twins), lazy dist-from-btf recomputed under the concurrent
+    # broadcast race (1.2 -> 5.0 s), and an eager count() added a
+    # serial barrier + broadcast jobs (wall-regressed in paired runs).
+    # The ratio table is rebuilt as a LocalRelation with ln() still
+    # computed IN-ENGINE (exactness: Spark ln == DuckDB ln; a Python
+    # math.log could differ in the last bit under the micro-floor).
     btf = (feat.groupBy("doc_id", "lang", "b")
-           .agg(F.count(F.lit(1)).alias("tf")))
-    # both distributions in ONE pass over the bucketed frame (tried
-    # r14: rolling dist up from btf instead — exchange reuse does NOT
-    # fire across the two consumers and the btf exchange lands on the
-    # dist path too, measured 1.2 s -> 5.0 s median; keep this shape)
-    dist = (feat.groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c"),
-                 F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
-                       .otherwise(0)).alias("tc")))
-    tot = dist.agg(F.sum("c").alias("raw_tot"), F.sum("tc").alias("tgt_tot"))
-    ratio = (dist.crossJoin(F.broadcast(tot))
-             .select("b", F.expr(
-                 f"CAST(floor(1000000.0 * ("
-                 f"ln(CAST(tc + 1 AS DOUBLE)"
-                 f" / CAST(tgt_tot + {DSIR_BUCKETS} AS DOUBLE))"
-                 f" - ln(CAST(c + 1 AS DOUBLE)"
-                 f" / CAST(raw_tot + {DSIR_BUCKETS} AS DOUBLE))"
-                 f")) AS BIGINT)").alias("lr_micro")))
+           .agg(F.count(F.lit(1)).alias("tf")).cache())
+    dist_rows = (btf.groupBy("b")
+                 .agg(F.sum("tf").alias("c"),
+                      F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG,
+                                   F.col("tf")).otherwise(0)).alias("tc"))
+                 .collect())
+    raw_tot = sum(int(r["c"]) for r in dist_rows)
+    tgt_tot = sum(int(r["tc"]) for r in dist_rows)
+    dist_lit = local_frame(
+        spark,
+        [(int(r["b"]), int(r["c"]), int(r["tc"])) for r in dist_rows],
+        "b bigint, c bigint, tc bigint")
+    ratio = dist_lit.select("b", F.expr(
+        f"CAST(floor(1000000.0 * ("
+        f"ln(CAST(tc + 1 AS DOUBLE)"
+        f" / CAST({tgt_tot} + {DSIR_BUCKETS} AS DOUBLE))"
+        f" - ln(CAST(c + 1 AS DOUBLE)"
+        f" / CAST({raw_tot} + {DSIR_BUCKETS} AS DOUBLE))"
+        f")) AS BIGINT)").alias("lr_micro"))
     agg = (btf.join(F.broadcast(ratio), "b")
            .groupBy("doc_id", "lang")
            .agg(F.sum("tf").cast("long").alias("n_tokens"),
