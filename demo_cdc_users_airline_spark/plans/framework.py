@@ -111,10 +111,20 @@ class Context:
         self.clock = clock
         self.spark = registry.spark
         self._cache: dict[str, DataFrame] = {}
+        self._scalars: dict[str, Any] = {}
         self.params = {p.name: p.resolve(supplied, clock) for p in pipe.params}
 
     def param(self, name: str) -> Any:
         return self.params[name]
+
+    def scalar(self, name: str, fn) -> Any:
+        """Per-request scalar memo: a watermark/anchor collected once
+        per evaluation, shared by every node that re-reads it (r14 —
+        _last_batch_ts ran its 3-stage collect chain once per
+        consuming node)."""
+        if name not in self._scalars:
+            self._scalars[name] = fn()
+        return self._scalars[name]
 
     def ref(self, name: str) -> DataFrame:
         if name in self._cache:

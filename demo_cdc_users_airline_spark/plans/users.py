@@ -89,8 +89,11 @@ def _last_batch_ts(ctx: Context) -> int:
     users_batch_copy.pipe:10. Empty target → ClickHouse non-null max = 0
     (the documented first-run path); we coalesce NULL → 0 to match.
     """
-    row = ctx.ref("users_batch").agg(F.max("batch_max_updated")).first()
-    return int(row[0]) if row and row[0] is not None else 0
+    def _collect() -> int:
+        row = (ctx.ref("users_batch")
+               .agg(F.max("batch_max_updated")).first())
+        return int(row[0]) if row and row[0] is not None else 0
+    return ctx.scalar("last_batch_ts", _collect)
 
 
 def _get_new_events(ctx: Context, coalesce_defaults: bool) -> DataFrame:
