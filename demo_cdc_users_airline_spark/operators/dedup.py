@@ -57,13 +57,19 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same corpus). At 100 TB this is 'write the tokenized
     column once, derive everything from it' — the standard staged-
     corpus layout."""
+    # project the split ABOVE the fan-out (r14): below it, the regex
+    # ran for the whole corpus inside the ONE scan task and the
+    # exchange shipped text + the redundant toks array (3.0 MB vs
+    # 2.1 MB); above, the exchange moves (doc_id, text) and the
+    # tokenize runs at full parallelism.
     return (parallel_scan(
                 spark,
                 load_table(spark, sf_dir, "documents")
-                .select("doc_id", "text",
-                        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-                        .alias("toks")),
+                .select("doc_id", "text"),
                 "doc_id")
+            .select("doc_id", "text",
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                    .alias("toks"))
             .cache())
 
 
